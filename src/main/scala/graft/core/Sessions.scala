@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Defaults are tuned for the local[32] test harness but every knob is the
+  * one you would also set on a real cluster:
+  *   - AQE on (runtime re-plan: coalesce shuffle partitions, skew-join split,
+  *     dynamic broadcast) — the key to surviving 100 TB skew.
+  *   - shuffle.partitions sized to the local core count; on a 1000-executor
+  *     cluster this would be set to ~2-3x total cores instead.
+  *   - UTC session timezone (the reference treats naive datetimes as UTC,
+  *     see reference conv/scripts/udbf_file_analysis.py:135-143).
+  */
+object Sessions {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // the corpus' events.ts is parquet TIMESTAMP(NANOS) which Spark has
+      // no native type for — read as Long (nanos); Tables.events converts
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, fingerprinting, language-ID. All pure Column
+  * expressions (codegen'd) — at 100 TB these run inside the scan stage
+  * with zero shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. `\\s+` split after trim; empty text → 0. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0L).otherwise(size(tokens(text)).cast("long"))
+
+  /** BPE-ish subword count estimate: word-piece regex splits on
+    * letter/digit/punct class changes (a public approximation of byte-pair
+    * pre-tokenization — one token per contiguous letter run, digit run, or
+    * punctuation char). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      (t: Column) => length(trim(t)) > 0)).cast("long")
+
+  /** Distinct word set (for Jaccard similarity). */
+  def wordSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** n-gram Jaccard similarity between two texts' distinct token sets:
+    * |A ∩ B| / |A ∪ B|. */
+  def jaccard(a: Column, b: Column): Column = {
+    val sa = wordSet(a)
+    val sb = wordSet(b)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Word n-gram shingles (default 3) over the token sequence — the unit
+    * for MinHash document fingerprints. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ts = tokens(text)
+    // sliding window via transform over indices; short docs yield the
+    // whole-text single shingle so they still participate
+    when(size(ts) < n, array(concat_ws(" ", ts)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Punctuation/symbol ratio: fraction of chars outside [a-z0-9 ] after
+    * lowercasing. One of the standard quality-filter features. */
+  def symbolRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    val clean = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double")
+    when(total === 0, 0.0).otherwise((total - clean) / total)
+  }
+
+  /** Stopword ratio over a fixed public stopword list. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val stops = size(filter(ts, (t: Column) => t.isInCollection(Stopwords))).cast("double")
+    when(size(ts) === 0, 0.0).otherwise(stops / size(ts).cast("double"))
+  }
+
+  /** Mean word length — another classic quality feature. */
+  def meanWordLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0)
+      .otherwise(aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(ts).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards moderate length, low symbol
+    * noise, and a natural-language stopword ratio. Deterministic arithmetic
+    * only, so it is oracle-checkable. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 50.0, lit(1.0))
+    val symScore = lit(1.0) - least(symbolRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round((lenScore + symScore + stopScore) / 3.0, 4)
+  }
+
+  /** Language-ID by stopword-profile voting: score each candidate
+    * language's function-word hit ratio, pick the argmax (ties → 'und').
+    * The profile lists are public-knowledge function words. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "en", "que", "une"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val ts = tokens(lower(text))
+    val hits = size(filter(ts, (t: Column) => t.isInCollection(LangProfiles(lang)))).cast("double")
+    when(size(ts) === 0, 0.0).otherwise(hits / size(ts).cast("double"))
+  }
+
+  def languageId(text: Column, minScore: Double = 0.02): Column = {
+    val langs = LangProfiles.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling polynomial hash fingerprint over words (base-31 mod 2^31-1) —
+    * a locality-insensitive whole-document hash usable for shard-local
+    * bucketing. Deterministic, order-sensitive; modulus keeps
+    * acc*31 + h < 2^36, far inside Long range. */
+  def rollingHash(text: Column): Column = {
+    val p = lit(2147483647L) // Mersenne prime 2^31-1
+    aggregate(
+      tokens(lower(text)),
+      lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+  }
+}

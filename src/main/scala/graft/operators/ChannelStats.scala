@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ReferenceFunctions.roundStat
+
+/** A1 + R3 — per-channel statistics (SURVEY.md §2.5/§2.6).
+  *
+  * The reference loops over numpy columns computing round(mean/min/max, 3)
+  * per channel (DataConverterUDBF.py:213-282). Spark-first shape: unpivot
+  * the wide channel matrix to long `(channel, value)` rows, then one
+  * hash aggregation — map-side partial aggregation makes this a single
+  * small shuffle of (channels × partitions) rows regardless of input size,
+  * which is the plan that survives 100 TB.
+  */
+object ChannelStats {
+
+  /** Long-form stats: one output row per value column. Output schema:
+    * (sensor, mean, minimum, maximum) — the reference's stats CSV columns
+    * (DataConverterUDBF.py:260-265), lower-cased. */
+  def apply(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val long = unpivotValues(df, valueCols)
+    long
+      .groupBy(col("sensor"))
+      .agg(
+        roundStat(avg(col("value"))).as("mean"),
+        roundStat(min(col("value"))).as("minimum"),
+        roundStat(max(col("value"))).as("maximum"))
+      .orderBy("sensor")
+  }
+
+  /** Extended stats vocabulary from the Sensical downstream mapping
+    * (modbus/setup/mapping.json:1939-2513): stddev, percentiles, NaN and
+    * null counts. */
+  def extended(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val long = unpivotValues(df, valueCols)
+    long
+      .groupBy(col("sensor"))
+      .agg(
+        roundStat(avg(col("value"))).as("mean"),
+        roundStat(stddev_samp(col("value"))).as("std"),
+        roundStat(expr("percentile(value, 0.5)")).as("p50"),
+        roundStat(expr("percentile(value, 0.9)")).as("p90"),
+        count(when(isnan(col("value")), 1)).as("number_of_nans"),
+        count(when(col("value").isNull, 1)).as("number_of_nulls"))
+      .orderBy("sensor")
+  }
+
+  /** R3 — wide matrix → long (sensor, value), dropping id columns.
+    * Uses the built-in `stack` generator — stays in codegen, no explode
+    * of a materialized array needed. */
+  def unpivotValues(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val n = valueCols.size
+    val args = valueCols.flatMap(c => Seq(s"'$c'", s"cast(`$c` as double)"))
+    df.select(expr(s"stack($n, ${args.mkString(", ")}) as (sensor, value)"))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import QueryDef.{noOracle, sql}
+
+/** LLM-training-data pipeline operators: text analysis, deduplication,
+  * and embedding similarity search (BASELINE.json north-star extensions).
+  *
+  * Hash-based operators (MinHash/SimHash/LSH) are not DuckDB-expressible
+  * (different hash primitives) → rows-only driver check + ScalaTest specs
+  * with planted near-duplicates. Everything arithmetic is oracled.
+  */
+object LlmQueries {
+
+  /** Corpus with planted near-duplicates: every document unioned with a
+    * copy (id + 1,000,000) that has one token appended — guarantees the
+    * near-dup detectors have real positives to find at any SF. */
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    sql("t01_token_stats")(
+      """SELECT doc_id,
+        |  cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  cast(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql("t02_quality_score")(
+      """SELECT doc_id, n_tokens,
+        |  round(symbol_ratio, 4) AS symbol_ratio,
+        |  round(stop_ratio, 4) AS stop_ratio,
+        |  round((least(n_tokens / 50.0, 1.0)
+        |       + (1.0 - least(symbol_ratio * 5.0, 1.0))
+        |       + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    cast(len(toks) AS BIGINT) AS n_tokens,
+        |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |      / length(text)::DOUBLE AS symbol_ratio,
+        |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |      / len(toks)::DOUBLE AS stop_ratio
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) x) y
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.symbolRatio(col("text")), 4).as("symbol_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql("t03_language_id")(
+      """SELECT doc_id, lang AS lang_labeled,
+        |  CASE WHEN best < 0.02 THEN 'und'
+        |       WHEN s_fr = best THEN 'fr'
+        |       WHEN s_es = best THEN 'es'
+        |       WHEN s_en = best THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  round(s_en, 4) AS s_en, round(s_de, 4) AS s_de,
+        |  round(s_es, 4) AS s_es, round(s_fr, 4) AS s_fr
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it'))) / len(toks)::DOUBLE AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) / len(toks)::DOUBLE AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','las','es','y','en','que'))) / len(toks)::DOUBLE AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','et','est','en','que','une'))) / len(toks)::DOUBLE AS s_fr,
+        |    greatest(
+        |      len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it'))) / len(toks)::DOUBLE,
+        |      len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) / len(toks)::DOUBLE,
+        |      len(list_filter(toks, t -> t IN ('el','la','los','las','es','y','en','que'))) / len(toks)::DOUBLE,
+        |      len(list_filter(toks, t -> t IN ('le','la','les','et','est','en','que','une'))) / len(toks)::DOUBLE) AS best
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |        FROM documents) x) y
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_labeled"),
+          TextFunctions.languageId(col("text")).as("lang_pred"),
+          round(TextFunctions.langScore(col("text"), "en"), 4).as("s_en"),
+          round(TextFunctions.langScore(col("text"), "de"), 4).as("s_de"),
+          round(TextFunctions.langScore(col("text"), "es"), 4).as("s_es"),
+          round(TextFunctions.langScore(col("text"), "fr"), 4).as("s_fr"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql("t04_fingerprint")(
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    sql("t05_jaccard_consecutive")(
+      """SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE
+        |        / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS jaccard
+        |FROM (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |      FROM documents) a
+        |JOIN (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS ws
+        |      FROM documents) b ON b.doc_id = a.doc_id + 1
+        |ORDER BY left_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val a = docs.select(col("doc_id").as("left_id"), col("text").as("la"))
+      val b = docs.select(col("doc_id").as("right_id"), col("text").as("rb"))
+      a.join(b, col("right_id") === col("left_id") + 1)
+        .select(col("left_id"), col("right_id"),
+          round(TextFunctions.jaccard(col("la"), col("rb")), 4).as("jaccard"))
+        .orderBy(col("left_id"))
+    },
+
+    sql("t06_exact_dedup")(
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp, doc_id
+        |      FROM documents) t
+        |GROUP BY fp
+        |ORDER BY fp""") { (s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy(col("fp"))
+    },
+
+    noOracle("t07_minhash_neardup") { (s, d) =>
+      Dedup.minHashPairs(plantedCorpus(s, d), "text", "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("left_id"), col("right_id"))
+    },
+
+    noOracle("t08_simhash_neardup") { (s, d) =>
+      Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id", maxHamming = 6)
+        .orderBy(col("left_id"), col("right_id"))
+    },
+
+    noOracle("t09_shingle_jaccard_neardup") { (s, d) =>
+      Dedup.jaccardPairs(plantedCorpus(s, d), "text", "doc_id", threshold = 0.6)
+        .orderBy(col("left_id"), col("right_id"))
+    },
+
+    sql("t10_cosine_scores")(
+      """SELECT vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[], q)
+        |        / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(q, q))), 4) AS cosine_sim
+        |FROM embeddings,
+        |     (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0) qq
+        |ORDER BY vec_id""") { (s, d) =>
+      Similarity.scoreAgainst(Tables.embeddings(s, d), "vec_id", "embedding", 0L)
+        .orderBy(col("vec_id"))
+    },
+
+    sql("t11_cosine_topk")(
+      """SELECT vec_id, cosine_sim FROM (
+        |  SELECT vec_id,
+        |    round(list_dot_product(embedding::DOUBLE[], q)
+        |          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |             * sqrt(list_dot_product(q, q))), 4) AS cosine_sim
+        |  FROM embeddings,
+        |       (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0) qq
+        |  WHERE vec_id <> 0) t
+        |ORDER BY cosine_sim DESC, vec_id
+        |LIMIT 20""") { (s, d) =>
+      Similarity.topK(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 20)
+    },
+
+    noOracle("t12_ann_lsh_topk") { (s, d) =>
+      Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        dims = 64, queryId = 0L, k = 20)
+    },
+
+    noOracle("t13_embedding_neardup") { (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        dims = 64, threshold = 0.95)
+    }
+  )
+}

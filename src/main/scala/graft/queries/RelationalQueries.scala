@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import QueryDef.sql
+
+/** General relational layer, verified against the DuckDB oracle
+  * (SURVEY.md §2.7/§2.10 — absent from the reference, required of the
+  * engine). Each query is written Spark-first and scale-aware:
+  * dimension joins broadcast, aggregates rely on map-side partials,
+  * windows shuffle once on their partition keys.
+  */
+object RelationalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    sql("q01_pricing_summary")(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    sql("q02_top_revenue_orders")(
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    sql("q03_nation_revenue")(
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY n_name
+        |ORDER BY n_name""") { (s, d) =>
+      // nation (25 rows) and customer (0.015% of lineitem) broadcast; the
+      // only large shuffle is the lineitem⋈orders key exchange.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+
+    sql("q04_priority_with_big_item")(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, d) =>
+      Tables.orders(s, d)
+        .join(
+          Tables.lineitem(s, d).filter(col("l_quantity") > 45).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    sql("q05_region_revenue")(
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |GROUP BY r_name
+        |ORDER BY r_name""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("r_name"))
+    },
+
+    sql("q06_forecast_revenue")(
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+
+    sql("q07_top_parts_per_brand")(
+      """SELECT p_brand, p_partkey, p_retailprice
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        row_number() OVER (PARTITION BY p_brand
+        |                           ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |      FROM part) t
+        |WHERE rn <= 3
+        |ORDER BY p_brand, p_partkey""") { (s, d) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy(col("p_brand"), col("p_partkey"))
+    },
+
+    sql("q08_running_spend")(
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    sql("q09_event_value_delta")(
+      """SELECT user_id, event_id,
+        |  round(value - lag(value) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id), 4) AS delta
+        |FROM events
+        |ORDER BY user_id, event_id""") { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    sql("q10_customers_with_orders")(
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    sql("q11_customers_without_orders")(
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    sql("q12_setops")(
+      """SELECT 'intersect' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders) x
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM
+        |  (SELECT c_custkey FROM customer
+        |   EXCEPT
+        |   SELECT o_custkey FROM orders) y
+        |ORDER BY op, c_custkey""") { (s, d) =>
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      val inter = cust.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        .intersect(ord).select(lit("intersect").as("op"), col("c_custkey"))
+      val exc = cust.select(col("c_custkey"))
+        .except(ord).select(lit("except").as("op"), col("c_custkey"))
+      inter.unionAll(exc).orderBy(col("op"), col("c_custkey"))
+    },
+
+    sql("q13_distinct_counts")(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS distinct_parts,
+        |  count(DISTINCT l_suppkey) AS distinct_supps,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    sql("q14_value_percentiles")(
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(max(value), 4) AS vmax
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(max(col("value")), 4).as("vmax"))
+        .orderBy(col("event_type"))
+    },
+
+    sql("q15_value_dispersion")(
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd,
+        |  round(var_samp(value), 4) AS variance,
+        |  round(avg(value), 4) AS mean
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(var_samp(col("value")), 4).as("variance"),
+          round(avg(col("value")), 4).as("mean"))
+        .orderBy(col("event_type"))
+    },
+
+    sql("q16_rollup_customers")(
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""") { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    sql("q17_status_pivot")(
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""") { (s, d) =>
+      def tot(status: String) =
+        round(sum(when(col("o_orderstatus") === status, col("o_totalprice")).otherwise(0)), 2)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(tot("F").as("total_f"), tot("O").as("total_o"), tot("P").as("total_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    sql("q18_common_sizes_per_type")(
+      """SELECT p_type, p_size, cnt
+        |FROM (SELECT p_type, p_size, count(*) AS cnt,
+        |        dense_rank() OVER (PARTITION BY p_type
+        |                           ORDER BY count(*) DESC, p_size) AS dr
+        |      FROM part GROUP BY p_type, p_size) t
+        |WHERE dr <= 2
+        |ORDER BY p_type, p_size""") { (s, d) =>
+      val w = Window.partitionBy(col("p_type")).orderBy(col("cnt").desc, col("p_size"))
+      Tables.part(s, d)
+        .groupBy(col("p_type"), col("p_size"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dr", dense_rank().over(w))
+        .filter(col("dr") <= 2)
+        .drop("dr")
+        .orderBy(col("p_type"), col("p_size"))
+    },
+
+    sql("q19_value_bands")(
+      """SELECT band, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 100.0),
+        |             ('high', 100.0, 100000.0)) b(band, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band
+        |ORDER BY band""") { (s, d) =>
+      import s.implicits._
+      // tiny literal dim table → broadcast nested-loop range join
+      val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 100.0),
+        ("high", 100.0, 100000.0)).toDF("band", "lo", "hi")
+      Tables.events(s, d)
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("band"))
+    },
+
+    sql("q20_last_event_per_user")(
+      """SELECT user_id,
+        |  arg_max(value, event_id) AS last_value,
+        |  max(event_id) AS last_event_id,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(col("value"), col("event_id")).as("last_value"),
+          max(col("event_id")).as("last_event_id"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }
+  )
+}

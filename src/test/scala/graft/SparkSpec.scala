@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session keeps
+  * the test run fast; suites must not mutate session state). */
+object TestSession {
+  lazy val spark: SparkSession = graft.core.Sessions
+    .builder("graft-test")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = TestSession.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
