@@ -5,10 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
 /** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
-  * SimHash, and n-gram Jaccard. All shapes are shuffle-on-key
-  * aggregations or bucketed self-joins — no pairwise O(n²) stage ever
-  * touches more than one LSH bucket, which is what keeps these viable at
-  * 100 TB (bucket sizes stay bounded; skewed buckets are split by AQE).
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale contract (the 100 TB design rule): **only ids and fixed-size
+  * signatures ever travel through the exploded band/block shuffles** —
+  * document text is re-joined by id exactly once, for the final exact
+  * verification over the (small) candidate-pair set. Candidate pairs are
+  * `distinct`-ed *before* any text is touched, so a pair colliding in k
+  * bands/blocks costs one verification, not k. No all-pairs stage exists;
+  * bucket skew is bounded by doc-frequency caps and AQE skew-join.
   */
 object Dedup {
 
@@ -19,56 +24,92 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for each of `numHashes` permutations i, the min
-    * over shingles of h_i(s) where h_i(s) = xxhash64(s, seed=i) — the
-    * standard "many independent hash functions" construction. Returns an
-    * ArrayType(Long) column. */
+  /** Exact token-set Jaccard verification for candidate id-pairs:
+    * tokenize each document ONCE into its distinct word set, join the
+    * (id, words, |words|) side tables by id, and compute
+    * |A∩B| / (|A|+|B|−|A∩B|) — one array_intersect per pair instead of
+    * two regex re-tokenizations plus intersect+union (identical values:
+    * the inputs are distinct arrays, so |A∪B| = |A|+|B|−|A∩B|).
+    * Appends a `jaccard` column rounded to 4 dp. */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      TextFunctions.wordSet(col("text")).as("words"))
+      .select(col("doc_id"), col("words"), size(col("words")).as("n"))
+    val lw = ws.select(col("doc_id").as("left_id"),
+      col("words").as("__lw"), col("n").as("__ln"))
+    val rw = ws.select(col("doc_id").as("right_id"),
+      col("words").as("__rw"), col("n").as("__rn"))
+    val inter = size(array_intersect(col("__lw"), col("__rw"))).cast("double")
+    val uni = (col("__ln") + col("__rn")).cast("double") - inter
+    candidates.join(lw, Seq("left_id")).join(rw, Seq("right_id"))
+      .withColumn("jaccard",
+        round(when(uni === 0, 0.0).otherwise(inter / uni), 4))
+      .drop("__lw", "__rw", "__ln", "__rn")
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions i, the min
+    * over shingles of h_i(s) where h_i(s) = xxhash64(i, s) — the standard
+    * "many independent hash functions" construction. Computed in ONE pass
+    * over the shingle array: fold with a `numHashes`-wide running-min
+    * accumulator (`aggregate` + `zip_with(least)`), rather than one
+    * array traversal per hash function. Returns ArrayType(Long). */
   def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
     val sh = TextFunctions.shingles(text, shingleSize)
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }
-    array(sigs: _*)
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
+        (a, h) => least(a, h)))
   }
 
   /** MinHash-LSH candidate pairs: band the signature (`bands` bands of
-    * rows), bucket-join on (band, band-slice hash), emit distinct
-    * candidate pairs with their estimated Jaccard (fraction of matching
-    * signature positions) and exact token-set Jaccard.
+    * `numHashes/bands` rows), bucket-join on (band, hash-of-band-slice),
+    * emit distinct candidate pairs with estimated Jaccard (fraction of
+    * matching signature positions) and exact token-set Jaccard.
     *
-    * Scale shape: explode to (doc × bands) rows → shuffle on bucket key →
-    * within-bucket self-join. With b=8,r=4 the collision threshold is
-    * (1/b)^(1/r) ≈ 0.59 Jaccard.
+    * Scale shape: the exploded stream is (doc_id, sig, band, bucket) —
+    * ~`bands × (8·numHashes + 16)` bytes/doc regardless of document size.
+    * Candidate id-pairs are distinct-ed, then text is joined back by id
+    * once per side for the exact-Jaccard verify. With b=8, r=4 the
+    * collision threshold is (1/b)^(1/r) ≈ 0.59 Jaccard.
     */
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 32, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val withSig = docs.select(col("doc_id"),
+      minHashSignature(col("text"), numHashes).as("sig"))
 
-    val banded = withSig.select(col("doc_id"), col("text"), col("sig"),
+    // (doc_id, sig, band, bucket) — no text beyond this point
+    val banded = withSig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
-          xxhash64(b, to_json(struct(slice(col("sig"), b * rows + 1, lit(rows))))).as("bucket"))))
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("text"), col("sig"),
+      .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("left_id"),
-      col("text").as("left_text"), col("sig").as("left_sig"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("right_id"),
-      col("text").as("right_text"), col("sig").as("right_sig"))
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("left_id"), col("sig").as("left_sig"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("right_id"), col("sig").as("right_sig"))
 
     val matchFrac = size(filter(
       zip_with(col("left_sig"), col("right_sig"), (a, b) => a === b),
       m => m)).cast("double") / numHashes
-    l.join(r, Seq("band", "bucket"))
+
+    // distinct BEFORE the word-set join: one verification per pair, not per band
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("left_id") < col("right_id"))
       .select(col("left_id"), col("right_id"),
-        round(matchFrac, 4).as("est_jaccard"),
-        round(TextFunctions.jaccard(col("left_text"), col("right_text")), 4).as("jaccard"))
+        round(matchFrac, 4).as("est_jaccard"))
       .distinct()
+
+    verifyJaccard(candidates, docs)
+      .select(col("left_id"), col("right_id"), col("est_jaccard"), col("jaccard"))
   }
 
   /** SimHash: 64-bit signature where bit k is the sign of the sum over
@@ -94,46 +135,69 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within Hamming radius, blocked on the top
-    * 16 bits (docs differing only in low bits collide; multi-block
-    * variants trade recall for cost). */
+  /** SimHash near-dup pairs within Hamming radius, via multi-block
+    * partitioning (Manku et al.'s permuted-table scheme, simplified to
+    * contiguous blocks): split the 64-bit signature into `blocks` nearly
+    * equal bit-blocks, explode each doc to one row per block, and join on
+    * (block index, block bits). By pigeonhole, any pair within Hamming
+    * distance < `blocks` shares at least one identical block, so recall is
+    * COMPLETE for maxHamming ≤ blocks − 1 (pass blocks = maxHamming + 1
+    * for a guarantee). Only (doc_id, simhash) rides the explode — 16
+    * bytes/doc/block. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 8): DataFrame = {
+                   maxHamming: Int = 8, blocks: Int = 4): DataFrame = {
+    require(blocks >= 2 && blocks <= 64, "blocks must be in [2, 64]")
+    // block k covers bits [offsets(k), offsets(k+1)) of the signature
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val widths = (0 until blocks).map(k => if (k < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = simHash(df, textCol, idCol)
-      .withColumn("block", shiftright(col("simhash"), 48))
-    val l = sigs.select(col("block"), col("doc_id").as("left_id"), col("simhash").as("left_sig"))
-    val r = sigs.select(col("block"), col("doc_id").as("right_id"), col("simhash").as("right_sig"))
-    l.join(r, Seq("block"))
+    val exploded = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until blocks).map { k =>
+        struct(lit(k).as("blk"),
+          shiftright(col("simhash"), offsets(k))
+            .bitwiseAND(lit((1L << widths(k)) - 1)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+    val l = exploded.select(col("blk"), col("bits"),
+      col("doc_id").as("left_id"), col("simhash").as("left_sig"))
+    val r = exploded.select(col("blk"), col("bits"),
+      col("doc_id").as("right_id"), col("simhash").as("right_sig"))
+    l.join(r, Seq("blk", "bits"))
       .filter(col("left_id") < col("right_id"))
       .withColumn("hamming", hamming(col("left_sig"), col("right_sig")))
       .filter(col("hamming") <= maxHamming)
       .select(col("left_id"), col("right_id"), col("hamming"))
+      .distinct()
   }
 
   /** n-gram Jaccard near-dup pairs via shared-shingle blocking: docs
     * sharing at least one rare shingle are candidates; exact Jaccard
-    * filters. `maxDocFreq` drops stop-shingles so bucket sizes stay
-    * bounded (the skew guard that matters at scale). */
+    * (computed ONCE per distinct candidate pair, after a text re-join by
+    * id) filters. `maxDocFreq` drops stop-shingles so bucket sizes stay
+    * bounded — the skew guard that matters at scale. Only (shingle,
+    * doc_id) rides the blocking shuffle. */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, shingleSize: Int = 3,
                    maxDocFreq: Int = 20): DataFrame = {
-    // two-step projection: aliasing textCol and exploding a derivation of
-    // it in one select trips Spark's lateral-column-alias resolution
-    val docSh = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .select(col("doc_id"), col("text"),
-        explode(TextFunctions.shingles(col("text"), shingleSize)).as("shingle"))
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val docSh = docs.select(col("doc_id"),
+      explode(TextFunctions.shingles(col("text"), shingleSize)).as("shingle"))
     val rare = docSh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
       .select(col("shingle"))
     val blocked = docSh.join(rare, Seq("shingle"))
-    val l = blocked.select(col("shingle"), col("doc_id").as("left_id"), col("text").as("left_text"))
-    val r = blocked.select(col("shingle"), col("doc_id").as("right_id"), col("text").as("right_text"))
-    l.join(r, Seq("shingle"))
+    val l = blocked.select(col("shingle"), col("doc_id").as("left_id"))
+    val r = blocked.select(col("shingle"), col("doc_id").as("right_id"))
+    val candidates = l.join(r, Seq("shingle"))
       .filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"),
-        round(TextFunctions.jaccard(col("left_text"), col("right_text")), 4).as("jaccard"))
+      .select(col("left_id"), col("right_id"))
       .distinct()
+    verifyJaccard(candidates, docs)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

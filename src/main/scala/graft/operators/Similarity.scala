@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Similarity search over an embedding column (Array[Float]).
   *
   * Baseline: brute-force cosine — one broadcast of the query vector(s),
-  * a codegen'd per-row dot product, and a top-k. Scale path: random-
-  * hyperplane LSH bucketing so only same-bucket candidates are scored —
-  * the self-join shuffles on the bucket key instead of crossing n².
-  * All arithmetic in double with sequential accumulation (index order),
-  * so results are engine-reproducible.
+  * a codegen'd per-row dot product, and a top-k. Scale path: multi-table
+  * random-hyperplane LSH bucketing so only same-bucket candidates are
+  * scored — candidate selection shuffles (table, bucket, id) rows only;
+  * vectors are re-joined by id for scoring. All arithmetic in double with
+  * sequential accumulation (index order), so results are
+  * engine-reproducible.
   */
 object Similarity {
 
@@ -48,51 +49,86 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
 
-  /** Random-hyperplane LSH signature: `bits` hyperplanes with components
-    * derived deterministically from xxhash64(bit, dim) — centered to
-    * ±[0.5, 1.5] via sign — vector → sign pattern packed in a Long.
-    * Same-bucket vectors have high cosine with high probability. */
-  def lshBucket(vec: Column, dims: Int, bits: Int = 12): Column = {
-    val bitExprs = (0 until bits).map { b =>
-      // pseudo-random hyperplane component for (b, i): map hash to ±1
-      val proj = (0 until dims).map { i =>
-        val sign = when((xxhash64(lit(b * 7919 + i)) % 2) === 0, 1.0).otherwise(-1.0)
-        element_at(vec, i + 1).cast("double") * sign
-      }.reduce(_ + _)
+  /** Deterministic ±1 hyperplane components for (table, bit): Rademacher
+    * projections — a valid sign-random-projection family — seeded from a
+    * driver-side hash so plans are reproducible across runs/JVMs. */
+  private def hyperplane(dims: Int, bits: Int, table: Int): Seq[Seq[Double]] =
+    (0 until bits).map { b =>
+      (0 until dims).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((table, b, i))
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Random-hyperplane LSH signature for one hash table: `bits`
+    * hyperplanes, each evaluated as a single `zip_with`+`aggregate` dot
+    * product against a LITERAL sign array (one small higher-order
+    * expression per bit — not a `dims`-term Add chain, which would bloat
+    * codegen to multi-MB task binaries). Vector → sign pattern packed in
+    * a Long. Same-bucket vectors have high cosine with high probability. */
+  def lshBucket(vec: Column, dims: Int, bits: Int = 12, table: Int = 0): Column = {
+    val bitExprs = hyperplane(dims, bits, table).zipWithIndex.map { case (sv, b) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(sv), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }
     bitExprs.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** IVF-style bucketed ANN: score only candidates in the query's LSH
-    * bucket. Trades recall for a bounded candidate set per bucket —
-    * the 100 TB path (brute force is the correctness baseline). */
+  /** `tables` independent LSH tables as an array of (tbl, bucket) structs.
+    * Multiple tables are the standard recall knob: a pair is a candidate
+    * if it collides in ANY table, so recall ≈ 1 − (1 − p^bits)^tables. */
+  def lshBuckets(vec: Column, dims: Int, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, dims, bits, t).as("bucket"))
+    }: _*)
+
+  /** Bucketed ANN top-k: score only candidates colliding with the query
+    * in at least one of `tables` LSH tables. The query's probe set is a
+    * tiny broadcast, so candidate selection is a broadcast hash join on
+    * (tbl, bucket) — the big side never shuffles. Brute force (`topK`)
+    * is the correctness baseline; this is the bounded-candidate path
+    * (at true scale the bucketing would live in the table layout, so a
+    * query reads only its bucket partitions). */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-              queryId: Long, k: Int, bits: Int = 8): DataFrame = {
-    val bucketed = df.withColumn("__bucket", lshBucket(col(vecCol), dims, bits))
+              queryId: Long, k: Int, bits: Int = 6, tables: Int = 4): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      explode(lshBuckets(col(vecCol), dims, bits, tables)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val q = bucketed.filter(col(idCol) === queryId)
-      .select(col("__bucket"), col(vecCol).as("__qvec"))
-    bucketed.join(broadcast(q), Seq("__bucket"))
+      .select(col("tbl"), col("bucket"), col(vecCol).as("__qvec"))
+    bucketed.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),
         round(cosine(col(vecCol), col("__qvec")), 4).as("cosine_sim"))
+      .distinct() // a candidate colliding in several tables scores once
       .orderBy(col("cosine_sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** Embedding near-duplicate pairs: LSH-bucket self-join, keep pairs
-    * with cosine above threshold. */
+  /** Embedding near-duplicate pairs: multi-table LSH-bucket self-join on
+    * (tbl, bucket, id) rows ONLY — vectors are re-joined by id for the
+    * cosine verify over the distinct candidate-pair set, mirroring the
+    * Dedup scale contract. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-                   threshold: Double, bits: Int = 10): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), dims, bits))
-    val l = bucketed.select(col("bucket"), col("id").as("left_id"), col("vec").as("left_vec"))
-    val r = bucketed.select(col("bucket"), col("id").as("right_id"), col("vec").as("right_vec"))
-    l.join(r, Seq("bucket"))
+                   threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val bucketed = vecs.select(col("id"),
+      explode(lshBuckets(col("vec"), dims, bits, tables)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("left_id"))
+    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("right_id"))
+    val candidates = l.join(r, Seq("tbl", "bucket"))
       .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    val lv = vecs.select(col("id").as("left_id"), col("vec").as("left_vec"))
+    val rv = vecs.select(col("id").as("right_id"), col("vec").as("right_vec"))
+    candidates.join(lv, Seq("left_id")).join(rv, Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         round(cosine(col("left_vec"), col("right_vec")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
-      .distinct()
   }
 }

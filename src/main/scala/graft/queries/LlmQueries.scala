@@ -24,11 +24,24 @@ object LlmQueries {
       concat(col("text"), lit(" graftdup")).as("text")))
   }
 
+  /** Embedding corpus with planted near-duplicates: every vector unioned
+    * with a copy (id + 1,000,000) whose first component is nudged by
+    * +0.05 — cosine ≈ 0.999, so the near-dup detectors have guaranteed
+    * positives at any SF (mirrors plantedCorpus for text). */
+  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     sql("t01_token_stats")(
       """SELECT doc_id,
-        |  cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens,
         |  cast(length(text) AS BIGINT) AS n_chars_measured
         |FROM documents
         |ORDER BY doc_id""") { (s, d) =>
@@ -48,11 +61,14 @@ object LlmQueries {
         |       + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
         |FROM (
         |  SELECT doc_id,
-        |    cast(len(toks) AS BIGINT) AS n_tokens,
-        |    (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
-        |      / length(text)::DOUBLE AS symbol_ratio,
-        |    len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
-        |      / len(toks)::DOUBLE AS stop_ratio
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE cast(len(toks) AS BIGINT) END AS n_tokens,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |           / length(text)::DOUBLE END AS symbol_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |           / len(toks)::DOUBLE END AS stop_ratio
         |  FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
         |        FROM documents) x) y
         |ORDER BY doc_id""") { (s, d) =>
@@ -142,7 +158,9 @@ object LlmQueries {
     },
 
     noOracle("t08_simhash_neardup") { (s, d) =>
-      Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id", maxHamming = 6)
+      // blocks = maxHamming + 1 → pigeonhole-complete recall
+      Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id",
+        maxHamming = 6, blocks = 7)
         .orderBy(col("left_id"), col("right_id"))
     },
 
@@ -179,12 +197,13 @@ object LlmQueries {
 
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        dims = 64, queryId = 0L, k = 20)
+        dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
     },
 
     noOracle("t13_embedding_neardup") { (s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        dims = 64, threshold = 0.95)
+      Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
+        dims = 64, threshold = 0.95, bits = 8, tables = 4)
+        .orderBy(col("left_id"), col("right_id"))
     }
   )
 }

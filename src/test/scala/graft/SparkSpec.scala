@@ -19,4 +19,7 @@ abstract class SparkSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+  /** `import testImplicits._` for .toDF/.toDS in suites. */
+  protected lazy val testImplicits: org.apache.spark.sql.SQLImplicits =
+    spark.implicits
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operator correctness: exact semantics plus DETERMINISTIC
+  * completeness mirrors for the LSH candidate generators — the collected
+  * signatures define exactly which pairs must collide, and the operator
+  * output must equal that set (no probabilistic flake: signatures are
+  * deterministic functions of the corpus). */
+class DedupSpec extends SparkSpec {
+  import testImplicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planted = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  test("exact dedup groups identical normalized text and keeps min id") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different"),
+      (4L, "  hello   world  ")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val dupGroup = out.find(_.getLong(2) == 3L).get
+    assert(dupGroup.getLong(1) == 1L) // keep_id = min(1,2,4)
+  }
+
+  test("minHashSignature has numHashes elements and is deterministic") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val sig1 = df.select(Dedup.minHashSignature(col("text"), 32)).head.getSeq[Long](0)
+    val sig2 = df.select(Dedup.minHashSignature(col("text"), 32)).head.getSeq[Long](0)
+    assert(sig1.length == 32)
+    assert(sig1 == sig2)
+  }
+
+  test("identical texts have identical minhash signatures; disjoint texts differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.minHashSignature(col("text"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("minHashPairs output equals the exact band-collision candidate set") {
+    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    val corpus = planted
+    val sigs = corpus
+      .select(col("doc_id"), Dedup.minHashSignature(col("text"), numHashes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // expected: pairs sharing an identical signature slice in >=1 band
+    val expected = scala.collection.mutable.Set[(Long, Long)]()
+    for (b <- 0 until bands) {
+      sigs.toSeq.groupBy { case (_, sig) => sig.slice(b * rows, b * rows + rows) }
+        .values.filter(_.size > 1).foreach { grp =>
+          val ids = grp.map(_._1).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            expected += ((ids(i), ids(j)))
+        }
+    }
+    val got = Dedup.minHashPairs(corpus, "text", "doc_id", numHashes, bands)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected.toSet)
+    // planted one-token-appended copies of long docs must be recovered
+    val longDocs = corpus.filter(col("doc_id") < 1000000L)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 20)
+      .select("doc_id").collect().map(_.getLong(0))
+    val recovered = longDocs.count(id => got.contains((id, id + 1000000L)))
+    assert(recovered.toDouble / longDocs.length >= 0.9,
+      s"planted minhash recall ${recovered}/${longDocs.length}")
+  }
+
+  test("minHashPairs verifies candidates with exact jaccard on re-joined text") {
+    val out = Dedup.minHashPairs(planted, "text", "doc_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getDouble(2); val exact = r.getDouble(3)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(exact >= 0.0 && exact <= 1.0)
+    }
+  }
+
+  test("simHash is 64-bit, deterministic, identical for identical text") {
+    val df = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely unrelated words here")).toDF("doc_id", "text")
+    val sigs = Dedup.simHash(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("hamming distance via bit_count xor") {
+    val df = Seq((0x0FL, 0x00L), (0xFFL, 0xFFL), (1L, 2L)).toDF("a", "b")
+    val out = df.select(Dedup.hamming(col("a"), col("b")))
+      .collect().map(_.getAs[Number](0).longValue)
+    assert(out.sameElements(Array(4L, 0L, 2L)))
+  }
+
+  test("simHashPairs with blocks=maxHamming+1 is exactly the hamming-ball pair set") {
+    val maxH = 6
+    val corpus = planted
+    val sigs = Dedup.simHash(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // expected: ALL pairs within hamming <= maxH (pigeonhole completeness)
+    val expected = (for {
+      i <- sigs.indices.iterator; j <- ((i + 1) until sigs.length).iterator
+      a = sigs(i); b = sigs(j)
+      if java.lang.Long.bitCount(a._2 ^ b._2) <= maxH
+    } yield {
+      val (lo, hi) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+      (lo, hi)
+    }).toSet
+    val got = Dedup.simHashPairs(corpus, "text", "doc_id", maxH, blocks = maxH + 1)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // planted near-identical copies must collide
+  }
+
+  test("jaccardPairs finds planted near-duplicates above threshold") {
+    val corpus = planted
+    val got = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.6)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eligible = corpus.filter(col("doc_id") < 1000000L)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    val recovered = eligible.count(id => got.contains((id, id + 1000000L)))
+    assert(recovered.toDouble / eligible.length >= 0.95,
+      s"planted shingle-jaccard recall ${recovered}/${eligible.length}")
+    // verification is exact: every reported pair truly meets the threshold
+    val verified = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.6)
+      .collect()
+    verified.foreach(r => assert(r.getDouble(2) >= 0.6))
+  }
+}

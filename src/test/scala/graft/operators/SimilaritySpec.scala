@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Similarity-search correctness: exact cosine math on known vectors,
+  * top-k shape/order, ANN k-fill, and planted-near-dup recall for the
+  * multi-table LSH path. */
+class SimilaritySpec extends SparkSpec {
+  import testImplicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def plantedEmb = {
+    val embs = embeddings.select(col("vec_id"), col("embedding"))
+    embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+  }
+
+  test("dot, norm, cosine on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a")),
+      Similarity.cosine(col("a"), col("b"))).head
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-9)
+    val expCos = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r.getDouble(2) - expCos) < 1e-9)
+  }
+
+  test("cosine of orthogonal vectors is 0, of parallel vectors is 1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(2.0f, 2.0f), Array(4.0f, 4.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-9)
+    assert(math.abs(out(1) - 1.0) < 1e-9)
+  }
+
+  test("cosine with zero vector is 0 (guarded division)") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+
+  test("topK returns exactly k rows, descending, excluding the query") {
+    val out = Similarity.topK(embeddings, "vec_id", "embedding", 0L, 10).collect()
+    assert(out.length == 10)
+    assert(!out.map(_.getLong(0)).contains(0L))
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annTopK fills k with multi-table LSH") {
+    val k = 20
+    val out = Similarity.annTopK(embeddings, "vec_id", "embedding",
+      dims = 64, queryId = 0L, k = k, bits = 4, tables = 4).collect()
+    assert(out.length == k, s"ann returned ${out.length} of k=$k")
+    val sims = out.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("annTopK candidates are a subset of brute-force scores") {
+    val brute = Similarity.scoreAgainst(embeddings, "vec_id", "embedding", 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopK(embeddings, "vec_id", "embedding",
+      dims = 64, queryId = 0L, k = 20, bits = 4, tables = 4).collect()
+    ann.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("planted embedding near-dups have cosine >= 0.99") {
+    val pairs = plantedEmb.filter(col("vec_id") < 1000000L)
+      .select(col("vec_id"), col("embedding").as("a"))
+      .join(plantedEmb.filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id"), col("embedding").as("b")),
+        Seq("vec_id"))
+      .select(Similarity.cosine(col("a"), col("b")).as("cos"))
+      .agg(min(col("cos"))).head.getDouble(0)
+    assert(pairs >= 0.99, s"min planted cosine $pairs")
+  }
+
+  test("nearDupPairs recovers planted embedding near-duplicates") {
+    val got = Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+      dims = 64, threshold = 0.95, bits = 8, tables = 4)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = embeddings.select("vec_id").collect().map(_.getLong(0))
+    val recovered = ids.count(id => got.contains((id, id + 1000000L)))
+    assert(recovered.toDouble / ids.length >= 0.95,
+      s"planted embedding recall ${recovered}/${ids.length}")
+    // every reported pair truly meets the threshold (exact verify)
+    Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+      dims = 64, threshold = 0.95, bits = 8, tables = 4)
+      .collect().foreach(r => assert(r.getDouble(2) >= 0.95))
+  }
+
+  test("lshBucket is deterministic and within [0, 2^bits)") {
+    val out = embeddings.limit(50)
+      .select(Similarity.lshBucket(col("embedding"), 64, bits = 6).as("b1"),
+        Similarity.lshBucket(col("embedding"), 64, bits = 6).as("b2"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 64)
+    }
+  }
+}
