@@ -64,10 +64,12 @@ object ReferenceFunctions {
           regexp_extract(fname, FilenameTsPattern, 2)),
         "yyyy-MM-dd HH-mm-ss"))
 
-  /** P8 — decimal-comma numeric parse `"1,23"` → 1.23
-    * (modbus/modbus_writer.py:114; file_analysis.py:34,72). */
+  /** P8 + P11 — decimal-comma numeric parse `"1,23"` → 1.23 with
+    * coerce-to-null on garbage (modbus/modbus_writer.py:114 skips
+    * unparsable values; file_analysis.py:81-82 uses errors="coerce").
+    * try_cast, because Spark 4's default ANSI cast would throw. */
   def decimalComma(s: Column): Column =
-    regexp_replace(s, ",", ".").cast("double")
+    regexp_replace(s, ",", ".").try_cast("double")
 
   /** P13 — content-hash event id: sha256 over a canonical (sorted-key)
     * JSON of the metadata fields, first 16 hex chars
@@ -101,4 +103,38 @@ object ReferenceFunctions {
     * 3-decimal text (sens_file_analysis.py:47-54 + BASIC_ROUNDING). */
   def kvValue(c: Column): Column =
     coalesce(format_string("%.3f", c), lit(""))
+
+  /** P12 — measurement-window end in Berlin wall time: UTC start + 10
+    * minutes, shifted to Europe/Berlin (udbf_file_analysis.py:135-143). */
+  def windowEndBerlin(utcStart: Column): Column =
+    from_utc_timestamp(utcStart + expr("INTERVAL 10 MINUTES"), "Europe/Berlin")
+
+  /** P12 — the Allsat partner-file name derived from the window end
+    * (`FHEB_%Y_%m_%d_%H_%M_%S.csv`, udbf_file_analysis.py:141-143). */
+  def allsatName(utcStart: Column): Column =
+    concat(lit("FHEB_"),
+      date_format(windowEndBerlin(utcStart), "yyyy_MM_dd_HH_mm_ss"),
+      lit(".csv"))
+
+  /** F7 — sample-rate health-key routing from the filename; the 100 Hz
+    * check runs first, mirroring the reference's if/elif
+    * (udbf_file_analysis.py:57-62). Null when neither rate appears. */
+  def healthKeyForRate(fname: Column): Column =
+    when(lower(fname).contains("100hz"), "health:lpi_100hz_file_size")
+      .when(lower(fname).contains("1hz"), "health:lpi_1hz_file_size")
+      .otherwise(lit(null).cast("string"))
+
+  /** F8 — alarm predicate: channel name ends `_GAL`/`_RAL` and the
+    * channel's max equals 1 (udbf_file_analysis.py:99-100). */
+  def isAlarmChannel(name: Column, maxValue: Column): Column =
+    (name.endsWith("_GAL") || name.endsWith("_RAL")) && maxValue === 1.0
+
+  /** F9 — URL-shape gate (restapi/app_fs.py:17,72-73). */
+  def isValidMetadataUrl(url: Column): Column =
+    url.rlike("^(?i)https?://")
+
+  /** F1 — file-type gate on the lower-cased suffix
+    * (udbf_file_analysis.py:38-44; sens_file_analysis.py:13-29). */
+  def hasSupportedSuffix(fname: Column, suffixes: Seq[String]): Column =
+    lower(regexp_extract(fname, """(\.[^.]*)$""", 1)).isInCollection(suffixes)
 }

@@ -283,6 +283,150 @@ object ReferenceQueries {
       kv.join(broadcast(mapping), col("kv_key") === col("field"))
         .select(col("register"), col("kv_key"), col("kv_value"))
         .orderBy(col("register"))
+    },
+
+    // P12 — window-end + UTC→Europe/Berlin shift and the Allsat partner
+    // filename (udbf_file_analysis.py:135-143); events span DST edges so
+    // both +01:00 and +02:00 offsets are exercised.
+    sql("r16_window_end_berlin")(
+      """SELECT event_id,
+        |  'FHEB_' || strftime((ts + INTERVAL 10 MINUTE) AT TIME ZONE 'UTC'
+        |    AT TIME ZONE 'Europe/Berlin', '%Y_%m_%d_%H_%M_%S') || '.csv' AS allsat_name
+        |FROM events
+        |WHERE event_id < 1000
+        |ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"), allsatName(col("ts")).as("allsat_name"))
+        .orderBy(col("event_id"))
+    },
+
+    // F7 — sample-rate health-key routing (udbf_file_analysis.py:57-62);
+    // the '100hz' branch must win before the '1hz' substring check.
+    sql("r17_sample_rate_routing")(
+      """SELECT fname,
+        |  CASE WHEN contains(lower(fname), '100hz') THEN 'health:lpi_100hz_file_size'
+        |       WHEN contains(lower(fname), '1hz') THEN 'health:lpi_1hz_file_size'
+        |       ELSE NULL END AS health_key
+        |FROM (SELECT CASE WHEN event_id % 3 = 0 THEN 'FHE_100Hz_' || event_id || '.dat'
+        |                  WHEN event_id % 3 = 1 THEN 'FHE_1Hz_' || event_id || '.dat'
+        |                  ELSE 'FHE_other_' || event_id || '.dat' END AS fname
+        |      FROM events WHERE event_id < 300) t
+        |ORDER BY fname""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 300)
+        .select(concat(
+          when(col("event_id") % 3 === 0, "FHE_100Hz_")
+            .when(col("event_id") % 3 === 1, "FHE_1Hz_")
+            .otherwise("FHE_other_"),
+          col("event_id").cast("string"), lit(".dat")).as("fname"))
+        .select(col("fname"), healthKeyForRate(col("fname")).as("health_key"))
+        .orderBy(col("fname"))
+    },
+
+    // F8 — alarm predicate: *_GAL/*_RAL channels whose max flag is 1
+    // (udbf_file_analysis.py:99-100), over synthesized channel names.
+    sql("r18_alarm_channels")(
+      """SELECT channel, cast(max(flag) AS DOUBLE) AS max_flag
+        |FROM (SELECT 'ch_' || (user_id % 7) ||
+        |        CASE WHEN user_id % 3 = 0 THEN '_GAL'
+        |             WHEN user_id % 3 = 1 THEN '_RAL' ELSE '_VAL' END AS channel,
+        |        CASE WHEN value > 0.9 THEN 1.0 ELSE 0.0 END AS flag
+        |      FROM events) t
+        |GROUP BY channel
+        |HAVING (ends_with(channel, '_GAL') OR ends_with(channel, '_RAL'))
+        |   AND max(flag) = 1.0
+        |ORDER BY channel""") { (s, d) =>
+      Tables.events(s, d)
+        .select(concat(lit("ch_"), (col("user_id") % 7).cast("string"),
+          when(col("user_id") % 3 === 0, "_GAL")
+            .when(col("user_id") % 3 === 1, "_RAL")
+            .otherwise("_VAL")).as("channel"),
+          when(col("value") > 0.9, 1.0).otherwise(0.0).as("flag"))
+        .groupBy(col("channel"))
+        .agg(max(col("flag")).as("max_flag"))
+        .filter(isAlarmChannel(col("channel"), col("max_flag")))
+        .orderBy(col("channel"))
+    },
+
+    // F9 — URL-shape gate (restapi/app_fs.py:17,72-73): scheme check is
+    // case-insensitive, non-http(s) schemes rejected.
+    sql("r19_url_gate")(
+      """SELECT url FROM (
+        |  SELECT CASE WHEN doc_id % 4 = 0 THEN 'https://example.org/m/' || doc_id
+        |              WHEN doc_id % 4 = 1 THEN 'HTTP://example.org/m/' || doc_id
+        |              WHEN doc_id % 4 = 2 THEN 'ftp://example.org/m/' || doc_id
+        |              ELSE 'not a url ' || doc_id END AS url
+        |  FROM documents) t
+        |WHERE regexp_matches(url, '^(?i)https?://')
+        |ORDER BY url""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          when(col("doc_id") % 4 === 0, concat(lit("https://example.org/m/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 1, concat(lit("HTTP://example.org/m/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 2, concat(lit("ftp://example.org/m/"), col("doc_id")))
+            .otherwise(concat(lit("not a url "), col("doc_id"))).as("url"))
+        .filter(isValidMetadataUrl(col("url")))
+        .orderBy(col("url"))
+    },
+
+    // F1 — file-type suffix gate, case-insensitive, dotless names rejected
+    // (udbf_file_analysis.py:38-44; sens_file_analysis.py:13-29).
+    sql("r20_filetype_gate")(
+      """SELECT fname FROM (
+        |  SELECT CASE WHEN doc_id % 5 = 0 THEN 'f' || doc_id || '.dat'
+        |              WHEN doc_id % 5 = 1 THEN 'f' || doc_id || '.PARQUET'
+        |              WHEN doc_id % 5 = 2 THEN 'f' || doc_id || '.Csv'
+        |              WHEN doc_id % 5 = 3 THEN 'f' || doc_id || '.txt'
+        |              ELSE 'f' || doc_id END AS fname
+        |  FROM documents) t
+        |WHERE lower(regexp_extract(fname, '(\.[^.]*)$', 1)) IN ('.dat', '.csv', '.parquet')
+        |ORDER BY fname""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          when(col("doc_id") % 5 === 0, concat(lit("f"), col("doc_id"), lit(".dat")))
+            .when(col("doc_id") % 5 === 1, concat(lit("f"), col("doc_id"), lit(".PARQUET")))
+            .when(col("doc_id") % 5 === 2, concat(lit("f"), col("doc_id"), lit(".Csv")))
+            .when(col("doc_id") % 5 === 3, concat(lit("f"), col("doc_id"), lit(".txt")))
+            .otherwise(concat(lit("f"), col("doc_id"))).as("fname"))
+        .filter(hasSupportedSuffix(col("fname"), Seq(".dat", ".csv", ".parquet")))
+        .orderBy(col("fname"))
+    },
+
+    // A3 — newest-file-by-mtime per directory via max_by over a synthetic
+    // file listing (uploader/main.py:35-42; app_fs.py:137), unique mtimes
+    // by construction so the argmax is deterministic.
+    sql("r21_newest_file_per_dir")(
+      """SELECT dir, max_by(path, mtime_k) AS newest
+        |FROM (SELECT '/data/' || event_type AS dir,
+        |             '/data/' || event_type || '/' || event_id || '.dat' AS path,
+        |             epoch(ts)::BIGINT * 100000 + event_id AS mtime_k
+        |      FROM events) t
+        |GROUP BY dir
+        |ORDER BY dir""") { (s, d) =>
+      Tables.events(s, d)
+        .select(concat(lit("/data/"), col("event_type")).as("dir"),
+          concat(lit("/data/"), col("event_type"), lit("/"),
+            col("event_id"), lit(".dat")).as("path"),
+          (unix_timestamp(col("ts")) * 100000L + col("event_id")).as("mtime_k"))
+        .groupBy(col("dir"))
+        .agg(max_by(col("path"), col("mtime_k")).as("newest"))
+        .orderBy(col("dir"))
+    },
+
+    // A4/O3 — oldest-candidate selection via min_by (Pipeline.py:145-160)
+    sql("r22_oldest_candidate")(
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT user_id, event_id, ts,
+        |        row_number() OVER (ORDER BY ts, event_id) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""") { (s, d) =>
+      import graft.operators.LatestRow
+      LatestRow.oldest(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts")),
+        "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
     }
   )
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.ReferenceFunctions._
+
+/** Property-based invariants (SURVEY.md §5.3): stats bounds, trim
+  * invariance for aligned files, P13 canonicalization stability, P1
+  * round-trip, unpivot/pivot round-trip. Generators are seeded small —
+  * each property materializes a DataFrame per case, so cases are few
+  * but adversarial. */
+class PropertiesSpec extends SparkSpec {
+  import testImplicits._
+
+  /** Draw `n` deterministic samples from a generator (seeded, so runs
+    * are reproducible — a failure is always reproducible). */
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    samples(g).foreach(body)
+
+  test("property: min <= mean <= max for any non-empty channel") {
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))) { xs: List[Double] =>
+      val df = xs.map(Tuple1(_)).toDF("ch")
+      val r = ChannelStats(df, Seq("ch")).head
+      val (mean, mn, mx) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // rounding to 3dp can nudge bounds by half an ulp of the rounding
+      assert(mn <= mean + 0.001 && mean <= mx + 0.001)
+      assert(mn <= mx)
+    }
+  }
+
+  test("property: exact dedup keep_id is the min id of each duplicate group") {
+    forAll(Gen.listOfN(20, Gen.oneOf("aa", "bb", "cc", "dd"))) { texts: List[String] =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.exact(df, "text", "doc_id").collect()
+      val expected = texts.zipWithIndex.groupBy(_._1)
+        .map { case (t, g) => t -> (g.map(_._2.toLong).min, g.size.toLong) }
+      assert(out.length == expected.size)
+      out.foreach { r =>
+        // fingerprint groups match text groups for these simple tokens
+        val (keep, n) = (r.getLong(1), r.getLong(2))
+        assert(expected.values.exists { case (k, c) => k == keep && c == n })
+      }
+    }
+  }
+
+  test("property: P1 OLE round-trip within a microsecond") {
+    forAll(Gen.chooseNum(25569.0, 80000.0)) { ole: Double =>
+      val micros = Seq(ole).toDF("o")
+        .select(oleToEpochMicros(col("o"))).head.getLong(0)
+      val back = (micros / 86400e6) + OleEpochDays
+      assert(math.abs(back - ole) * 86400e6 < 1.5) // < 1.5 µs
+    }
+  }
+
+  test("property: P13 event id ignores key order (canonical JSON contract)") {
+    forAll(Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.alphaNumStr.suchThat(_.nonEmpty))) {
+      case (a: String, b: String) =>
+        // canonical = sorted keys; builder must produce identical strings
+        // regardless of insertion order
+        val sortedJson = s"""{"a":"$a","b":"$b"}"""
+        val df = Seq((a, b)).toDF("a", "b")
+        val id1 = df.select(eventId(
+          concat(lit("{\"a\":\""), col("a"), lit("\",\"b\":\""), col("b"), lit("\"}"))))
+          .head.getString(0)
+        val id2 = Seq(sortedJson).toDF("j").select(eventId(col("j"))).head.getString(0)
+        assert(id1 == id2)
+    }
+  }
+
+  test("property: trim is a no-op for aligned windows (skip = 0)") {
+    forAll(Gen.listOfN(30, Gen.chooseNum(-100.0, 100.0))) { xs: List[Double] =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toDouble, v) }.toDF("rel", "v")
+      // aligned ⇒ no warm-up filter applied; stats equal the full-column stats
+      val full = ChannelStats(df, Seq("v")).head
+      val refAvg = BigDecimal(xs.sum / xs.size)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(full.getDouble(1) - refAvg) <= 0.001)
+      assert(full.getDouble(2) == BigDecimal(xs.min).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(full.getDouble(3) == BigDecimal(xs.max).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("property: R1 stats→KV reshape emits exactly 3 rows per sensor") {
+    forAll(Gen.chooseNum(1, 5)) { n: Int =>
+      val cols = (0 until n).map(i => s"c$i")
+      val df = Seq.tabulate(10)(i =>
+        (i.toDouble, i * 2.0, i * 3.0, i * 4.0, i * 5.0))
+        .toDF("c0", "c1", "c2", "c3", "c4")
+        .select(cols.map(col): _*)
+      val stats = ChannelStats(df, cols)
+      val kv = KvReshape.statsToKv(stats, "sensor", Seq("mean", "minimum", "maximum"))
+      assert(kv.count() == 3L * n)
+      val keys = kv.select("kv_key").collect().map(_.getString(0))
+      assert(keys.forall(k => k.matches("c\\d:(mean|minimum|maximum)")))
+    }
+  }
+}
