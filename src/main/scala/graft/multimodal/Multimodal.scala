@@ -1,0 +1,130 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * travel as opaque BINARY columns with typed metadata; decode /
+  * feature-extract / frame-sample run as distributed iterator-to-
+  * iterator transforms over those columns.
+  *
+  * The heavy codecs are NOT in this container, so the decode kernel is a
+  * pluggable trait with a clearly-marked deterministic stand-in
+  * ([[DeterministicFakeDecoder]]) — the Spark-side plumbing (schemas,
+  * typed Datasets, mapPartitions batch shape, partitioning) is real and
+  * is what the tests verify. A deployment swaps the decoder for
+  * javax.imageio / ffmpeg bindings without touching any plan shape.
+  *
+  * Scale notes: every operator here is a narrow map/flatMap over the
+  * scan — no shuffle; binary payloads are never widened or duplicated;
+  * frame sampling bounds output rows per input (maxFrames); embeddings
+  * produce fixed-size vectors that flow straight into
+  * [[graft.operators.Similarity]]'s bucketed ANN path.
+  */
+object Multimodal {
+
+  /** One decoded image/media row. */
+  final case class Decoded(
+      media_id: Long, width: Int, height: Int, format: String, pixel_hash: Long)
+
+  /** One sampled frame of a (fake-)video payload. */
+  final case class Frame(
+      media_id: Long, frame_idx: Int, frame_offset: Long, frame_hash: Long)
+
+  /** One media embedding. */
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
+  /** The decode kernel: bytes → (width, height, format, pixelHash).
+    * Implementations MUST be deterministic pure functions of the bytes
+    * (Spark may recompute partitions on failure). */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): (Int, Int, String, Long)
+  }
+
+  /** STUB decoder — the environment ships no image/audio codecs
+    * (builder contract: stub the codec, keep the plumbing real). Derives
+    * deterministic pseudo-metadata from the byte stream: a real
+    * deployment replaces this object with an ImageIO/ffmpeg-backed
+    * implementation of the same trait. */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): (Int, Int, String, Long) = {
+      val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+      val width = 16 + math.abs(h % 1024)
+      val height = 16 + math.abs((h >> 10) % 1024)
+      val format = if (bytes.nonEmpty && (bytes(0) & 1) == 0) "png" else "jpeg"
+      (width, height, format, h.toLong & 0xffffffffL)
+    }
+  }
+
+  /** Decode a binary media column: iterator-to-iterator mapPartitions —
+    * one decoder instance per partition, no partition materialization,
+    * binary bytes read once and dropped from the output row. */
+  def decode(df: DataFrame, idCol: String, contentCol: String,
+      decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[Decoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, fmt, px) = decoder.decode(bytes)
+          Decoded(id, w, h, fmt, px)
+        }
+      }
+  }
+
+  /** Sample frames from a binary payload: fixed-stride slices, at most
+    * `maxFrames` per media row (bounded output amplification). The
+    * slice-hash stands in for the decoded frame; the exploded
+    * (id, frame) shape is the real contract for a frame pipeline. */
+  def frameSample(df: DataFrame, idCol: String, contentCol: String,
+      frameBytes: Int = 256, maxFrames: Int = 8): Dataset[Frame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = math.min(maxFrames, math.max(1, bytes.length / frameBytes))
+        (0 until n).iterator.map { i =>
+          val off = i.toLong * frameBytes
+          val slice = bytes.slice(off.toInt,
+            math.min(bytes.length, off.toInt + frameBytes))
+          Frame(id, i, off,
+            scala.util.hashing.MurmurHash3.bytesHash(slice, 7).toLong & 0xffffffffL)
+        }
+      }
+  }
+
+  /** Feature-extract a deterministic fixed-size embedding from media
+    * bytes (hash-projection stand-in for a real vision/audio encoder).
+    * Output plugs directly into Similarity.topK / annTopK / nearDupPairs
+    * — the multimodal end of the ANN path. */
+  def embed(df: DataFrame, idCol: String, contentCol: String,
+      dims: Int = 64): Dataset[MediaEmbedding] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val vec = Array.tabulate(dims) { d =>
+            val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, d)
+            (h % 1000) / 1000.0f
+          }
+          MediaEmbedding(id, vec)
+        }
+      }
+  }
+
+  /** A deterministic opaque media table synthesized from the documents
+    * corpus (no real media ships with the environment): content =
+    * UTF-8 bytes of the text, kind routed by id. Gives every operator
+    * above a reproducible input at any SF. */
+  def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("content"))
+}

@@ -47,11 +47,10 @@ object ChannelStats {
   }
 
   /** R3 — wide matrix → long (sensor, value), dropping id columns.
-    * Uses the built-in `stack` generator — stays in codegen, no explode
-    * of a materialized array needed. */
-  def unpivotValues(df: DataFrame, valueCols: Seq[String]): DataFrame = {
-    val n = valueCols.size
-    val args = valueCols.flatMap(c => Seq(s"'$c'", s"cast(`$c` as double)"))
-    df.select(expr(s"stack($n, ${args.mkString(", ")}) as (sensor, value)"))
-  }
+    * Dataset.unpivot (the built-in Expand under the hood — stays in
+    * codegen, no materialized array) with column handles rather than
+    * interpolated SQL, so quoting-hostile column names are safe. */
+  def unpivotValues(df: DataFrame, valueCols: Seq[String]): DataFrame =
+    df.select(valueCols.map(c => col(c).cast("double")): _*)
+      .unpivot(Array.empty, valueCols.map(col).toArray, "sensor", "value")
 }

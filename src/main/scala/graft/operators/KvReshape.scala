@@ -18,24 +18,21 @@ import graft.functions.ReferenceFunctions.kvValue
 object KvReshape {
 
   /** R1 — stats table → KV rows. `statCols` are the stat column names
-    * (e.g. mean/minimum/maximum); keys become `{sensor}:{stat}`. */
-  def statsToKv(stats: DataFrame, sensorCol: String, statCols: Seq[String]): DataFrame = {
-    val n = statCols.size
-    val pairs = statCols.flatMap(c => Seq(s"'$c'", s"`$c`")).mkString(", ")
+    * (e.g. mean/minimum/maximum); keys become `{sensor}:{stat}`.
+    * Dataset.unpivot takes column handles, not interpolated SQL, so
+    * arbitrary column names (quotes, backticks) are safe. */
+  def statsToKv(stats: DataFrame, sensorCol: String, statCols: Seq[String]): DataFrame =
     stats
-      .select(col(sensorCol), expr(s"stack($n, $pairs) as (stat, value)"))
+      .unpivot(Array(col(sensorCol)), statCols.map(col).toArray, "stat", "value")
       .select(
         concat(col(sensorCol), lit(":"), col("stat")).as("kv_key"),
         kvValue(col("value")).as("kv_value"))
-  }
 
   /** R2 — each row → one KV pair per column, keyed `{prefix}_{col}`. */
-  def rowToKv(df: DataFrame, prefixCol: String, valueCols: Seq[String]): DataFrame = {
-    val n = valueCols.size
-    val pairs = valueCols.flatMap(c => Seq(s"'$c'", s"cast(`$c` as double)")).mkString(", ")
-    df.select(col(prefixCol), expr(s"stack($n, $pairs) as (field, value)"))
+  def rowToKv(df: DataFrame, prefixCol: String, valueCols: Seq[String]): DataFrame =
+    df.select(col(prefixCol) +: valueCols.map(c => col(c).cast("double")): _*)
+      .unpivot(Array(col(prefixCol)), valueCols.map(col).toArray, "field", "value")
       .select(
         concat(col(prefixCol), lit("_"), col("field")).as("kv_key"),
         kvValue(col("value")).as("kv_value"))
-  }
 }

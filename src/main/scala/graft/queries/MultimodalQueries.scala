@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import QueryDef.sql
+
+/** Multimodal-column queries over the synthetic opaque-media table
+  * (documents' text bytes standing in for image/audio/video payloads —
+  * the container ships no codecs, so the SQL-expressible halves of the
+  * media pipeline are oracled here and the mapPartitions decode plumbing
+  * is covered by MultimodalSpec). */
+object MultimodalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // opaque-binary metadata extraction: byte length + content digest
+    // per media row, kind-routed — the scan-side half of a decode
+    sql("u05_media_metadata")(
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  cast(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_fp
+        |FROM documents
+        |ORDER BY media_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("content_fp"))
+        .orderBy(col("media_id"))
+    },
+
+    // frame sampling: bounded fixed-stride slices of each payload with
+    // per-frame digests — the exploded (media, frame) contract
+    sql("u06_frame_sample")(
+      """SELECT media_id, frame_idx,
+        |  md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_fp
+        |FROM (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(generate_series(0,
+        |      least(7, greatest(0, length(text) // 256 - 1)))) AS frame_idx
+        |  FROM documents) t
+        |ORDER BY media_id, frame_idx""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(sequence(lit(0),
+            least(lit(7), greatest(lit(0),
+              floor(length(col("text")) / 256).cast("int") - 1)))).as("frame_idx"))
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("text").substr(col("frame_idx") * 256 + 1, lit(256))
+            .cast("binary")).as("frame_fp"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
+  )
+}
