@@ -201,8 +201,10 @@ object LlmQueries {
     },
 
     noOracle("t13_embedding_neardup") { (s, d) =>
+      // bits=10: 1024 buckets/table keeps candidate volume subquadratic
+      // as the corpus grows; 4 tables hold planted recall >= 0.95
       Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
-        dims = 64, threshold = 0.95, bits = 8, tables = 4)
+        dims = 64, threshold = 0.95, bits = 10, tables = 4)
         .orderBy(col("left_id"), col("right_id"))
     }
   )
