@@ -30,8 +30,10 @@ final class LpiAnalysis(
     spark: SparkSession,
     statsDir: String,
     kv: KvSink,
-    refSizesKb: Map[String, Double] = Map("100hz" -> 447.2, "1hz" -> 27.2),
-    ttlSeconds: Long = 60) {
+    refSizesKb: Map[String, Double] = Map(
+      "100hz" -> graft.core.GraftConfig.refFileSize100HzKb,
+      "1hz" -> graft.core.GraftConfig.refFileSize1HzKb),
+    ttlSeconds: Long = graft.core.GraftConfig.basicTtlSeconds) {
 
   import LpiAnalysis._
 

@@ -80,7 +80,8 @@ object ReferenceFunctions {
 
   /** P14 — the reference's stats rounding (BASIC_ROUNDING=3,
     * udbf_file_analysis.py:19). */
-  def roundStat(c: Column): Column = round(c, 3)
+  def roundStat(c: Column): Column =
+    round(c, graft.core.GraftConfig.basicRounding)
 
   /** F2 — 10-minute-alignment predicate: a filename timestamp marks a full
     * measurement window iff minute % 10 == 0 and second == 0

@@ -37,8 +37,9 @@ final class FilePipeline(
     process: String => Unit,
     maxFilesPerTrigger: Int = 1,
     pathGlobFilter: String = "*",
-    triggerInterval: String = "2 seconds", // T1 (TICKER_INTERVAL_SEC)
-    healthTtlSeconds: Long = 60) {       // BASIC_REDIS_TTL
+    triggerInterval: String = // T1 (TICKER_INTERVAL_SEC)
+      s"${graft.core.GraftConfig.tickerIntervalSec} seconds",
+    healthTtlSeconds: Long = graft.core.GraftConfig.basicTtlSeconds) { // BASIC_REDIS_TTL
 
   Files.createDirectories(Paths.get(finishedDir))
   Files.createDirectories(Paths.get(failedDir))

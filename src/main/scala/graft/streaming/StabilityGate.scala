@@ -34,8 +34,8 @@ final class StabilityGate(
     stagingDir: Path,
     timestampRe: Regex = StabilityGate.DefaultTimestampRe,
     timestampFmt: String = StabilityGate.DefaultTimestampFmt,
-    stableChecks: Int = 2,
-    minFileAgeMs: Long = 40000L,
+    stableChecks: Int = graft.core.GraftConfig.stableChecks,
+    minFileAgeMs: Long = graft.core.GraftConfig.minFileAgeMs,
     clock: () => Long = () => System.currentTimeMillis) {
 
   private final case class StatInfo(size: Long, mtime: Long, var stableCount: Int)
