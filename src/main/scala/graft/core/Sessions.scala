@@ -27,6 +27,8 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // native Catalyst expressions (ole_to_timestamp) as SQL functions
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       // the corpus' events.ts is parquet TIMESTAMP(NANOS) which Spark has
       // no native type for — read as Long (nanos); Tables.events converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
