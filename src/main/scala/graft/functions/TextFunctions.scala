@@ -20,9 +20,11 @@ object TextFunctions {
   /** BPE-ish subword count estimate: word-piece regex splits on
     * letter/digit/punct class changes (a public approximation of byte-pair
     * pre-tokenization — one token per contiguous letter run, digit run, or
-    * punctuation char). */
+    * punctuation char). Letter↔digit transitions split too, so "abc123"
+    * is two pieces. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+    size(filter(split(text,
+      """(?<=[\p{L}])(?=[\p{N}])|(?<=[\p{N}])(?=[\p{L}])|(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
       (t: Column) => length(trim(t)) > 0)).cast("long")
 
   /** Distinct word set (for Jaccard similarity). */

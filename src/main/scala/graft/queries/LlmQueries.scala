@@ -195,6 +195,20 @@ object LlmQueries {
       Similarity.topK(Tables.embeddings(s, d), "vec_id", "embedding", 0L, 20)
     },
 
+    sql("t14_mean_word_length")(
+      """SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE round(list_sum(list_transform(toks, t -> length(t)))
+        |              / len(toks)::DOUBLE, 4) END AS mean_word_len
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |      FROM documents) t
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextFunctions.meanWordLength(col("text")), 4).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
