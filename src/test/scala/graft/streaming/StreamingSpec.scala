@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path, Paths}
 
 import graft.SparkSpec
-import graft.apps.LpiAnalysis
+import graft.apps.{LpiAnalysis, SensAnalysis}
 import graft.sinks.InMemoryKvSink
 import graft.sources.udbf.UdbfWriter
 import graft.sources.udbf.UdbfWriter.ChannelSpec
@@ -178,5 +178,23 @@ class StreamingSpec extends SparkSpec {
     try query2.processAllAvailable() finally query2.stop()
     assert(Files.getLastModifiedTime(
       stats.resolve("fhe_100hz_2024-03-15_12-00-00_stats.csv")) == csvMtime)
+  }
+
+  test("E2E: the SENS flow runs under the same streaming driver") {
+    val staging = tmp("sens_stage"); val finished = tmp("sens_fin")
+    val failed = tmp("sens_fail"); val ckpt = tmp("sens_ckpt")
+    Files.writeString(staging.resolve("probe_2024-03-15_12-00-00.csv"),
+      "stamp,reading\n2024-03-15 11:00:00,1.5\n2024-03-15 12:00:00,2.5\n")
+    val kv = new InMemoryKvSink()
+    val sens = new SensAnalysis(spark, kv)
+    val pipeline = new FilePipeline(spark, "sens", staging.toString,
+      finished.toString, failed.toString, ckpt.toString, kv,
+      process = sens.processFile, pathGlobFilter = "*.csv")
+    val q = pipeline.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Files.exists(finished.resolve("probe_2024-03-15_12-00-00.csv")))
+    val hash = kv.hgetAll("stats:probe_2024-03-15_12-00-00")
+    assert(hash("probe_2024-03-15_12-00-00_reading") == "2.5")
+    assert(kv.get("health:sens_file_processing").contains("0"))
   }
 }
