@@ -99,11 +99,15 @@ object EventAnalysis {
   }
 
   /** Sink the valid rows into the doc store (K6). Control-plane loop:
-    * events are API-scale, not data-scale. Returns ids newly stored. */
-  def store(ingested: DataFrame, store: JsonDocStore): Seq[String] =
+    * events are API-scale, not data-scale. Returns ids newly stored.
+    * P15 — each record carries a `stored_at` ISO stamp (app_fs.py:36-37,
+    * 119); `now` is injectable for deterministic tests. */
+  def store(ingested: DataFrame, store: JsonDocStore,
+      now: () => java.time.Instant = () => java.time.Instant.now()): Seq[String] =
     ingested.filter(col("valid"))
       .select(col("event_id"), to_json(struct(
         col("event_id"), col("metadata_url"), col("metadata"),
+        lit(now().toString).as("stored_at"),
         lit("lpi-event-v1").as("schema"))).as("doc"))
       .collect()
       .flatMap { r =>

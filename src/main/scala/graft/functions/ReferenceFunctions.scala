@@ -35,6 +35,11 @@ object ReferenceFunctions {
   def timestampToOle(ts: Column): Column =
     unix_micros(ts) / lit(86400.0 * 1e6) + lit(OleEpochDays)
 
+  /** P2 — matplotlib-style `date2num`: fractional days since 1970-01-01
+    * (DataConverterUDBF.py:169, used for plot axes). */
+  def date2num(ts: Column): Column =
+    unix_micros(ts).cast("double") / lit(86400.0 * 1e6)
+
   /** P3 — split a timestamp into the reference's `Datum` / `Uhrzeit` /
     * `Millisekunden` columns (DataConverterUDBF.py:173-177). */
   def datum(ts: Column): Column = date_format(ts, "yyyy-MM-dd")

@@ -83,8 +83,11 @@ class AppsSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(3)) == 2) // two valid distinct events
     val invalid = rows.filter(r => !r.getBoolean(3))
     assert(invalid.forall(_.getString(4) != null)) // carries 400-style reason
-    val storedIds = EventAnalysis.store(out, store)
+    val fixedNow = java.time.Instant.parse("2025-04-22T12:00:00Z")
+    val storedIds = EventAnalysis.store(out, store, now = () => fixedNow)
     assert(storedIds.length == 2)
+    // P15 — stored_at stamp in every stored record
+    assert(store.get(storedIds.head).get.contains("\"stored_at\":\"2025-04-22T12:00:00Z\""))
     // idempotent: a second batch stores nothing new
     assert(EventAnalysis.store(out, store).isEmpty)
     assert(store.ids().length == 2)

@@ -98,6 +98,15 @@ class FunctionsSpec extends SparkSpec {
     assert(out.sameElements(Array("a.dat", "b.DAT", "c.Parquet", "d.csv", "w.tar.csv")))
   }
 
+  test("P2: date2num is fractional days since the 1970 epoch") {
+    val df = Seq("1970-01-01 00:00:00", "1970-01-02 12:00:00", "2024-03-15 12:00:00")
+      .toDF("s")
+    val out = df.select(date2num(to_timestamp(col("s")))).collect().map(_.getDouble(0))
+    assert(out(0) == 0.0)
+    assert(out(1) == 1.5)
+    assert(out(2) == 45366.5 - 25569.0) // OLE anchor minus epoch offset
+  }
+
   test("P8: decimal comma parses, garbage nulls (coerce semantics)") {
     val df = Seq("1,23", "4.56", "-0,5", "abc").toDF("s")
     val out = df.select(decimalComma(col("s"))).collect()
