@@ -10,6 +10,10 @@ object TestSession {
     .builder("graft-test")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    // fresh warehouse per JVM: saveAsTable tests must not collide with
+    // leftover ./spark-warehouse state from earlier runs
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .getOrCreate()
 }
 
