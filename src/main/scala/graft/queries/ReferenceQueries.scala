@@ -248,10 +248,13 @@ object ReferenceQueries {
         |      FROM events) t
         |GROUP BY event_type
         |ORDER BY event_type""") { (s, d) =>
-      val w = Window.partitionBy(col("event_type"))
-      Tables.events(s, d)
-        .withColumn("avg_v", avg(col("value")).over(w))
-        .withColumn("sd_v", stddev_samp(col("value")).over(w))
+      // scale-safe: per-type avg/stddev as a TINY groupBy aggregate
+      // broadcast-joined back, not a window over few skewed keys (a
+      // window would funnel every row of a key through one partition)
+      val events = Tables.events(s, d)
+      val typeStats = events.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("avg_v"), stddev_samp(col("value")).as("sd_v"))
+      events.join(broadcast(typeStats), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
           sum(when(col("value").isNull, 1).otherwise(0)).as("n_null"),
