@@ -31,16 +31,26 @@ object ChannelStats {
 
   /** Extended stats vocabulary from the Sensical downstream mapping
     * (modbus/setup/mapping.json:1939-2513): stddev, percentiles, NaN and
-    * null counts. */
-  def extended(df: DataFrame, valueCols: Seq[String]): DataFrame = {
+    * null counts.
+    *
+    * `exact = true` uses `percentile` (buffers every group's values in
+    * one aggregation buffer — kept for oracle parity and small groups).
+    * The ENGINE DEFAULT is `percentile_approx`: its bounded sketch is
+    * the only shape that survives groups with billions of rows;
+    * `accuracy` trades sketch size for rank error (~1/accuracy). */
+  def extended(df: DataFrame, valueCols: Seq[String],
+      exact: Boolean = false, accuracy: Int = 10000): DataFrame = {
     val long = unpivotValues(df, valueCols)
+    def pct(q: Double): Column =
+      if (exact) expr(s"percentile(value, $q)")
+      else percentile_approx(col("value"), lit(q), lit(accuracy))
     long
       .groupBy(col("sensor"))
       .agg(
         roundStat(avg(col("value"))).as("mean"),
         roundStat(stddev_samp(col("value"))).as("std"),
-        roundStat(expr("percentile(value, 0.5)")).as("p50"),
-        roundStat(expr("percentile(value, 0.9)")).as("p90"),
+        roundStat(pct(0.5)).as("p50"),
+        roundStat(pct(0.9)).as("p90"),
         count(when(isnan(col("value")), 1)).as("number_of_nans"),
         count(when(col("value").isNull, 1)).as("number_of_nulls"))
       .orderBy("sensor")

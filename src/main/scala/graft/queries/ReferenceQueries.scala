@@ -48,7 +48,9 @@ object ReferenceQueries {
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem) t
         |GROUP BY sensor
         |ORDER BY sensor""") { (s, d) =>
-      ChannelStats.extended(Tables.lineitem(s, d), Seq("l_quantity", "l_discount"))
+      // exact percentiles here: the DuckDB oracle computes quantile_cont
+      ChannelStats.extended(Tables.lineitem(s, d), Seq("l_quantity", "l_discount"),
+        exact = true)
     },
 
     // A2/O1 — deterministic latest-row per group (sens_file_analysis.py:66-90)

@@ -86,6 +86,16 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("extended stats: approx-percentile default tracks the exact path") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = ChannelStats.extended(df, Seq("l_quantity"), exact = true).head
+    val approx = ChannelStats.extended(df, Seq("l_quantity")).head
+    // same non-percentile columns; percentiles within sketch tolerance
+    assert(exact.getDouble(1) == approx.getDouble(1)) // mean
+    assert(math.abs(exact.getDouble(3) - approx.getDouble(3)) <= 1.0) // p50
+    assert(math.abs(exact.getDouble(4) - approx.getDouble(4)) <= 1.0) // p90
+  }
+
   test("property: R1 stats→KV reshape emits exactly 3 rows per sensor") {
     forAll(Gen.chooseNum(1, 5)) { n: Int =>
       val cols = (0 until n).map(i => s"c$i")
