@@ -113,6 +113,27 @@ class UdbfSpec extends SparkSpec {
     assert(spark.read.format("udbf").load(dir).count() == 12)
   }
 
+  test("malformed files fail cleanly, never hang or over-allocate") {
+    val dir = tmpDir
+    // truncated header
+    val t1 = Paths.get(dir, "trunc.dat")
+    Files.write(t1, Array[Byte](0, 107, 0))
+    intercept[Exception](spark.read.format("udbf").load(t1.toString).collect())
+    // random garbage of plausible size
+    val t2 = Paths.get(dir, "garbage.dat")
+    val rnd = new java.util.Random(42)
+    val bytes = new Array[Byte](4096); rnd.nextBytes(bytes)
+    Files.write(t2, bytes)
+    intercept[Exception](spark.read.format("udbf").load(t2.toString).collect())
+    // valid header, data section truncated mid-record: partial frames
+    // are dropped, full frames decode
+    val t3 = Paths.get(dir, "cut.dat")
+    UdbfWriter.write(t3, Seq(ChannelSpec("c", "V")), 10, (i, _) => i.toDouble, 0L, 1.0)
+    val full = Files.readAllBytes(t3)
+    Files.write(t3, full.take(full.length - 7)) // chop inside the last record
+    assert(spark.read.format("udbf").load(t3.toString).count() == 9)
+  }
+
   test("selecting a channel missing from the file fails with a clear error") {
     val f = UdbfFixtures.ensure(tmpDir)
     val e = intercept[Exception] {
