@@ -17,21 +17,26 @@ object Sessions {
 
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def builder(appName: String): SparkSession.Builder =
-    SparkSession
-      .builder()
-      .appName(appName)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+  /** Engine defaults applied to ANY builder — cluster deployments bring
+    * their own master/shuffle sizing and call this on their builder;
+    * the configs below are the ones that hold at every scale. */
+  def withEngineDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // native Catalyst expressions (ole_to_timestamp) as SQL functions
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
-      // the corpus' events.ts is parquet TIMESTAMP(NANOS) which Spark has
-      // no native type for — read as Long (nanos); Tables.events converts
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Local harness builder: engine defaults + local-mode sizing.
+    * (nanosAsLong: the corpus' events.ts is parquet TIMESTAMP(NANOS),
+    * read as Long and converted by Tables.events.) */
+  def builder(appName: String): SparkSession.Builder =
+    withEngineDefaults(SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 

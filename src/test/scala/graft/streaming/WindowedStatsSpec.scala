@@ -54,6 +54,29 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T5+K3: windowed stats publish to KV hashes keyed by window start") {
+    val dir = Files.createTempDirectory("wkv_src")
+    val ckpt = Files.createTempDirectory("wkv_ckpt")
+    Seq(
+      ("2024-03-15 12:01:00", 2.0), ("2024-03-15 12:05:00", 4.0),
+      ("2024-03-15 12:15:00", 8.0))
+      .toDF("ts_s", "ch_a")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("ch_a"))
+      .coalesce(1).write.parquet(dir.toString + "/b1")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("ch_a", DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString + "/*")
+    val kv = new InMemoryKvSink()
+    val q = KvStatsSink.start(
+      WindowedStats.tumbling(stream, "ts", Seq("ch_a")), kv, ckpt.toString)
+    try {
+      q.processAllAvailable()
+      val w1 = kv.hgetAll("stats:2024-03-15T12:00:00Z")
+      assert(w1("ch_a:mean") == "3.0" && w1("ch_a:min") == "2.0" && w1("ch_a:max") == "4.0")
+      assert(kv.hgetAll("stats:2024-03-15T12:10:00Z")("ch_a:mean") == "8.0")
+    } finally q.stop()
+  }
+
   test("T8: heartbeat key refreshed on progress, TTL'd, absent when expired") {
     var now = 1000000L
     val kv = new InMemoryKvSink(() => now)
