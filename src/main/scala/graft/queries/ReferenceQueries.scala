@@ -184,8 +184,13 @@ object ReferenceQueries {
 
     // F4+P4 — warm-up trim: drop the first 10 s (10 samples at 1 Hz) per
     // group before computing stats (DataConverterUDBF.py:240-254).
+    // The mean aggregates DECIMAL(18,6)-cast values: decimal addition is
+    // exact and order-independent, so partial-aggregation order can never
+    // put a group mean on the 3-dp rounding knife edge differently than
+    // the oracle's sequential sum (observed once at sf0.1 with doubles).
     sql("r11_warmup_trimmed_stats")(
-      """SELECT user_id, count(*) AS n_after_trim, round(avg(value), 3) AS mean
+      """SELECT user_id, count(*) AS n_after_trim,
+        |  round(avg(value::DECIMAL(18,6)), 3)::DOUBLE AS mean
         |FROM (SELECT user_id, value,
         |        (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
         |          / 1.0 AS rel_time
@@ -198,7 +203,8 @@ object ReferenceQueries {
         .withColumn("rel_time", relativeTime(row_number().over(w) - 1, 1.0))
         .filter(afterWarmup(col("rel_time")))
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_after_trim"), round(avg(col("value")), 3).as("mean"))
+        .agg(count(lit(1)).as("n_after_trim"),
+          round(avg(col("value").cast("decimal(18,6)")), 3).cast("double").as("mean"))
         .orderBy(col("user_id"))
     },
 
