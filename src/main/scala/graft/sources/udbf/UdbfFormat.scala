@@ -201,7 +201,10 @@ object UdbfWriter {
   final case class ChannelSpec(name: String, unit: String, dataType: Int = 12)
 
   /** Write `frames x channels` values with u64 millisecond ticks
-    * (actTimeToSecondFactor = 0.001) starting at `startEpochMicros`. */
+    * (actTimeToSecondFactor = 0.001) starting at `startEpochMicros`.
+    * `timeField = false` writes no per-record time (actTimeDataType = 0)
+    * — record times then derive from the frame index over sampleRate,
+    * the format's other documented mode. */
   def write(
       path: java.nio.file.Path,
       channels: Seq[ChannelSpec],
@@ -211,6 +214,7 @@ object UdbfWriter {
       sampleRate: Double,
       bigEndian: Boolean = false,
       ticksAt: Int => Long = null,
+      timeField: Boolean = true,
       vendor: String = "graft-udbf"): Unit = {
     val tickOf: Int => Long =
       if (ticksAt != null) ticksAt
@@ -227,7 +231,8 @@ object UdbfWriter {
     val headerLen = 1 + 2 + 2 + vendorBytes.length + 1 + 2 +
       8 + 2 + 8 + 8 + 8 + 2 + channels.map(varBytes).sum
     val dataOffset = ((headerLen + 8 + 15) / 16) * 16
-    val recordBytes = 8 + channels.map(c => typeSize(c.dataType)).sum
+    val timeBytes = if (timeField) 8 else 0
+    val recordBytes = timeBytes + channels.map(c => typeSize(c.dataType)).sum
     val total = dataOffset + frames * recordBytes
 
     val buf = ByteBuffer.allocate(total)
@@ -239,7 +244,7 @@ object UdbfWriter {
     buf.put(0.toByte) // no checksum
     buf.putShort(0.toShort) // no module additional data
     buf.putDouble(1.0) // startTimeToDayFactor
-    buf.putShort(14.toShort) // actTimeDataType = u64
+    buf.putShort(if (timeField) 14.toShort else 0.toShort) // actTimeDataType
     buf.putDouble(0.001) // ms ticks → seconds
     buf.putDouble(startOle)
     buf.putDouble(sampleRate)
@@ -260,7 +265,7 @@ object UdbfWriter {
     while (buf.position() < dataOffset) buf.put(0x20.toByte) // separators
 
     (0 until frames).foreach { i =>
-      buf.putLong(tickOf(i))
+      if (timeField) buf.putLong(tickOf(i))
       channels.zipWithIndex.foreach { case (c, j) =>
         val v = valueAt(i, j)
         c.dataType match {

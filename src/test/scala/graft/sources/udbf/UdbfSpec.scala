@@ -104,6 +104,21 @@ class UdbfSpec extends SparkSpec {
       .load(p2.toString).count() == 30)
   }
 
+  test("files without a per-record time field derive ts from frame index") {
+    val dir = tmpDir
+    val p = Paths.get(dir, "notime.dat")
+    // actTimeDataType = 0: record times come from sampleRate alone
+    UdbfWriter.write(p, Seq(ChannelSpec("c", "V")), 5,
+      (i, _) => i * 2.0, 1710504000000000L, 2.0, timeField = false)
+    val rows = spark.read.format("udbf").load(p.toString).orderBy("ts").collect()
+    assert(rows.length == 5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      // 2 Hz: 500 ms per frame
+      assert(r.getTimestamp(0).getTime == 1710504000000L + i * 500L)
+      assert(r.getDouble(1) == i * 2.0)
+    }
+  }
+
   test("reading a directory picks up all .dat files") {
     val dir = tmpDir
     val chans = Seq(ChannelSpec("c", "V"))
