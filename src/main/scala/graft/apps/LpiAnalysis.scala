@@ -65,7 +65,7 @@ final class LpiAnalysis(
     val trimmed =
       if (aligned) df
       else {
-        val firstTs = df.agg(min(col("ts"))).head.getTimestamp(0)
+        val firstTs = df.agg(min(col("ts"))).head().getTimestamp(0)
         df.filter(col("ts") >= lit(new java.sql.Timestamp(firstTs.getTime + 10000L)))
       }
 

@@ -31,14 +31,14 @@ object LatestRow {
     * Expressed as max_by over a struct so it stays a single aggregate
     * (no global sort). */
   def global(df: DataFrame, orderCol: String, tiebreaker: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val key = struct(col(orderCol), col(tiebreaker))
     df.agg(max_by(payload, key).as("__row")).select(col("__row.*"))
   }
 
   /** O3 — oldest candidate (min_by), Pipeline.py:145-160. */
   def oldest(df: DataFrame, orderCol: String, tiebreaker: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val key: Column = struct(col(orderCol), col(tiebreaker))
     df.agg(min_by(payload, key).as("__row")).select(col("__row.*"))
   }

@@ -55,7 +55,7 @@ object Similarity {
   private def hyperplane(dims: Int, bits: Int, table: Int): Seq[Seq[Double]] =
     (0 until bits).map { b =>
       (0 until dims).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((table, b, i))
+        val h = scala.util.hashing.MurmurHash3.caseClassHash((table, b, i))
         if ((h & 1) == 0) 1.0 else -1.0
       }
     }
