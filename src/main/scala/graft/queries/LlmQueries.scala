@@ -164,7 +164,53 @@ object LlmQueries {
         .orderBy(col("left_id"), col("right_id"))
     },
 
-    noOracle("t09_shingle_jaccard_neardup") { (s, d) =>
+    // fully deterministic set arithmetic → DuckDB-oracled end to end
+    // (blocking on rare shingles, distinct candidate pairs, exact
+    // token-set jaccard >= 0.6), unlike the hash-based detectors
+    sql("t09_shingle_jaccard_neardup")(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM corpus
+        |),
+        |shingles AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks
+        |),
+        |doc_sh AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM shingles
+        |),
+        |rare AS (
+        |  SELECT shingle FROM doc_sh GROUP BY shingle
+        |  HAVING count(*) BETWEEN 2 AND 20
+        |),
+        |blocked AS (
+        |  SELECT d.doc_id, d.shingle FROM doc_sh d JOIN rare r USING (shingle)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |  FROM blocked l JOIN blocked r USING (shingle)
+        |  WHERE l.doc_id < r.doc_id
+        |),
+        |ws AS (
+        |  SELECT doc_id, list_distinct(ts) AS words, len(list_distinct(ts)) AS n FROM toks
+        |)
+        |SELECT c.left_id, c.right_id,
+        |  round(len(list_intersect(a.words, b.words))::DOUBLE
+        |        / (a.n + b.n - len(list_intersect(a.words, b.words))), 4) AS jaccard
+        |FROM cand c
+        |JOIN ws a ON a.doc_id = c.left_id
+        |JOIN ws b ON b.doc_id = c.right_id
+        |WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
+        |        / (a.n + b.n - len(list_intersect(a.words, b.words))), 4) >= 0.6
+        |ORDER BY left_id, right_id""") { (s, d) =>
       Dedup.jaccardPairs(plantedCorpus(s, d), "text", "doc_id", threshold = 0.6)
         .orderBy(col("left_id"), col("right_id"))
     },
