@@ -49,7 +49,7 @@ object MultimodalQueries {
           explode(sequence(lit(0),
             least(lit(7), greatest(lit(0),
               floor(length(col("text")) / 256).cast("int") - 1)))).as("frame_idx"))
-        .select(col("media_id"), col("frame_idx"),
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           md5(col("text").substr(col("frame_idx") * 256 + 1, lit(256))
             .cast("binary")).as("frame_fp"))
         .orderBy(col("media_id"), col("frame_idx"))
