@@ -77,6 +77,27 @@ class WindowedStatsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S8: live-buffer stream shape feeds the windowed-stats path") {
+    val ckpt = Files.createTempDirectory("live_ckpt")
+    val live = LiveBuffer.stream(spark, Seq("ch_a", "ch_b"), sampleRate = 50)
+    assert(live.isStreaming)
+    assert(live.schema.fieldNames.sameElements(Array("ts", "ch_a", "ch_b")))
+    // the stream composes with the windowed stats operator unchanged
+    val q = WindowedStats.tumbling(live, "ts", Seq("ch_a", "ch_b"),
+      windowLength = "1 second", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("live_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.toString).start()
+    try {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("live_out").isEmpty
+        && System.currentTimeMillis < deadline) Thread.sleep(250)
+      val rows = spark.table("live_out").collect()
+      assert(rows.nonEmpty, "live stream produced no windows in 30 s")
+      assert(rows.map(_.getString(2)).toSet.subsetOf(Set("ch_a", "ch_b")))
+    } finally q.stop()
+  }
+
   test("T8: heartbeat key refreshed on progress, TTL'd, absent when expired") {
     var now = 1000000L
     val kv = new InMemoryKvSink(() => now)
