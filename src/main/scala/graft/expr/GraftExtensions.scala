@@ -8,8 +8,21 @@ import org.apache.spark.sql.types.DoubleType
 /** Engine extension point (`spark.sql.extensions=graft.expr.GraftExtensions`):
   * registers the engine's native Catalyst expressions as SQL functions so
   * `spark.sql("SELECT ole_to_timestamp(col)")` plans the codegen'd
-  * expression directly. Wired into [[graft.core.Sessions.builder]]. */
+  * expression directly. Wired into [[graft.core.Sessions.builder]];
+  * Column-side access goes through `call_function` (see
+  * [[graft.operators.Similarity]] / [[graft.operators.Dedup]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A foldable integer argument (the static knobs of the LSH/MinHash
+    * expressions: dims, bits, tables, numHashes). */
+  private def intArg(e: Expression, fn: String, pos: Int): Int = {
+    require(e.foldable, s"$fn: argument ${pos + 1} must be a literal integer")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a literal integer, got $other")
+    }
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -19,6 +32,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "ole_to_timestamp expects exactly one argument")
         // implicit numeric widening, since ExpectsInputTypes is sql-private
         OleToTimestamp(Cast(children.head, DoubleType))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_cosine expects (vec_a, vec_b)")
+        CosineSimilarity(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_lsh_buckets expects (vec, dims, bits, tables)")
+        LshBuckets(children.head,
+          intArg(children(1), "graft_lsh_buckets", 1),
+          intArg(children(2), "graft_lsh_buckets", 2),
+          intArg(children(3), "graft_lsh_buckets", 3))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_minhash_sig expects (shingles, numHashes)")
+        MinHashSig(children.head, intArg(children(1), "graft_minhash_sig", 1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_match_frac"),
+      new ExpressionInfo(classOf[SigMatchFraction].getName, "graft_match_frac"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_match_frac expects (sig_a, sig_b)")
+        SigMatchFraction(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash expects (tokens)")
+        SimHash64(children.head)
       }))
   }
 }

@@ -33,9 +33,15 @@ object Dedup {
     * Appends a `jaccard` column rounded to 4 dp. */
   private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
       minJaccard: Option[Double] = None): DataFrame = {
+    // tokenized ONCE: the repartition materializes an exchange of the
+    // (doc_id, words, n) rows that ReuseExchange shares across all four
+    // consuming join branches (left/right size-prefilter, left/right
+    // word join) — and since the join keys are renames of doc_id, the
+    // ws side arrives pre-partitioned and is never re-shuffled.
     val ws = docs.select(col("doc_id"),
       TextFunctions.wordSet(col("text")).as("words"))
       .select(col("doc_id"), col("words"), size(col("words")).as("n"))
+      .repartition(col("doc_id"))
 
     // provable length prefilter when a threshold is known:
     // J(A,B) <= min(|A|,|B|) / max(|A|,|B|), so pairs outside the size
@@ -98,16 +104,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // signature via explode + codegen'd min-aggregates (identical values
-    // to minHashSignature's Column fold, ~3x faster: higher-order
-    // lambdas run interpreted; min() partial-aggregates map-side so the
-    // shuffle carries one row per doc)
-    val withSig = docs
-      .select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), 3)).as("__sh"))
-      .groupBy(col("doc_id"))
-      .agg(array((0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("__sh")))): _*).as("sig"))
+    // signature via the native graft_minhash_sig expression: ONE codegen'd
+    // pass over the shingle array, hash-identical to xxhash64(lit(i), s)
+    // (pinned by the expression spec), computed right in the scan stage.
+    // The repartition materializes an exchange of the skinny (doc_id,
+    // sig) rows so ReuseExchange feeds BOTH sides of the band self-join
+    // from one signature computation — without it each side re-tokenizes
+    // and re-hashes the whole corpus (measured 2-3x slower at sf0.1).
+    val withSig = docs.select(col("doc_id"),
+      call_function("graft_minhash_sig",
+        TextFunctions.shingles(col("text"), 3), lit(numHashes)).as("sig"))
+      .repartition(col("doc_id"))
 
     // (doc_id, sig, band, bucket) — no text beyond this point
     val banded = withSig.select(col("doc_id"), col("sig"),
@@ -123,9 +130,12 @@ object Dedup {
     val r = banded.select(col("band"), col("bucket"),
       col("doc_id").as("right_id"), col("sig").as("right_sig"))
 
-    val matchFrac = size(filter(
-      zip_with(col("left_sig"), col("right_sig"), (a, b) => a === b),
-      m => m)).cast("double") / numHashes
+    // native codegen'd estimator: the composed zip_with+filter+size chain
+    // evaluated interpreted once per banded collision row (the per-row
+    // hot spot of the self-join — a pair colliding in k bands paid it k
+    // times before the distinct)
+    val matchFrac = call_function("graft_match_frac",
+      col("left_sig"), col("right_sig"))
 
     // distinct BEFORE the word-set join: one verification per pair, not per band
     val candidates = l.join(r, Seq("band", "bucket"))
@@ -142,14 +152,21 @@ object Dedup {
     * tokens of ±1 votes from bit k of each token's hash. Near-dups have
     * small Hamming distance.
     *
-    * Distributed shape: explode tokens → 64 codegen'd partial-sum
-    * aggregates on doc id. The explode is narrow (a doc's tokens stay in
-    * its partition), so map-side partial aggregation collapses to ONE
-    * row per doc per partition before the exchange — the shuffle carries
-    * #docs rows, not #tokens. (A shuffle-free higher-order-function fold
-    * was measured 2x slower: lambda expressions evaluate interpreted,
-    * outside whole-stage codegen.) */
-  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    * Computed by the native [[graft.expr.SimHash64]] expression: one
+    * codegen'd pass over the token array, NO shuffle — the signature
+    * materializes where the document is read. Bit-identical to the
+    * earlier explode + 64×sum() aggregate plan ([[simHashComposed]],
+    * kept as the parity reference), which paid an aggregation exchange
+    * per corpus pass. */
+  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash",
+        TextFunctions.tokens(lower(col(textCol)))).as("simhash"))
+
+  /** Composed reference implementation of [[simHash]] (explode + 64
+    * codegen'd partial-sum aggregates), kept for the native-expression
+    * parity spec. */
+  def simHashComposed(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -185,7 +202,9 @@ object Dedup {
     val rem = 64 % blocks
     val widths = (0 until blocks).map(k => if (k < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigs = simHash(df, textCol, idCol)
+    // exchange of the 16-byte (doc_id, simhash) rows so ReuseExchange
+    // computes signatures once for both self-join sides (see minHashPairs)
+    val sigs = simHash(df, textCol, idCol).repartition(col("doc_id"))
     val exploded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until blocks).map { k =>
         struct(lit(k).as("blk"),
@@ -218,16 +237,19 @@ object Dedup {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val docSh = docs.select(col("doc_id"),
       explode(TextFunctions.shingles(col("text"), shingleSize)).as("shingle"))
-    val rare = docSh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-      .select(col("shingle"))
-    val blocked = docSh.join(rare, Seq("shingle"))
-    val l = blocked.select(col("shingle"), col("doc_id").as("left_id"))
-    val r = blocked.select(col("shingle"), col("doc_id").as("right_id"))
-    val candidates = l.join(r, Seq("shingle"))
-      .filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"))
+    // ONE aggregation pass replaces the earlier count-join + self-join
+    // chain (which shuffled the (shingle, doc_id) stream three times):
+    // group to each shingle's sorted doc list, keep rare shingles
+    // (2..maxDocFreq — the skew guard), and enumerate the <=
+    // maxDocFreq·(maxDocFreq−1)/2 ordered pairs per shingle in-place.
+    // Candidate semantics are identical: pairs sharing >= 1 rare shingle.
+    val candidates = docSh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.as("left_id"), b.as("right_id")))))).as("p"))
+      .select(col("p.left_id"), col("p.right_id"))
       .distinct()
     verifyJaccard(candidates, docs, minJaccard = Some(threshold))
       .select(col("left_id"), col("right_id"), col("jaccard"))

@@ -16,14 +16,25 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two array columns, accumulated in double in index
-    * order via the higher-order `aggregate` — no UDF, stays in codegen. */
+    * order via the higher-order `aggregate`. Composed-Column reference
+    * implementation — the production [[cosine]] path uses the native
+    * codegen'd expression instead (HOF lambdas evaluate interpreted). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity via the native [[graft.expr.CosineSimilarity]]
+    * expression: ONE codegen'd pass computes dot + both norms (the
+    * composed fold is three interpreted array traversals). Values are
+    * bit-identical to [[cosineComposed]] — pinned by the test suite. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  /** The original composed-Column cosine (three `aggregate` folds), kept
+    * as the parity reference for the native expression. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
@@ -51,14 +62,12 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane components for (table, bit): Rademacher
     * projections — a valid sign-random-projection family — seeded from a
-    * driver-side hash so plans are reproducible across runs/JVMs. */
+    * driver-side hash so plans are reproducible across runs/JVMs.
+    * Delegates to [[graft.expr.Hyperplanes]], the single source of truth
+    * shared with the native expression. */
   private def hyperplane(dims: Int, bits: Int, table: Int): Seq[Seq[Double]] =
-    (0 until bits).map { b =>
-      (0 until dims).map { i =>
-        val h = scala.util.hashing.MurmurHash3.caseClassHash((table, b, i))
-        if ((h & 1) == 0) 1.0 else -1.0
-      }
-    }
+    (0 until bits).map(b =>
+      (0 until dims).map(i => graft.expr.Hyperplanes.sign(table, b, i)))
 
   /** Random-hyperplane LSH signature for one hash table: `bits`
     * hyperplanes, each evaluated as a single `zip_with`+`aggregate` dot
@@ -78,8 +87,23 @@ object Similarity {
 
   /** `tables` independent LSH tables as an array of (tbl, bucket) structs.
     * Multiple tables are the standard recall knob: a pair is a candidate
-    * if it collides in ANY table, so recall ≈ 1 − (1 − p^bits)^tables. */
+    * if it collides in ANY table, so recall ≈ 1 − (1 − p^bits)^tables.
+    *
+    * Computed by the native [[graft.expr.LshBuckets]] expression: all
+    * `tables × bits` sign projections in ONE codegen'd pass over the
+    * vector (the composed form re-traverses the vector once per bit per
+    * table, interpreted). Buckets are identical — same [[graft.expr
+    * .Hyperplanes]] signs, same sequential double accumulation; the
+    * struct wrapper over the tiny `tables`-element result keeps the
+    * public (tbl, bucket) shape. */
   def lshBuckets(vec: Column, dims: Int, bits: Int, tables: Int): Column =
+    transform(
+      call_function("graft_lsh_buckets", vec, lit(dims), lit(bits), lit(tables)),
+      (bucket, t) => struct(t.as("tbl"), bucket.as("bucket")))
+
+  /** Composed-Column reference for [[lshBuckets]] (per-bit interpreted
+    * folds), kept for the native-expression parity spec. */
+  def lshBucketsComposed(vec: Column, dims: Int, bits: Int, tables: Int): Column =
     array((0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(vec, dims, bits, t).as("bucket"))
     }: _*)

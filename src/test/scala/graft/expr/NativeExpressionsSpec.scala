@@ -1,0 +1,147 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Value parity between the native codegen expressions (graft_cosine,
+  * graft_lsh_buckets, graft_minhash_sig, graft_simhash) and the
+  * composed-Column reference implementations they replaced on the hot
+  * paths — plus hash-primitive parity with Spark's own xxhash64 and
+  * degenerate-input semantics. */
+class NativeExpressionsSpec extends SparkSpec {
+  import testImplicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def documents = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("graft_cosine is bit-identical to the composed cosine on real embeddings") {
+    val q = embeddings.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("__q"))
+    val mismatches = embeddings.join(broadcast(q))
+      .select(
+        Similarity.cosine(col("embedding"), col("__q")).as("native"),
+        Similarity.cosineComposed(col("embedding"), col("__q")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_cosine degenerate inputs: zero vector -> 0.0, length mismatch and null element -> NULL") {
+    val out = spark.sql(
+      """SELECT graft_cosine(array(0.0F, 0.0F), array(1.0F, 2.0F)),
+        |       graft_cosine(array(1.0F, 2.0F), array(1.0F, 2.0F, 3.0F)),
+        |       graft_cosine(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)),
+        |       graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)),
+        |       graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D))""".stripMargin).head()
+    assert(out.getDouble(0) == 0.0)
+    assert(out.isNullAt(1))
+    assert(out.isNullAt(2))
+    assert(out.isNullAt(3))
+    assert(math.abs(out.getDouble(4) - 1.0) < 1e-12) // double arrays supported
+  }
+
+  test("graft_cosine participates in whole-stage codegen") {
+    val df = embeddings.limit(5).select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val code = df.queryExecution.debug.codegenToSeq()
+    assert(code.nonEmpty)
+    assert(code.exists(_._2.contains("java.lang.Math.sqrt(")),
+      "generated java should inline the fused dot+norm loop")
+    df.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("graft_lsh_buckets matches the composed per-bit fold on real embeddings") {
+    val mismatches = embeddings
+      .select(
+        Similarity.lshBuckets(col("embedding"), 64, 10, 4).as("native"),
+        Similarity.lshBucketsComposed(col("embedding"), 64, 10, 4).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_lsh_buckets degenerate vectors bucket to 0 in every table (composed zip_with semantics)") {
+    val out = spark.sql(
+      """SELECT graft_lsh_buckets(array(1.0F, 2.0F), 64, 10, 4),
+        |       graft_lsh_buckets(array(1.0F, CAST(NULL AS FLOAT)), 2, 10, 4)""".stripMargin)
+      .collect().head
+    assert(out.getSeq[Long](0) == Seq(0L, 0L, 0L, 0L)) // length != dims
+    assert(out.getSeq[Long](1) == Seq(0L, 0L, 0L, 0L)) // null element
+  }
+
+  test("graft_minhash_sig hash-chains exactly like xxhash64(lit(i), shingle)") {
+    val df = Seq("alpha beta", "the quick brown fox", "x").toDF("sh")
+    val native = df.select(
+      call_function("graft_minhash_sig", array(col("sh")), lit(8)).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val reference = df.select(
+      array((0 until 8).map(i => xxhash64(lit(i), col("sh"))): _*).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    // a single-element shingle array's signature IS the per-i hash vector
+    assert(native.toSeq == reference.toSeq)
+  }
+
+  test("graft_minhash_sig equals the composed Column fold on real documents") {
+    val mismatches = documents
+      .select(
+        call_function("graft_minhash_sig",
+          TextFunctions.shingles(col("text"), 3), lit(32)).as("native"),
+        Dedup.minHashSignature(col("text"), 32).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_minhash_sig of an empty array is the fold identity (Long.MaxValue)") {
+    val out = spark.sql(
+      "SELECT graft_minhash_sig(CAST(array() AS ARRAY<STRING>), 4)").head().getSeq[Long](0)
+    assert(out == Seq.fill(4)(Long.MaxValue))
+  }
+
+  test("graft_match_frac equals the composed zip_with fraction on real signatures") {
+    val sigs = documents.select(
+      Dedup.minHashSignature(col("text"), 32).as("a"),
+      Dedup.minHashSignature(reverse(col("text")), 32).as("b"))
+    val mismatches = sigs.select(
+      call_function("graft_match_frac", col("a"), col("b")).as("native"),
+      (size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+        m => m)).cast("double") / 32).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+    // self-match is exactly 1.0; length mismatch is NULL
+    val edge = spark.sql(
+      """SELECT graft_match_frac(array(1L, 2L), array(1L, 2L)),
+        |       graft_match_frac(array(1L), array(1L, 2L))""".stripMargin).head()
+    assert(edge.getDouble(0) == 1.0)
+    assert(edge.isNullAt(1))
+  }
+
+  test("graft_simhash equals the composed explode+sum plan on real documents") {
+    val native = Dedup.simHash(documents, "text", "doc_id")
+    val composed = Dedup.simHashComposed(documents, "text", "doc_id")
+      .withColumnRenamed("simhash", "simhash_c")
+    val mismatches = native.join(composed, Seq("doc_id"))
+      .filter(col("simhash") =!= col("simhash_c"))
+      .count()
+    assert(mismatches == 0)
+    assert(native.count() == composed.count())
+  }
+
+  test("graft_simhash of an empty token array is 0") {
+    assert(spark.sql(
+      "SELECT graft_simhash(CAST(array() AS ARRAY<STRING>))").head().getLong(0) == 0L)
+  }
+
+  test("minHashPairs and simHashPairs plans contain no aggregate exchange before banding") {
+    // the signature stage must be shuffle-free: the only exchanges in
+    // minHashPairs up to candidate generation are the self-join's
+    val sigPlan = Dedup.simHash(documents, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange"),
+      "native simhash signature must not shuffle:\n" + sigPlan)
+  }
+}
