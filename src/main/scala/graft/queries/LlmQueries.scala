@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Similarity}
 import QueryDef.{noOracle, sql}
 
 /** LLM-training-data pipeline operators: text analysis, deduplication,
@@ -252,6 +252,74 @@ object LlmQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           round(TextFunctions.meanWordLength(col("text")), 4).as("mean_word_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // dedup CLUSTER RESOLUTION: near-dup pairs -> connected components ->
+    // per-document cluster_id (component min; itself for singletons).
+    // Spark side runs alternating large-star/small-star; the oracle
+    // reproduces the same fixpoint with a recursive min-label CTE over
+    // the identical pair graph — both fully deterministic.
+    sql("t15_dedup_clusters")(
+      """WITH RECURSIVE
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM corpus
+        |),
+        |shingles AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks
+        |),
+        |doc_sh AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM shingles
+        |),
+        |rare AS (
+        |  SELECT shingle FROM doc_sh GROUP BY shingle
+        |  HAVING count(*) BETWEEN 2 AND 20
+        |),
+        |blocked AS (
+        |  SELECT d.doc_id, d.shingle FROM doc_sh d JOIN rare r USING (shingle)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |  FROM blocked l JOIN blocked r USING (shingle)
+        |  WHERE l.doc_id < r.doc_id
+        |),
+        |ws AS (
+        |  SELECT doc_id, list_distinct(ts) AS words, len(list_distinct(ts)) AS n FROM toks
+        |),
+        |pairs AS (
+        |  SELECT c.left_id, c.right_id
+        |  FROM cand c
+        |  JOIN ws a ON a.doc_id = c.left_id
+        |  JOIN ws b ON b.doc_id = c.right_id
+        |  WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
+        |        / (a.n + b.n - len(list_intersect(a.words, b.words))), 4) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT left_id AS u, right_id AS v FROM pairs
+        |  UNION
+        |  SELECT right_id, left_id FROM pairs
+        |),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM corpus
+        |  UNION
+        |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+        |)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id
+        |ORDER BY doc_id""") { (s, d) =>
+      val corpus = plantedCorpus(s, d)
+      val pairs = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.8)
+      ConnectedComponents.clusters(corpus, "doc_id", pairs)
         .orderBy(col("doc_id"))
     },
 
