@@ -52,6 +52,18 @@ object TextFunctions {
         i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
 
+  /** RAW word n-grams (duplicates preserved, unlike [[shingles]]) — the
+    * unit for repetition analysis: Gopher-style quality filters measure
+    * the fraction of text claimed by the single most repeated n-gram.
+    * Docs with fewer than n tokens yield an empty array. */
+  def ngramsRaw(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. */
   def fingerprint(text: Column): Column =

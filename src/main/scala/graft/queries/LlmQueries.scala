@@ -323,6 +323,163 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // per-language quality-percentile pruning: keep each language's top
+    // half by composite quality score — the standard "quality filter with
+    // per-stratum thresholds" shape (a global threshold would starve
+    // low-resource languages). percent_rank + doc_id tiebreak is fully
+    // deterministic in both engines.
+    sql("t16_quality_percentile")(
+      """SELECT doc_id, lang, quality,
+        |       round(pr, 4) AS pr
+        |FROM (
+        |  SELECT d.doc_id, d.lang, q.quality,
+        |    percent_rank() OVER (PARTITION BY d.lang ORDER BY q.quality, d.doc_id) AS pr
+        |  FROM documents d
+        |  JOIN (
+        |    SELECT doc_id,
+        |      round((least(n_tokens / 50.0, 1.0)
+        |           + (1.0 - least(symbol_ratio * 5.0, 1.0))
+        |           + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+        |    FROM (
+        |      SELECT doc_id,
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE cast(len(toks) AS BIGINT) END AS n_tokens,
+        |        CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |               / length(text)::DOUBLE END AS symbol_ratio,
+        |        CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |               / len(toks)::DOUBLE END AS stop_ratio
+        |      FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |            FROM documents) x) y) q ON q.doc_id = d.doc_id) z
+        |WHERE round(pr, 4) >= 0.5
+        |ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .filter(col("pr") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signal: fraction of a document's bigrams
+    // claimed by its single most repeated bigram (raw n-grams, duplicates
+    // kept). The explode/groupBy stream is (doc_id, bigram) only — the
+    // same bounded-key shape as the shingle blocking — and short docs
+    // never enter the aggregation (left join restores them with 0.0).
+    sql("t17_repetition_ratio")(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)),
+        |      i -> array_to_string(ts[i:i+1], ' '))) AS bg
+        |  FROM toks WHERE len(ts) >= 2
+        |),
+        |cnt AS (
+        |  SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg
+        |),
+        |agg AS (
+        |  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS rep_ratio
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.rep_ratio, 0.0) AS rep_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val agg = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.ngramsRaw(col("text"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("rep_ratio"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII redaction over a corpus with deterministically planted
+    // emails/ids (the synthetic corpus has none): every 5th document gets
+    // a contact line appended — identically in both engines — then
+    // redaction masks emails and long digit runs and counts the hits.
+    sql("t18_pii_redaction")(
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || ' contact user' || cast(doc_id AS VARCHAR)
+        |              || '@example.com ref ' || cast(doc_id * 1000000 + 123456789 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<ID>', 'g') AS redacted,
+        |  cast(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  cast(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_ids
+        |FROM corpus
+        |ORDER BY doc_id""") { (s, d) =>
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val idRe = "[0-9]{9,}"
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com ref "),
+            (col("doc_id") * 1000000 + 123456789).cast("string")))
+          .otherwise(col("text")).as("text"))
+      corpus.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          idRe, "<ID>").as("redacted"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(idRe)).cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    },
+
+    // top-3 non-stopword terms per document (term-frequency feature
+    // extraction): counts shuffle as (doc_id, term) pairs; the window
+    // ranks within each doc with a full deterministic tiebreak.
+    sql("t19_top_terms")(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |flt AS (
+        |  SELECT doc_id, t FROM tok
+        |  WHERE t NOT IN ('the','a','an','and','or','of','to','in','is','it')
+        |),
+        |cnt AS (
+        |  SELECT doc_id, t, count(*) AS c FROM flt GROUP BY doc_id, t
+        |),
+        |rk AS (
+        |  SELECT doc_id, t, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, t) AS rn
+        |  FROM cnt
+        |)
+        |SELECT doc_id, t AS term, c AS term_count, cast(rn AS INT) AS rank
+        |FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, rank""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("t"))
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .filter(!col("t").isInCollection(TextFunctions.Stopwords))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("t").as("term"),
+          col("c").as("term_count"), col("rn").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
