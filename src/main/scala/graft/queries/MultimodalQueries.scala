@@ -53,6 +53,37 @@ object MultimodalQueries {
           md5(col("text").substr(col("frame_idx") * 256 + 1, lit(256))
             .cast("binary")).as("frame_fp"))
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // audio-feature extraction: per-window RMS energy + peak over the
+    // payload treated as 8-bit samples (the real shape of PCM feature
+    // pipelines: bounded windows, one narrow explode, codegen'd agg —
+    // values are code points so both engines decode identically).
+    sql("u07_audio_energy")(
+      """SELECT media_id, win_idx,
+        |  round(sqrt(avg(v * v)), 4) AS rms,
+        |  max(v) AS peak
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    (i - 1) // 64 AS win_idx,
+        |    ascii(substring(text, i, 1))::DOUBLE AS v
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(1, least(length(text), 512) + 1)) AS i
+        |    FROM documents WHERE length(text) > 0) s) w
+        |GROUP BY media_id, win_idx
+        |ORDER BY media_id, win_idx""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(sequence(lit(1), least(length(col("text")), lit(512)))).as("i"))
+        .select(col("media_id"),
+          floor((col("i") - 1) / 64).cast("long").as("win_idx"),
+          ascii(col("text").substr(col("i"), lit(1))).cast("double").as("v"))
+        .groupBy(col("media_id"), col("win_idx"))
+        .agg(round(sqrt(avg(col("v") * col("v"))), 4).as("rms"),
+          max(col("v")).as("peak"))
+        .orderBy(col("media_id"), col("win_idx"))
     }
   )
 }

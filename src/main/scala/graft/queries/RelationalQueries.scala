@@ -350,6 +350,39 @@ object RelationalQueries {
           max(col("event_id")).as("last_event_id"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    },
+
+    // gap-based sessionization via Spark's native session_window (one
+    // shuffle on (user, merged window), batch and streaming identical —
+    // graft.streaming.Sessionize); the oracle rebuilds the same sessions
+    // with the classic gaps-and-islands lag + running-sum construction.
+    // Session end = last event + gap, matching session_window's bound.
+    sql("q21_session_windows")(
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged
+        |)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |  cast(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""") { (s, d) =>
+      graft.streaming.Sessionize
+        .sessions(Tables.events(s, d), "ts", "user_id", "value")
+        .orderBy(col("user_id"), col("session_start_us"))
     }
   )
 }
