@@ -480,6 +480,86 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // TF-IDF feature extraction: per-(doc, term) counts joined with the
+    // corpus document-frequency table and the (broadcast, single-row)
+    // corpus size — the classic two-level aggregation whose only wide
+    // stages shuffle (doc_id, term) / (term) pairs. Top-3 per doc with
+    // full deterministic tiebreaks.
+    sql("t20_tfidf_top_terms")(
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM docs
+        |),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t
+        |),
+        |dfreq AS (
+        |  SELECT t, count(*) AS df FROM tf GROUP BY t
+        |),
+        |n AS (SELECT count(*) AS n_docs FROM docs),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf,
+        |    round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (t) CROSS JOIN n
+        |),
+        |rk AS (
+        |  SELECT doc_id, t, tf, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, t AS term, cast(tf AS BIGINT) AS tf, tfidf,
+        |  cast(rn AS INT) AS rank
+        |FROM rk WHERE rn <= 3
+        |ORDER BY doc_id, rank""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("t"))
+      tf.join(dfreq, Seq("t")).crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * (log((col("n_docs") + 1).cast("double")
+            / (col("df") + 1)) + 1), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tf"),
+          col("tfidf"), col("rn").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // per-label embedding centroids in long form (label, position, mean)
+    // — the vector aggregation underlying k-means/IVF training. The
+    // posexplode stream is (label, pos, component): fixed 64x
+    // amplification of skinny rows, map-side partial averages, one
+    // shuffle on (label, pos).
+    sql("t21_embedding_centroids")(
+      """SELECT label, i - 1 AS pos,
+        |  round(avg(embedding[i]::DOUBLE), 4) AS centroid,
+        |  cast(count(*) AS BIGINT) AS n_vectors
+        |FROM (
+        |  SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings) t
+        |GROUP BY label, i
+        |ORDER BY label, pos""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 4).as("centroid"),
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("centroid"), col("n_vectors"))
+        .orderBy(col("label"), col("pos"))
+    },
+
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
