@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mechanical guards for the physical-plan properties PLANS.md claims —
+  * so a regression that, e.g., starts shuffling document text through a
+  * dedup self-join fails CI instead of only showing up as a bench
+  * slowdown. Plans are inspected AFTER execution (AQE-final). */
+class PlanAuditSpec extends SparkSpec {
+  import testImplicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def documents = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def executedPlan(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Argument lists of every shuffle exchange in the plan. */
+  private def shuffleKeys(plan: String): Seq[String] =
+    "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+
+  test("minHashPairs: no text column rides any shuffle exchange") {
+    val plan = executedPlan(Dedup.minHashPairs(documents, "text", "doc_id"))
+    val offending = shuffleKeys(plan).filter(_.contains("text"))
+    assert(offending.isEmpty,
+      s"text in shuffle keys: $offending")
+    // the only range/hash partitionings may carry ids, sigs, bands, words
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("jaccardPairs: single aggregation pass for blocking, no text in exchanges") {
+    val df = Dedup.jaccardPairs(documents, "text", "doc_id", threshold = 0.6)
+    val plan = executedPlan(df)
+    assert(shuffleKeys(plan).forall(k => !k.contains("text")),
+      "document text must not be a shuffle key")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("simHash signature subplan is exchange-free (scan-stage computation)") {
+    val plan = Dedup.simHash(documents, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+
+  test("brute-force cosine scoring plan has no shuffle before the top-k") {
+    val scored = Similarity.scoreAgainst(embeddings, "vec_id", "embedding", 0L)
+    val plan = executedPlan(scored)
+    // one broadcast of the 1-row query side; zero hash shuffles
+    assert(shuffleKeys(plan).isEmpty, s"unexpected shuffle: ${shuffleKeys(plan)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("exact dedup is a single hash-aggregate shuffle") {
+    val plan = executedPlan(Dedup.exact(documents, "text", "doc_id"))
+    assert(shuffleKeys(plan).size <= 1,
+      s"expected at most one exchange, got: ${shuffleKeys(plan)}")
+  }
+
+  test("dimension join broadcasts the small side (no shuffle of the fact table)") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val joined = customer.join(broadcast(nation),
+      customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+    val plan = executedPlan(joined)
+    assert(plan.contains("BroadcastHashJoin"))
+    // the only shuffle is the final aggregation on n_name
+    val keys = shuffleKeys(plan)
+    assert(keys.forall(_.contains("n_name")), s"unexpected shuffles: $keys")
+  }
+
+  test("native expressions appear in generated code, not as interpreted fallbacks") {
+    val df = embeddings.limit(10).select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    val code = df.queryExecution.debug.codegenToSeq()
+    assert(code.nonEmpty, "expected a WholeStageCodegen span")
+    // a CodegenFallback would wrap the call in an `eval` on the expression
+    // object; the real doGenCode inlines the fused loop with Math.sqrt
+    assert(code.exists(_._2.contains("java.lang.Math.sqrt(")))
+  }
+}
