@@ -560,6 +560,29 @@ object LlmQueries {
         .orderBy(col("label"), col("pos"))
     },
 
+    // deterministic stratified sampling: N docs per language, selected
+    // by content-hash order — the reproducible "training mixture" sample
+    // (hash order is engine-independent, so both engines pick the same
+    // rows; a per-stratum window is one shuffle on lang).
+    sql("t22_stratified_sample")(
+      """SELECT doc_id, lang, cast(rn AS INT) AS rn
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50
+        |ORDER BY lang, rn""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)

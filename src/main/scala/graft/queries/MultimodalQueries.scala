@@ -84,6 +84,52 @@ object MultimodalQueries {
         .agg(round(sqrt(avg(col("v") * col("v"))), 4).as("rms"),
           max(col("v")).as("peak"))
         .orderBy(col("media_id"), col("win_idx"))
+    },
+
+    // frame-sequence temporal analysis: per-media scene-change count via
+    // a lag window over the sampled frame digests — the (media, ordered
+    // frames) shape every video pipeline reduces to; one shuffle on
+    // media_id for the window + agg.
+    sql("u08_scene_changes")(
+      """WITH frames AS (
+        |  SELECT media_id, frame_idx,
+        |    md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_fp
+        |  FROM (
+        |    SELECT doc_id AS media_id, text,
+        |      unnest(generate_series(0,
+        |        least(15, greatest(0, length(text) // 64 - 1)))) AS frame_idx
+        |    FROM documents) t
+        |),
+        |lagged AS (
+        |  SELECT media_id, frame_fp,
+        |    lag(frame_fp) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_fp
+        |  FROM frames
+        |)
+        |SELECT media_id,
+        |  cast(count(*) AS BIGINT) AS n_frames,
+        |  cast(sum(CASE WHEN prev_fp IS NULL OR frame_fp <> prev_fp
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes
+        |FROM lagged
+        |GROUP BY media_id
+        |ORDER BY media_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val frames = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(sequence(lit(0),
+            least(lit(15), greatest(lit(0),
+              floor(length(col("text")) / 64).cast("int") - 1)))).as("frame_idx"))
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("text").substr(col("frame_idx") * 64 + 1, lit(64))
+            .cast("binary")).as("frame_fp"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("prev_fp", lag(col("frame_fp"), 1).over(w))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("prev_fp").isNull
+            || col("frame_fp") =!= col("prev_fp"), 1).otherwise(0))
+            .cast("long").as("n_scene_changes"))
+        .orderBy(col("media_id"))
     }
   )
 }
