@@ -136,6 +136,57 @@ class NativeExpressionsSpec extends SparkSpec {
       "SELECT graft_simhash(CAST(array() AS ARRAY<STRING>))").head().getLong(0) == 0L)
   }
 
+  test("graft_cosine properties: symmetry, [-1,1] bounds, positive-scale invariance") {
+    val pairs = embeddings.select(col("vec_id"), col("embedding").as("a"))
+      .join(embeddings.select((col("vec_id") + 1).as("vec_id"),
+        col("embedding").as("b")), Seq("vec_id"))
+    val checked = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("b"), col("a")).as("ba"),
+      Similarity.cosine(
+        transform(col("a"), x => x * 2.5f), col("b")).as("scaled"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "cosine must be symmetric")
+      assert(r.getDouble(0) >= -1.0 - 1e-12 && r.getDouble(0) <= 1.0 + 1e-12)
+      // 1e-6: the scaling happens in float32 before the double
+      // accumulation, so exactness is bounded by float round-off
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-6,
+        "cosine must be invariant under positive scaling")
+    }
+  }
+
+  test("graft_minhash_sig union law: sig(A ++ B) = elementwise min(sig(A), sig(B))") {
+    // the defining property of MinHash — it makes signatures mergeable
+    // (combine per-chunk signatures without re-reading documents)
+    val df = documents.limit(50).select(
+      TextFunctions.shingles(col("text"), 3).as("sa"),
+      TextFunctions.shingles(reverse(col("text")), 3).as("sb"))
+    val mismatches = df.select(
+      call_function("graft_minhash_sig",
+        concat(col("sa"), col("sb")), lit(16)).as("united"),
+      zip_with(
+        call_function("graft_minhash_sig", col("sa"), lit(16)),
+        call_function("graft_minhash_sig", col("sb"), lit(16)),
+        (x, y) => least(x, y)).as("merged"))
+      .filter(col("united") =!= col("merged"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("graft_simhash order invariance: signature depends on the token multiset only") {
+    val df = documents.limit(50)
+    val mismatches = df.select(
+      call_function("graft_simhash",
+        TextFunctions.tokens(lower(col("text")))).as("fwd"),
+      call_function("graft_simhash",
+        reverse(TextFunctions.tokens(lower(col("text"))))).as("rev"))
+      .filter(col("fwd") =!= col("rev"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("minHashPairs and simHashPairs plans contain no aggregate exchange before banding") {
     // the signature stage must be shuffle-free: the only exchanges in
     // minHashPairs up to candidate generation are the self-join's
