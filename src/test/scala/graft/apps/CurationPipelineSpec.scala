@@ -1,0 +1,68 @@
+package graft.apps
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed curation flow on a corpus with planted junk, exact
+  * duplicates, and near-duplicates: each stage must remove exactly its
+  * targets, and the surviving canonical docs must be the group minima. */
+class CurationPipelineSpec extends SparkSpec {
+  import testImplicits._
+
+  private def corpus = {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .filter(col("doc_id") < 200)
+    val exactDups = real.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"))
+    val nearDups = real.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"), col("lang"))
+    val junk = Seq(
+      (30000L, "@@@@ #### $$$$ %%%% ^^^^ &&&&", "en"),
+      (30001L, "!!!! **** (((( )))) ____ ++++", "en"))
+      .toDF("doc_id", "text", "lang")
+    real.unionAll(exactDups).unionAll(nearDups).unionAll(junk)
+  }
+
+  test("stages remove junk, exact dups, and near dups; sample respects per-lang cap") {
+    val (sampled, report) = CurationPipeline.run(corpus,
+      minQuality = 0.3, jaccardThreshold = 0.8, samplePerLang = 25)
+
+    assert(report.nInput == 242)
+    // junk (pure symbols -> quality ~1/3 * lenScore≈0.04) is gone
+    assert(report.nAfterQuality <= report.nInput - 2)
+    // all 20 planted exact duplicates collapse onto their originals
+    assert(report.nAfterExact <= report.nAfterQuality - 20)
+    // planted near-duplicates collapse too (one survivor per cluster)
+    assert(report.nAfterNearDup < report.nAfterExact)
+    assert(report.nSampled <= report.nAfterNearDup)
+
+    val out = sampled.collect()
+    assert(out.length.toLong == report.nSampled)
+    // per-language cap respected
+    val perLang = out.groupBy(_.getString(2)).view.mapValues(_.length)
+    perLang.foreach { case (lang, n) =>
+      assert(n <= 25, s"lang $lang exceeded cap: $n")
+    }
+    // canonical choice: for every planted exact-dup group the ORIGINAL
+    // (smaller id) must be the survivor if any member survived
+    val ids = out.map(_.getLong(0)).toSet
+    (0L until 20L).foreach { id =>
+      assert(!ids.contains(id + 10000),
+        s"exact duplicate ${id + 10000} must lose to original $id")
+    }
+    (20L until 40L).foreach { id =>
+      assert(!ids.contains(id + 20000),
+        s"near duplicate ${id + 20000} must lose to original $id")
+    }
+  }
+
+  test("pipeline is deterministic: two runs produce the identical sample") {
+    val (s1, _) = CurationPipeline.run(corpus, samplePerLang = 10)
+    val (s2, _) = CurationPipeline.run(corpus, samplePerLang = 10)
+    val a = s1.select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = s2.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+}
