@@ -29,9 +29,8 @@ trait KvSink {
   * testable without sleeping. */
 final class InMemoryKvSink(clock: () => Long = () => System.currentTimeMillis)
     extends KvSink {
+  import InMemoryKvSink.Entry
 
-  private final case class Entry(value: Either[String, Map[String, String]],
-      deadlineMs: Option[Long])
   private val store = TrieMap.empty[String, Entry]
 
   private def live(key: String): Option[Entry] =
@@ -63,4 +62,9 @@ final class InMemoryKvSink(clock: () => Long = () => System.currentTimeMillis)
     val re = ("^" + java.util.regex.Pattern.quote(pattern).replace("*", "\\E.*\\Q") + "$").r
     store.keys.toSeq.filter(k => re.findFirstIn(k).isDefined && live(k).isDefined).sorted
   }
+}
+
+object InMemoryKvSink {
+  private[sinks] final case class Entry(
+      value: Either[String, Map[String, String]], deadlineMs: Option[Long])
 }

@@ -38,7 +38,7 @@ final class StabilityGate(
     minFileAgeMs: Long = graft.core.GraftConfig.minFileAgeMs,
     clock: () => Long = () => System.currentTimeMillis) {
 
-  private final case class StatInfo(size: Long, mtime: Long, var stableCount: Int)
+  import StabilityGate.StatInfo
   private val seen = mutable.Map.empty[Path, StatInfo]
   private val fmt = DateTimeFormatter.ofPattern(timestampFmt)
 
@@ -107,4 +107,7 @@ object StabilityGate {
   /** The LPI/SENS/MIST filename patterns (conv/main_lpi.py:15-16 et al). */
   val DefaultTimestampRe: Regex = """(\d{4}-\d{2}-\d{2})_(\d{2}-\d{2}-\d{2})""".r
   val DefaultTimestampFmt = "yyyy-MM-dd HH-mm-ss"
+
+  private[streaming] final case class StatInfo(
+      size: Long, mtime: Long, var stableCount: Int)
 }
