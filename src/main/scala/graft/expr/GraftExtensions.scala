@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "graft_jaccard_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_jaccard_sorted expects (sorted_a, sorted_b)")
+        JaccardSorted(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_match_frac"),
       new ExpressionInfo(classOf[SigMatchFraction].getName, "graft_match_frac"),
       (children: Seq[Expression]) => {

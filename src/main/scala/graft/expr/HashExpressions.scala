@@ -181,6 +181,81 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Exact Jaccard similarity of two SORTED distinct string arrays via a
+  * two-pointer merge: |A∩B| / (|A|+|B|−|A∩B|) in one pass, no per-row
+  * hash-set allocation (Spark's `array_intersect` builds a hash set for
+  * every invocation — the dominant cost when verifying millions of
+  * candidate pairs against ~100-word documents). Inputs MUST be sorted
+  * ascending with distinct elements (`sort_array(array_distinct(...))`,
+  * done once per document and amortized over all its candidate pairs);
+  * the comparison order is UTF8String binary order, identical to
+  * `sort_array`'s. Both arrays empty → 0.0. NULL input or element → NULL.
+  *
+  * Registered as SQL `graft_jaccard_sorted(a, b)`. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaccard_sorted requires array<string> inputs, got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_jaccard_sorted"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na.toDouble + nb - inter
+    if (union == 0) 0.0 else inter / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val inter = ctx.freshName("inter")
+      val c = ctx.freshName("c")
+      val union = ctx.freshName("union")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $inter++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |if (!${ev.isNull}) {
+         |  final double $union = (double) $na + $nb - $inter;
+         |  ${ev.value} = ($union == 0) ? 0.0 : $inter / $union;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fraction of positions where two equal-length long-array signatures
   * agree — the MinHash Jaccard estimator. One codegen'd loop versus an
   * interpreted `zip_with` + `filter` + `size` chain; evaluated once per

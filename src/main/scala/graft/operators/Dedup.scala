@@ -37,9 +37,13 @@ object Dedup {
     // (doc_id, words, n) rows that ReuseExchange shares across all four
     // consuming join branches (left/right size-prefilter, left/right
     // word join) — and since the join keys are renames of doc_id, the
-    // ws side arrives pre-partitioned and is never re-shuffled.
+    // ws side arrives pre-partitioned and is never re-shuffled. Word
+    // sets are SORTED here, once per document, so the per-pair exact
+    // Jaccard below is a native two-pointer merge instead of an
+    // array_intersect hash set per candidate pair (the verify stage's
+    // dominant cost at millions of candidates).
     val ws = docs.select(col("doc_id"),
-      TextFunctions.wordSet(col("text")).as("words"))
+      sort_array(TextFunctions.wordSet(col("text"))).as("words"))
       .select(col("doc_id"), col("words"), size(col("words")).as("n"))
       .repartition(col("doc_id"))
 
@@ -63,11 +67,10 @@ object Dedup {
       col("words").as("__lw"), col("n").as("__ln"))
     val rw = ws.select(col("doc_id").as("right_id"),
       col("words").as("__rw"), col("n").as("__rn"))
-    val inter = size(array_intersect(col("__lw"), col("__rw"))).cast("double")
-    val uni = (col("__ln") + col("__rn")).cast("double") - inter
     sized.join(lw, Seq("left_id")).join(rw, Seq("right_id"))
       .withColumn("jaccard",
-        round(when(uni === 0, 0.0).otherwise(inter / uni), 4))
+        round(call_function("graft_jaccard_sorted",
+          col("__lw"), col("__rw")), 4))
       .drop("__lw", "__rw", "__ln", "__rn")
   }
 

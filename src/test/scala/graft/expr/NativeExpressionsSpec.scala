@@ -101,6 +101,32 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(out == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("graft_jaccard_sorted equals intersect/union arithmetic on real word sets") {
+    val a = documents.select(col("doc_id"),
+      sort_array(TextFunctions.wordSet(col("text"))).as("wa"))
+    val b = documents.select((col("doc_id") - 1).as("doc_id"),
+      sort_array(TextFunctions.wordSet(col("text"))).as("wb"))
+    val joined = a.join(b, Seq("doc_id"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    val uni = (size(col("wa")) + size(col("wb"))).cast("double") - inter
+    val mismatches = joined.select(
+      call_function("graft_jaccard_sorted", col("wa"), col("wb")).as("native"),
+      when(uni === 0, 0.0).otherwise(inter / uni).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+    // edges: both empty -> 0.0, disjoint -> 0.0, identical -> 1.0, null -> NULL
+    val edge = spark.sql(
+      """SELECT graft_jaccard_sorted(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>)),
+        |       graft_jaccard_sorted(array('a','b'), array('c','d')),
+        |       graft_jaccard_sorted(array('a','b','c'), array('a','b','c')),
+        |       graft_jaccard_sorted(CAST(NULL AS ARRAY<STRING>), array('a'))""".stripMargin).head()
+    assert(edge.getDouble(0) == 0.0)
+    assert(edge.getDouble(1) == 0.0)
+    assert(edge.getDouble(2) == 1.0)
+    assert(edge.isNullAt(3))
+  }
+
   test("graft_match_frac equals the composed zip_with fraction on real signatures") {
     val sigs = documents.select(
       Dedup.minHashSignature(col("text"), 32).as("a"),
