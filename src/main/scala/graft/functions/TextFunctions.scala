@@ -31,8 +31,17 @@ object TextFunctions {
   def wordSet(text: Column): Column = array_distinct(tokens(text))
 
   /** n-gram Jaccard similarity between two texts' distinct token sets:
-    * |A ∩ B| / |A ∪ B|. */
-  def jaccard(a: Column, b: Column): Column = {
+    * |A ∩ B| / |A ∪ B|, via the native two-pointer
+    * [[graft.expr.JaccardSorted]] kernel over per-text sorted word sets
+    * (no per-invocation hash set; value-identical to the
+    * intersect/union form — pinned by the test suite). */
+  def jaccard(a: Column, b: Column): Column =
+    call_function("graft_jaccard_sorted",
+      sort_array(wordSet(a)), sort_array(wordSet(b)))
+
+  /** Composed reference for [[jaccard]] (array_intersect/array_union
+    * arithmetic), kept for the native-expression parity spec. */
+  def jaccardComposed(a: Column, b: Column): Column = {
     val sa = wordSet(a)
     val sb = wordSet(b)
     val inter = size(array_intersect(sa, sb)).cast("double")

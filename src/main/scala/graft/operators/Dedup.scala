@@ -76,11 +76,18 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` hash functions i, the min
     * over shingles of h_i(s) where h_i(s) = xxhash64(i, s) — the standard
-    * "many independent hash functions" construction. Computed in ONE pass
-    * over the shingle array: fold with a `numHashes`-wide running-min
-    * accumulator (`aggregate` + `zip_with(least)`), rather than one
-    * array traversal per hash function. Returns ArrayType(Long). */
-  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    * "many independent hash functions" construction, computed by the
+    * native one-pass [[graft.expr.MinHashSig]] expression (codegen'd;
+    * hash-identical to the Column fold below, pinned by the test suite).
+    * Returns ArrayType(Long). */
+  def minHashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    call_function("graft_minhash_sig",
+      TextFunctions.shingles(text, shingleSize), lit(numHashes))
+
+  /** Composed-Column reference for [[minHashSignature]]: a fold with a
+    * `numHashes`-wide running-min accumulator (`aggregate` +
+    * `zip_with(least)`). Kept for the native-expression parity spec. */
+  def minHashSignatureComposed(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
     val sh = TextFunctions.shingles(text, shingleSize)
     aggregate(
       sh,

@@ -87,9 +87,20 @@ class NativeExpressionsSpec extends SparkSpec {
   test("graft_minhash_sig equals the composed Column fold on real documents") {
     val mismatches = documents
       .select(
-        call_function("graft_minhash_sig",
-          TextFunctions.shingles(col("text"), 3), lit(32)).as("native"),
-        Dedup.minHashSignature(col("text"), 32).as("composed"))
+        Dedup.minHashSignature(col("text"), 32).as("native"),
+        Dedup.minHashSignatureComposed(col("text"), 32).as("composed"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("TextFunctions.jaccard (native kernel) equals the intersect/union form") {
+    val pairs = documents.select(col("doc_id"), col("text").as("ta"))
+      .join(documents.select((col("doc_id") + 1).as("doc_id"),
+        col("text").as("tb")), Seq("doc_id"))
+    val mismatches = pairs.select(
+      TextFunctions.jaccard(col("ta"), col("tb")).as("native"),
+      TextFunctions.jaccardComposed(col("ta"), col("tb")).as("composed"))
       .filter(col("native") =!= col("composed"))
       .count()
     assert(mismatches == 0)
