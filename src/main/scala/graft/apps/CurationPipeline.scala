@@ -17,10 +17,13 @@ import graft.operators.{ConnectedComponents, Dedup}
   *      order — reproducible across runs and engines).
   *
   * Every stage is one of the individually-oracled operators; this app
-  * only wires them. Scale shape: stages 1-2 are scan+one-aggregation;
-  * stage 3 shuffles ids/shingles only (text never rides a wide stage);
-  * stage 4 is one window per stratum. The returned [[Report]] carries
-  * per-stage survivor counts (aggregate actions, no data collected).
+  * only wires them — and the whole composition is ITSELF oracled
+  * end-to-end (query `t23_curation_pipeline` mirrors all four stages,
+  * including the connected-components fixpoint, in one recursive DuckDB
+  * SQL). Scale shape: stages 1-2 are scan+one-aggregation; stage 3
+  * shuffles ids/shingles only (text never rides a wide stage); stage 4
+  * is one window per stratum. [[run]] additionally reports per-stage
+  * survivor counts (aggregate actions, no data collected).
   */
 object CurationPipeline {
 
@@ -28,42 +31,57 @@ object CurationPipeline {
       nInput: Long, nAfterQuality: Long, nAfterExact: Long,
       nAfterNearDup: Long, nSampled: Long)
 
-  /** Run the full curation flow over (doc_id, text, lang) documents.
-    * Returns the curated sample and the per-stage survivor counts. */
+  private def qualityGate(docs: DataFrame, minQuality: Double): DataFrame =
+    docs.filter(TextFunctions.qualityScore(col("text")) >= minQuality)
+
+  private def exactDedup(df: DataFrame): DataFrame = {
+    val keep = Dedup.exact(df, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    df.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  private def canonicalByNearDup(df: DataFrame, threshold: Double): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, "text", "doc_id", threshold)
+    val clustered = ConnectedComponents.clusters(df, "doc_id", pairs)
+    df.join(
+      clustered.filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** Adds the per-language content-hash rank `rn` and keeps rn ≤ n. */
+  private def sample(df: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** The curated sample as one declarative DataFrame: (doc_id, lang,
+    * rn), ordered. This is the oracled surface (t23). */
+  def curate(docs: DataFrame,
+             minQuality: Double = 0.3,
+             jaccardThreshold: Double = 0.8,
+             samplePerLang: Int = 100): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"))
+    sample(
+      canonicalByNearDup(exactDedup(qualityGate(base, minQuality)),
+        jaccardThreshold),
+      samplePerLang)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Run the full curation flow and also report per-stage survivor
+    * counts. Returns the curated documents (original columns). */
   def run(docs: DataFrame,
           minQuality: Double = 0.3,
           jaccardThreshold: Double = 0.8,
           samplePerLang: Int = 100): (DataFrame, Report) = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
-
-    // 1. quality gate — pure scan-side Column expressions
-    val quality = base
-      .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
-
-    // 2. exact dedup — keep the min doc_id of every normalized-content
-    // group (left-semi join back: only ids travel)
-    val exactKeep = Dedup.exact(quality, "text", "doc_id")
-      .select(col("keep_id").as("doc_id"))
-    val exact = quality.join(exactKeep, Seq("doc_id"), "left_semi")
-
-    // 3. near-dup clustering — pairs on the survivors, components, keep
-    // each cluster's minimum id
-    val pairs = Dedup.jaccardPairs(exact, "text", "doc_id",
-      threshold = jaccardThreshold)
-    val clustered = ConnectedComponents.clusters(exact, "doc_id", pairs)
-    val canonical = exact.join(
-      clustered.filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-
-    // 4. deterministic stratified sample — content-hash order per lang
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
-    val sampled = canonical
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= samplePerLang)
-      .drop("__rn")
-
+    val quality = qualityGate(base, minQuality)
+    val exact = exactDedup(quality)
+    val canonical = canonicalByNearDup(exact, jaccardThreshold)
+    val sampled = sample(canonical, samplePerLang).drop("rn")
     val report = Report(
       nInput = base.count(),
       nAfterQuality = quality.count(),

@@ -583,6 +583,111 @@ object LlmQueries {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // the ENTIRE curation pipeline oracled end-to-end: quality gate →
+    // exact dedup → shingle-Jaccard near-dup connected components →
+    // canonical keep → per-language hash-order sample, all mirrored in
+    // one recursive DuckDB SQL. The strongest correctness artifact in
+    // the suite: four composed operators, one hash-compared answer.
+    sql("t23_curation_pipeline")(
+      """WITH RECURSIVE
+        |scored AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens / 50.0, 1.0)
+        |         + (1.0 - least(symbol_ratio * 5.0, 1.0))
+        |         + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE cast(len(toks) AS BIGINT) END AS n_tokens,
+        |      CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |             / length(text)::DOUBLE END AS symbol_ratio,
+        |      CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |             / len(toks)::DOUBLE END AS stop_ratio
+        |    FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |          FROM documents) x) y
+        |),
+        |quality AS (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d JOIN scored q ON q.doc_id = d.doc_id
+        |  WHERE q.quality >= 0.3
+        |),
+        |exact AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |      min(doc_id) OVER (PARTITION BY
+        |        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS keep_id
+        |    FROM quality) t
+        |  WHERE doc_id = keep_id
+        |),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM exact
+        |),
+        |shingles AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks
+        |),
+        |doc_sh AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM shingles
+        |),
+        |rare AS (
+        |  SELECT shingle FROM doc_sh GROUP BY shingle
+        |  HAVING count(*) BETWEEN 2 AND 20
+        |),
+        |blocked AS (
+        |  SELECT d.doc_id, d.shingle FROM doc_sh d JOIN rare r USING (shingle)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |  FROM blocked l JOIN blocked r USING (shingle)
+        |  WHERE l.doc_id < r.doc_id
+        |),
+        |ws AS (
+        |  SELECT doc_id, list_distinct(ts) AS words, len(list_distinct(ts)) AS n FROM toks
+        |),
+        |pairs AS (
+        |  SELECT c.left_id, c.right_id
+        |  FROM cand c
+        |  JOIN ws a ON a.doc_id = c.left_id
+        |  JOIN ws b ON b.doc_id = c.right_id
+        |  WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
+        |        / (a.n + b.n - len(list_intersect(a.words, b.words))), 4) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT left_id AS u, right_id AS v FROM pairs
+        |  UNION
+        |  SELECT right_id, left_id FROM pairs
+        |),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM exact
+        |  UNION
+        |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+        |),
+        |cc AS (
+        |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+        |),
+        |canonical AS (
+        |  SELECT e.doc_id, e.lang, e.text
+        |  FROM exact e JOIN cc ON cc.doc_id = e.doc_id
+        |  WHERE cc.doc_id = cc.cluster_id
+        |),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+        |  FROM canonical
+        |)
+        |SELECT doc_id, lang, cast(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 50
+        |ORDER BY lang, rn""") { (s, d) =>
+      graft.apps.CurationPipeline.curate(Tables.documents(s, d),
+        minQuality = 0.3, jaccardThreshold = 0.8, samplePerLang = 50)
+    },
+
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
