@@ -68,7 +68,7 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    var converged = false
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIterations) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
@@ -79,6 +79,12 @@ object ConnectedComponents {
       edges = next
       i += 1
     }
+    // a non-converged edge set is NOT a star forest — returning it would
+    // silently mislabel components. O(log^2 n) convergence means the
+    // default bound covers any realistic graph; failing loudly beats
+    // wrong cluster ids.
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIterations rounds")
 
     // at the fixpoint every edge is (node, component-min); nodes that ARE
     // their component's min appear only on the v side

@@ -42,6 +42,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("empty pair graph: every document is its own singleton cluster") {
+    val docs = (1L to 5L).toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("left_id", "right_id")
+    val got = ConnectedComponents.clusters(docs, "doc_id", noPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(i => i -> i).toMap)
+  }
+
   test("clusters assigns singletons their own id and planted dups a shared min") {
     val docs = (1L to 10L).toDF("doc_id")
     val pairs = Seq((2L, 7L), (7L, 9L), (3L, 4L)).toDF("left_id", "right_id")
