@@ -688,6 +688,55 @@ object LlmQueries {
         minQuality = 0.3, jaccardThreshold = 0.8, samplePerLang = 50)
     },
 
+    // benchmark DECONTAMINATION: flag documents sharing at least one
+    // 8-gram with an "eval set" (deterministically carved from the
+    // corpus: every 97th doc). The eval n-gram set is tiny at any
+    // corpus scale, so it broadcasts — the fact side never shuffles
+    // for the membership test.
+    sql("t24_decontamination")(
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |),
+        |bench_ng AS (
+        |  SELECT DISTINCT ng FROM (
+        |    SELECT unnest(
+        |      CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |           ELSE list_distinct(list_transform(range(1, len(ts) - 6),
+        |                  i -> array_to_string(ts[i:i+7], ' ')))
+        |      END) AS ng
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS ts FROM bench) b)
+        |),
+        |doc_ng AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 6),
+        |                i -> array_to_string(ts[i:i+7], ' ')))
+        |    END) AS ng
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |        FROM documents) t
+        |),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM doc_ng JOIN bench_ng USING (ng)
+        |)
+        |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN flagged f USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val benchNg = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(TextFunctions.shingles(col("text"), 8)).as("ng"))
+        .distinct()
+      val flagged = docs
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text"), 8)).as("ng"))
+        .join(broadcast(benchNg), Seq("ng"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("__c", lit(true))
+      docs.select(col("doc_id")).join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__c"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     noOracle("t12_ann_lsh_topk") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
