@@ -55,4 +55,13 @@ class TextFunctionsSpec extends SparkSpec {
     val out = df.select(TextFunctions.languageId(col("text"))).collect().map(_.getString(0))
     assert(out.sameElements(Array("en", "de", "es", "fr", "und")))
   }
+
+  test("ngramsRaw preserves duplicates, yields n-k+1 grams, empty when too short") {
+    val df = Seq("a b a b a", "a b", "").toDF("text")
+    val out = df.select(TextFunctions.ngramsRaw(col("text"), 2))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b", "b a", "a b", "b a")) // duplicates kept, 5-2+1
+    assert(out(1) == Seq("a b"))
+    assert(out(2).isEmpty) // tokens("") = [""], size 1 < 2
+  }
 }

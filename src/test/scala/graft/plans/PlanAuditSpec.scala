@@ -77,6 +77,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(keys.forall(_.contains("n_name")), s"unexpected shuffles: $keys")
   }
 
+  test("session_window aggregation is a single exchange on (user, window)") {
+    val ev = Seq(("2024-03-15 12:00:00", 1L, 1.0), ("2024-03-15 12:20:00", 1L, 2.0))
+      .toDF("ts_s", "user_id", "value")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("user_id"), col("value"))
+    val plan = executedPlan(
+      graft.streaming.Sessionize.sessions(ev, "ts", "user_id", "value"))
+    assert(shuffleKeys(plan).size <= 1,
+      s"expected one session exchange, got: ${shuffleKeys(plan)}")
+  }
+
+  test("per-position vector aggregation runs partial averages map-side") {
+    val agg = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")))
+    val plan = executedPlan(agg.toDF())
+    assert(plan.contains("partial_avg"),
+      "posexplode aggregation must partial-aggregate before the exchange")
+  }
+
   test("native expressions appear in generated code, not as interpreted fallbacks") {
     val df = embeddings.limit(10).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
