@@ -42,6 +42,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.forall(_ == 0L))
   }
 
+  test("random graphs match a union-find reference (200 nodes, 5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // component min = min node id among nodes sharing the root
+          val root = find(id.toInt)
+          (0 until n).filter(j => find(j) == root).min.toLong
+        }).toMap
+      val got = components(edges)
+      assert(got == expected, s"seed $seed mismatch")
+    }
+  }
+
   test("empty pair graph: every document is its own singleton cluster") {
     val docs = (1L to 5L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("left_id", "right_id")
