@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   * converges in O(log² n) rounds, and strictly shrinks edge targets
   * toward component minima, so worst-case skew is a single groupBy key
   * per star center — exactly what AQE skew handling covers. Per-round
-  * `localCheckpoint` truncates the iterative lineage (on a cluster with
-  * fault-tolerance requirements, substitute reliable `checkpoint`).
+  * checkpointing truncates the iterative lineage; the checkpointer is a
+  * parameter (default lazy `localCheckpoint` — fastest on a healthy
+  * cluster; pass `_.checkpoint(eager = false)` where executor loss must
+  * be survivable, after setting `sparkContext.setCheckpointDir`).
+  *
+  * Driver-synchronization contract: exactly ONE blocking job per round.
+  * The lazy checkpoint is materialized by the same action that decides
+  * the fixpoint — a single left-join aggregate returning (|next|,
+  * |next ∩ edges|). Both sides are distinct sets, so `next == edges ⇔
+  * |next| == |edges| ∧ next ⊆ edges`; the previous round's count is
+  * remembered driver-side. (Round 3 ran 3 blocking jobs per round —
+  * eager checkpoint + count + exceptAll — which amplified scheduler
+  * contention ~12× on t15 under driver load.)
   */
 object ConnectedComponents {
 
@@ -57,25 +68,34 @@ object ConnectedComponents {
     * appears in at least one edge; `component` is the minimum node id
     * of its connected component. Self-loops are ignored. */
   def resolve(pairs: DataFrame, srcCol: String, dstCol: String,
-              maxIterations: Int = 20): DataFrame = {
-    var edges = pairs
+              maxIterations: Int = 20,
+              checkpoint: DataFrame => DataFrame =
+                _.localCheckpoint(eager = false)): DataFrame = {
+    var edges = checkpoint(pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       // normalize to the large→small orientation the star steps emit, so
       // an already-converged input is recognized on the first comparison
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
-    var converged = edges.isEmpty
+    // one bootstrap action: materializes the lazy checkpoint and counts
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
     var i = 0
     while (!converged && i < maxIterations) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint when the edge set is unchanged (both are distinct sets,
-      // so two except-counts decide equality)
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val next = checkpoint(smallStar(largeStar(edges)))
+      // the round's ONE action: materializes `next` through its lazy
+      // checkpoint and returns (|next|, |next ∩ edges|) in one aggregate;
+      // set equality follows because both sides are distinct
+      val row = next
+        .join(edges.withColumn("__old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__old")).as("overlap"))
+        .head()
+      val (n, overlap) = (row.getLong(0), row.getLong(1))
+      converged = n == prevCount && overlap == n
+      prevCount = n
       edges = next
       i += 1
     }
@@ -98,9 +118,11 @@ object ConnectedComponents {
     * untouched documents — the common case at any scale — out of the
     * iterative machinery entirely. */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-               leftCol: String = "left_id", rightCol: String = "right_id")
+               leftCol: String = "left_id", rightCol: String = "right_id",
+               checkpoint: DataFrame => DataFrame =
+                 _.localCheckpoint(eager = false))
       : DataFrame = {
-    val cc = resolve(pairs, leftCol, rightCol)
+    val cc = resolve(pairs, leftCol, rightCol, checkpoint = checkpoint)
     docs.select(col(idCol))
       .join(cc, col(idCol) === col("id"), "left")
       .select(col(idCol),
