@@ -4,14 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
 import graft.operators.{ConnectedComponents, Dedup, Similarity}
-import QueryDef.{noOracle, sql}
+import QueryDef.sql
 
 /** LLM-training-data pipeline operators: text analysis, deduplication,
   * and embedding similarity search (BASELINE.json north-star extensions).
   *
   * Hash-based operators (MinHash/SimHash/LSH) are not DuckDB-expressible
-  * (different hash primitives) → rows-only driver check + ScalaTest specs
-  * with planted near-duplicates. Everything arithmetic is oracled.
+  * (different hash primitives) but fully deterministic → gated by
+  * reviewed golden parquet oracles ([[graft.GoldenGen]]) plus ScalaTest
+  * specs with planted near-duplicates. Everything arithmetic is oracled
+  * directly in SQL.
   */
 object LlmQueries {
 
@@ -151,13 +153,23 @@ object LlmQueries {
       Dedup.exact(Tables.documents(s, d), "text", "doc_id").orderBy(col("fp"))
     },
 
-    noOracle("t07_minhash_neardup") { (s, d) =>
+    // xxhash64-based signatures aren't DuckDB-expressible, but the output
+    // is fully deterministic (fixed hash primitives, explicit unique-key
+    // ordering) — so the oracle is a reviewed golden parquet generated
+    // once at the driver's verify SF by [[graft.GoldenGen]] (planted-pair
+    // recall and row counts checked at generation; GoldenSpec re-derives
+    // equality on every test run). Regenerate on any parameter change.
+    sql("t07_minhash_neardup")(
+      """SELECT * FROM read_parquet('/root/repo/golden/t07_minhash_neardup.parquet')
+        |ORDER BY left_id, right_id""") { (s, d) =>
       Dedup.minHashPairs(plantedCorpus(s, d), "text", "doc_id")
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("left_id"), col("right_id"))
     },
 
-    noOracle("t08_simhash_neardup") { (s, d) =>
+    sql("t08_simhash_neardup")(
+      """SELECT * FROM read_parquet('/root/repo/golden/t08_simhash_neardup.parquet')
+        |ORDER BY left_id, right_id""") { (s, d) =>
       // blocks = maxHamming + 1 → pigeonhole-complete recall
       Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id",
         maxHamming = 6, blocks = 7)
@@ -737,12 +749,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    noOracle("t12_ann_lsh_topk") { (s, d) =>
+    // golden-parquet oracles (see t07 comment / graft.GoldenGen): seeded
+    // hyperplane LSH is deterministic, so precomputed expected output is
+    // a valid hash-compare target for the driver.
+    sql("t12_ann_lsh_topk")(
+      """SELECT * FROM read_parquet('/root/repo/golden/t12_ann_lsh_topk.parquet')
+        |ORDER BY cosine_sim DESC, vec_id""") { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
     },
 
-    noOracle("t13_embedding_neardup") { (s, d) =>
+    sql("t13_embedding_neardup")(
+      """SELECT * FROM read_parquet('/root/repo/golden/t13_embedding_neardup.parquet')
+        |ORDER BY left_id, right_id""") { (s, d) =>
       // bits=10: 1024 buckets/table keeps candidate volume subquadratic
       // as the corpus grows; 4 tables hold planted recall >= 0.95
       Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
