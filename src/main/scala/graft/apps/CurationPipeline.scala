@@ -40,8 +40,10 @@ object CurationPipeline {
     df.join(keep, Seq("doc_id"), "left_semi")
   }
 
-  private def canonicalByNearDup(df: DataFrame, threshold: Double): DataFrame = {
-    val pairs = Dedup.jaccardPairs(df, "text", "doc_id", threshold)
+  private def canonicalByNearDup(df: DataFrame, threshold: Double,
+      shingleSize: Int, maxDocFreq: Int): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, "text", "doc_id", threshold,
+      shingleSize = shingleSize, maxDocFreq = maxDocFreq)
     val clustered = ConnectedComponents.clusters(df, "doc_id", pairs)
     df.join(
       clustered.filter(col("doc_id") === col("cluster_id"))
@@ -57,11 +59,33 @@ object CurationPipeline {
   }
 
   /** The curated sample as one declarative DataFrame: (doc_id, lang,
-    * rn), ordered. This is the oracled surface (t23). */
+    * rn), ordered. This is the oracled surface (t23).
+    *
+    * Density knobs — the near-dup stage's cost is proportional to
+    * CANDIDATE-PAIR volume, not corpus size (PLANS.md §Measured
+    * scaling), and candidate volume is what these bound on a dense
+    * (self-similar) corpus:
+    *   - `maxDocFreq`: a shingle shared by more than this many docs is
+    *     treated as a stop-shingle and generates NO candidates; each
+    *     surviving shingle enumerates ≤ maxDocFreq·(maxDocFreq−1)/2
+    *     pairs in-place, so worst-case pairs ≤ that × #rare-shingles.
+    *     Lowering it is the first lever when a corpus's vocabulary is
+    *     narrow (the synthetic corpus here: ~30-word vocabulary → avg
+    *     near-dup degree ~200 at threshold 0.8).
+    *   - `jaccardThreshold`: raises the exact-verify bar AND (via the
+    *     provable length prefilter min/max ≥ t) prunes candidates
+    *     before the word-set join.
+    *   - `shingleSize`: larger shingles are rarer — fewer blocking
+    *     collisions, at the cost of missing short-document overlaps.
+    * Recall contract: candidates require ≥1 shared RARE shingle, so a
+    * lower `maxDocFreq` can only drop pairs whose every shared shingle
+    * is a stop-shingle — near-identical docs always share rare ones. */
   def curate(docs: DataFrame,
              minQuality: Double = 0.3,
              jaccardThreshold: Double = 0.8,
-             samplePerLang: Int = 100): DataFrame = {
+             samplePerLang: Int = 100,
+             shingleSize: Int = 3,
+             maxDocFreq: Int = 20): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
     // the exact-dedup survivors feed MANY downstream branches (shingle
     // blocking, word sets, cluster join, sample); materializing them
@@ -69,22 +93,27 @@ object CurationPipeline {
     // (measured 13-26 s -> ~2 s at sf0.1). On a fault-tolerance-critical
     // cluster substitute reliable checkpoint().
     val exact = exactDedup(qualityGate(base, minQuality)).localCheckpoint()
-    sample(canonicalByNearDup(exact, jaccardThreshold), samplePerLang)
+    sample(canonicalByNearDup(exact, jaccardThreshold, shingleSize, maxDocFreq),
+        samplePerLang)
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy(col("lang"), col("rn"))
   }
 
   /** Run the full curation flow and also report per-stage survivor
-    * counts. Returns the curated documents (original columns). */
+    * counts. Returns the curated documents (original columns).
+    * Knobs as in [[curate]]. */
   def run(docs: DataFrame,
           minQuality: Double = 0.3,
           jaccardThreshold: Double = 0.8,
-          samplePerLang: Int = 100): (DataFrame, Report) = {
+          samplePerLang: Int = 100,
+          shingleSize: Int = 3,
+          maxDocFreq: Int = 20): (DataFrame, Report) = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
     val quality = qualityGate(base, minQuality)
     // see curate(): one materialization serves every downstream branch
     val exact = exactDedup(quality).localCheckpoint()
-    val canonical = canonicalByNearDup(exact, jaccardThreshold)
+    val canonical = canonicalByNearDup(exact, jaccardThreshold,
+      shingleSize, maxDocFreq)
     val sampled = sample(canonical, samplePerLang).drop("rn")
     val report = Report(
       nInput = base.count(),

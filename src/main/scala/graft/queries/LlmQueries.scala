@@ -553,9 +553,14 @@ object LlmQueries {
     // posexplode stream is (label, pos, component): fixed 64x
     // amplification of skinny rows, map-side partial averages, one
     // shuffle on (label, pos).
+    // `+ 0.0` after round: embedding components are signed with near-zero
+    // means, and the two engines sum rows in different orders — a mean of
+    // ±1e-18 rounds to -0.0 in one engine and 0.0 in the other, which the
+    // driver's text hash distinguishes. x + 0.0 maps -0.0 → 0.0 (IEEE)
+    // and is the identity elsewhere; applied in BOTH engines.
     sql("t21_embedding_centroids")(
       """SELECT label, i - 1 AS pos,
-        |  round(avg(embedding[i]::DOUBLE), 4) AS centroid,
+        |  round(avg(embedding[i]::DOUBLE), 4) + 0.0 AS centroid,
         |  cast(count(*) AS BIGINT) AS n_vectors
         |FROM (
         |  SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i
@@ -565,7 +570,7 @@ object LlmQueries {
       Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("v").cast("double")), 4).as("centroid"),
+        .agg((round(avg(col("v").cast("double")), 4) + 0.0).as("centroid"),
           count(lit(1)).as("n_vectors"))
         .select(col("label"), col("pos").cast("long").as("pos"),
           col("centroid"), col("n_vectors"))

@@ -16,7 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     format to string or epoch micros instead);
   *   - no `sum(int)` in DuckDB SQL without a cast (DuckDB widens to
   *     HUGEINT, Spark to BIGINT);
-  *   - deterministic ORDER BY with a unique tiebreaker in both engines.
+  *   - deterministic ORDER BY with a unique tiebreaker in both engines;
+  *   - `round(x, k) + 0.0` when x is a row-aggregate of SIGNED data with
+  *     a near-zero mean: the engines sum rows in different orders, so a
+  *     true mean of ±1e-18 rounds to -0.0 in one engine and +0.0 in the
+  *     other — distinct under the driver's text hash. (Row-local
+  *     arithmetic is safe: identical operands give identical zeros.)
   */
 final case class QueryDef(
     name: String,

@@ -65,4 +65,18 @@ class CurationPipelineSpec extends SparkSpec {
     val b = s2.select("doc_id").collect().map(_.getLong(0)).sorted
     assert(a.sameElements(b))
   }
+
+  test("density knobs bound candidate volume without losing planted near-dups") {
+    // a tight doc-frequency cap prunes the candidate space hard...
+    val (sampled, report) = CurationPipeline.run(corpus,
+      samplePerLang = 1000, maxDocFreq = 5)
+    // ...but the recall contract holds: planted near-dups share RARE
+    // shingles with their originals, so they still collapse
+    val ids = sampled.select("doc_id").collect().map(_.getLong(0)).toSet
+    (20L until 40L).foreach { id =>
+      assert(!ids.contains(id + 20000),
+        s"near duplicate ${id + 20000} survived under maxDocFreq=5")
+    }
+    assert(report.nAfterNearDup < report.nAfterExact)
+  }
 }
