@@ -77,8 +77,10 @@ final class LpiAnalysis(
         col("minimum").as("Minimum"), col("maximum").as("Maximum")),
       Paths.get(statsDir, s"${stem}_stats.csv"))
 
-    // K3 — stats:<stem> hash; collect is #channels rows (control plane)
-    val mapping = stats.collect().flatMap { r =>
+    // K3 — stats:<stem> hash; control-plane collect, contractually one
+    // row per channel of THIS file (ChannelStats groups by sensor name)
+    val mapping = graft.core.Bounded
+      .collect(stats, channels.size, "LpiAnalysis.stats").flatMap { r =>
       val sensor = r.getString(0)
       Seq(s"$sensor:mean" -> r.getDouble(1).toString,
         s"$sensor:min" -> r.getDouble(2).toString,

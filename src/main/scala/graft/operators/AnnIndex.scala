@@ -35,10 +35,14 @@ object AnnIndex {
   def candidates(spark: SparkSession, path: String, queryVec: Array[Float],
       dims: Int, bits: Int = 6, tables: Int = 4): DataFrame = {
     import spark.implicits._
-    val probes: Seq[(Int, Long)] = Seq(queryVec).toDF("vec")
-      .select(explode(Similarity.lshBuckets(col("vec"), dims, bits, tables)).as("tb"))
-      .select(col("tb.tbl"), col("tb.bucket"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // control-plane collect, contractually one (tbl, bucket) probe per
+    // LSH table for the single query vector
+    val probes: Seq[(Int, Long)] = graft.core.Bounded.collect(
+      Seq(queryVec).toDF("vec")
+        .select(explode(Similarity.lshBuckets(col("vec"), dims, bits, tables)).as("tb"))
+        .select(col("tb.tbl"), col("tb.bucket")),
+      tables, "AnnIndex.probes")
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
     val index = spark.read.parquet(path)
     probes.map { case (t, b) =>
       index.filter(col("tbl") === t && col("bucket") === b)

@@ -73,8 +73,12 @@ final class FilePipeline(
     }
   }
 
+  // control-plane collect, contractually ≤ maxFilesPerTrigger path
+  // strings per micro-batch (the source's admission bound) — never data
   private[streaming] def handleBatch(batch: DataFrame, batchId: Long): Unit =
-    batch.select("path").collect().map(_.getString(0)).sorted.foreach(processOne)
+    graft.core.Bounded
+      .collect(batch.select("path"), maxFilesPerTrigger, "FilePipeline.batch")
+      .map(_.getString(0)).sorted.foreach(processOne)
 
   def start(): StreamingQuery =
     spark.readStream

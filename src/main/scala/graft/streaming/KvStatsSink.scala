@@ -16,9 +16,15 @@ import graft.sinks.KvSink
   * windows nobody refreshed — the reference's expiry contract. */
 object KvStatsSink {
 
+  /** `maxBatchRows` is the control-plane cardinality contract for the
+    * per-batch collect: one row per (window, sensor) per trigger. The
+    * default covers thousands of sensors across the handful of windows a
+    * trigger can touch; a stream that exceeds it is publishing data, not
+    * stats, and fails loudly rather than flooding the driver. */
   def start(windowed: DataFrame, kv: KvSink, checkpointDir: String,
       ttlSeconds: Long = graft.core.GraftConfig.basicTtlSeconds,
-      trigger: String = s"${graft.core.GraftConfig.tickerIntervalSec} seconds")
+      trigger: String = s"${graft.core.GraftConfig.tickerIntervalSec} seconds",
+      maxBatchRows: Int = 100000)
       : StreamingQuery =
     windowed.writeStream
       .outputMode("update")
@@ -26,7 +32,8 @@ object KvStatsSink {
       .trigger(Trigger.ProcessingTime(trigger))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // control-plane collect: one row per (window, sensor) per batch
-        batch.collect().groupBy(_.getTimestamp(0)).foreach {
+        graft.core.Bounded.collect(batch, maxBatchRows, "KvStatsSink.batch")
+          .groupBy(_.getTimestamp(0)).foreach {
           case (windowStart, rows) =>
             val key = "stats:" + windowStart.toInstant.toString
             val mapping = rows.flatMap { r =>
