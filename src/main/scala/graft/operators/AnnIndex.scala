@@ -30,32 +30,48 @@ object AnnIndex {
       .parquet(path)
 
   /** The candidate set for a query vector: only the probe partitions are
-    * read (one per table). `queryVec` is computed driver-side — it is
-    * one vector, not data-plane. */
+    * read (one per table; × the Hamming-ball size under multi-probe).
+    * `queryVec` is computed driver-side — it is one vector, not
+    * data-plane. `probeHamming` expands each table's probe to every
+    * bucket within that Hamming distance (see [[Similarity.annTopK]]);
+    * expansion happens on the driver-side probe LIST, so partition
+    * pruning still applies — a probe of a bucket directory that does not
+    * exist is pruned to an empty scan for free. */
   def candidates(spark: SparkSession, path: String, queryVec: Array[Float],
-      dims: Int, bits: Int = 6, tables: Int = 4): DataFrame = {
+      dims: Int, bits: Int = 6, tables: Int = 4,
+      probeHamming: Int = 0): DataFrame = {
     import spark.implicits._
     // control-plane collect, contractually one (tbl, bucket) probe per
     // LSH table for the single query vector
-    val probes: Seq[(Int, Long)] = graft.core.Bounded.collect(
+    val exact: Seq[(Int, Long)] = graft.core.Bounded.collect(
       Seq(queryVec).toDF("vec")
         .select(explode(Similarity.lshBuckets(col("vec"), dims, bits, tables)).as("tb"))
         .select(col("tb.tbl"), col("tb.bucket")),
       tables, "AnnIndex.probes")
       .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val probes =
+      if (probeHamming <= 0) exact
+      else exact.flatMap { case (t, b) =>
+        Similarity.probeMasks(bits, probeHamming).map(m => (t, b ^ m))
+      }.distinct
     val index = spark.read.parquet(path)
-    probes.map { case (t, b) =>
-      index.filter(col("tbl") === t && col("bucket") === b)
-    }.reduce(_ unionAll _)
+    // ONE scan with an IN-list partition filter per table (not a
+    // probe-count-deep unionAll): pruning keeps only probe directories,
+    // and probes of buckets that were never written prune to nothing
+    val pred = probes.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, bs) =>
+        col("tbl") === t && col("bucket").isin(bs.map(_._2): _*)
+      }.reduce(_ || _)
+    index.filter(pred)
       .select(col("id"), col("vec")).dropDuplicates("id")
   }
 
   /** Top-k by cosine over the pruned candidate set. */
   def topK(spark: SparkSession, path: String, queryVec: Array[Float],
       dims: Int, k: Int, bits: Int = 6, tables: Int = 4,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None, probeHamming: Int = 0): DataFrame = {
     import spark.implicits._
-    val cand = candidates(spark, path, queryVec, dims, bits, tables)
+    val cand = candidates(spark, path, queryVec, dims, bits, tables, probeHamming)
     val q = Seq(queryVec).toDF("__qvec")
     val scored = cand.join(broadcast(q))
       .select(col("id"),

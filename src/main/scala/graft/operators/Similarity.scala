@@ -108,21 +108,44 @@ object Similarity {
       struct(lit(t).as("tbl"), lshBucket(vec, dims, bits, t).as("bucket"))
     }: _*)
 
+  /** XOR masks of Hamming weight ≤ `maxHamming` over `bits` positions —
+    * the multi-probe expansion set. Sorted for deterministic plans. */
+  private[operators] def probeMasks(bits: Int, maxHamming: Int): Seq[Long] =
+    (0 to maxHamming).flatMap(h =>
+      (0 until bits).combinations(h)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq).sorted
+
   /** Bucketed ANN top-k: score only candidates colliding with the query
     * in at least one of `tables` LSH tables. The query's probe set is a
     * tiny broadcast, so candidate selection is a broadcast hash join on
     * (tbl, bucket) — the big side never shuffles. Brute force (`topK`)
     * is the correctness baseline; this is the bounded-candidate path
     * (at true scale the bucketing would live in the table layout, so a
-    * query reads only its bucket partitions). */
+    * query reads only its bucket partitions).
+    *
+    * `probeHamming` is the multi-probe knob (Lv et al., "Multi-Probe
+    * LSH", VLDB'07 — simplified to uniform bit flips): also probe every
+    * bucket within that Hamming distance of the query's bucket in each
+    * table. Adjacent buckets differ in one hyperplane sign, so they hold
+    * the next-most-similar candidates; expansion fills k when fine
+    * buckets (large `bits`) leave the exact bucket nearly empty, without
+    * re-bucketing the corpus. Probe count per table is Σ C(bits, h) for
+    * h ≤ probeHamming — still a broadcast-sized query side. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-              queryId: Long, k: Int, bits: Int = 6, tables: Int = 4): DataFrame = {
+              queryId: Long, k: Int, bits: Int = 6, tables: Int = 4,
+              probeHamming: Int = 0): DataFrame = {
     val bucketed = df.select(col(idCol), col(vecCol),
       explode(lshBuckets(col(vecCol), dims, bits, tables)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val q = bucketed.filter(col(idCol) === queryId)
+    val exact = bucketed.filter(col(idCol) === queryId)
       .select(col("tbl"), col("bucket"), col(vecCol).as("__qvec"))
+    val q =
+      if (probeHamming <= 0) exact
+      else exact.select(col("tbl"),
+        explode(array(probeMasks(bits, probeHamming)
+          .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"),
+        col("__qvec"))
     bucketed.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol),

@@ -43,6 +43,21 @@ class AnnIndexSpec extends SparkSpec {
       s"pruning ineffective: $prunedRows of $totalRows rows read")
   }
 
+  test("multi-probe widens the candidate set and stays partition-pruned") {
+    val path = Files.createTempDirectory("ann_idx3").toString + "/index"
+    AnnIndex.build(embeddings, "vec_id", "embedding", dims = 64, path,
+      bits = 8, tables = 2)
+    val qvec = embeddings.filter(col("vec_id") === 0)
+      .head.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val exact = AnnIndex.candidates(spark, path, qvec, dims = 64,
+      bits = 8, tables = 2).count()
+    val multi = AnnIndex.candidates(spark, path, qvec, dims = 64,
+      bits = 8, tables = 2, probeHamming = 1)
+    assert(multi.count() >= exact, "probe expansion must not lose candidates")
+    // still a pruned read: candidates ≪ the full index
+    assert(multi.count() < spark.read.parquet(path).count() / 4)
+  }
+
   test("index top-k agrees with brute force on the candidate set") {
     val path = Files.createTempDirectory("ann_idx2").toString + "/index"
     AnnIndex.build(embeddings, "vec_id", "embedding", dims = 64, path,

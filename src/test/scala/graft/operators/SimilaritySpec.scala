@@ -74,6 +74,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe fills k where fine single-probe buckets under-fill") {
+    // bits=12 → 4096 buckets/table over 500 near-uniform vectors: the
+    // query's exact buckets are nearly empty, so single-probe cannot
+    // fill k — the sparse-bucket regime multi-probe exists for
+    val single = Similarity.annTopK(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+      "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
+      bits = 12, tables = 4).count()
+    assert(single < 20, s"expected single-probe to under-fill, got $single")
+    val multi = Similarity.annTopK(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+      "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
+      bits = 12, tables = 4, probeHamming = 2)
+    assert(multi.count() == 20, "Hamming-2 probe expansion must fill k")
+    // expansion must not invent scores: every reported similarity is the
+    // brute-force value
+    val brute = Similarity.scoreAgainst(
+      spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"),
+      "vec_id", "embedding", 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    multi.collect().foreach(r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("probeMasks enumerates exactly the Hamming ball") {
+    assert(Similarity.probeMasks(12, 0) === Seq(0L))
+    val h1 = Similarity.probeMasks(12, 1)
+    assert(h1.length == 13 && h1.forall(m => java.lang.Long.bitCount(m) <= 1))
+    val h2 = Similarity.probeMasks(12, 2)
+    assert(h2.length == 1 + 12 + 66 && h2.distinct.length == h2.length)
+    assert(h2.forall(m => java.lang.Long.bitCount(m) <= 2 && m < (1L << 12)))
+  }
+
   test("planted embedding near-dups have cosine >= 0.99") {
     val pairs = plantedEmb.filter(col("vec_id") < 1000000L)
       .select(col("vec_id"), col("embedding").as("a"))
