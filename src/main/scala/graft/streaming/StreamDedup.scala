@@ -23,4 +23,58 @@ object StreamDedup {
     events
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** NEAR-duplicate admission on a document stream: a document is
+    * admitted iff no near-duplicate predecessor arrived within the
+    * watermark horizon. Composition of the batch MinHash machinery
+    * ([[graft.operators.Dedup.minHashPairs]]'s banding — same native
+    * signature expression, same band/bucket construction) with two
+    * chained stateful stages:
+    *
+    *   1. band the signature and `dropDuplicatesWithinWatermark` on
+    *      (band, bucket): the FIRST document to present each bucket owns
+    *      it; state is one row per bucket per watermark horizon;
+    *   2. windowed count per document: a document that owns ALL its
+    *      bands had no band collide with an earlier document → admit.
+    *      Any band owned by a predecessor means an estimated-Jaccard
+    *      near-dup upstream → drop.
+    *
+    * LSH semantics carry over from batch: admission is approximate
+    * (collision probability per band = est-Jaccard^rows), ties within
+    * one micro-batch resolve arbitrarily but exactly one representative
+    * of a duplicate set is admitted. Output appends at window close
+    * (event time must pass window end + `delay`), carrying (idCol,
+    * window_start). Scale shape: one shuffle on (band, bucket) + one on
+    * (window, id); state is bounded by distinct buckets and open
+    * windows per horizon — never stream history. */
+  def nearDupWithinWatermark(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, delay: String = "10 minutes",
+      windowLen: String = "1 minute",
+      numHashes: Int = 32, bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    // projection FIRST, watermark AFTER it (a later projection would
+    // re-create the attributes and drop the watermark tag)
+    val banded = docs
+      .select(col(idCol), col(tsCol),
+        call_function("graft_minhash_sig",
+          graft.functions.TextFunctions.shingles(col(textCol), shingleSize),
+          lit(numHashes)).as("sig"))
+      .select(col(idCol), col(tsCol),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+          .as("bb"))
+      .select(col(idCol), col(tsCol),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withWatermark(tsCol, delay)
+
+    banded
+      .dropDuplicatesWithinWatermark(Seq("band", "bucket"))
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("owned_bands"))
+      .filter(col("owned_bands") === bands)
+      .select(col(idCol), col("window.start").as("window_start"))
+  }
 }

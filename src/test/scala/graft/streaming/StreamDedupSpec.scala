@@ -53,4 +53,56 @@ class StreamDedupSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators(0).numRowsTotal == 3)
     } finally q.stop()
   }
+
+  private val docSchema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def writeDocs(dir: String, n: Int, rows: Seq[(String, Long, String)]): Unit =
+    rows.toDF("ts_s", "doc_id", "text")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("doc_id"), col("text"))
+      .coalesce(1).write.parquet(s"$dir/batch$n")
+
+  test("near-duplicates across micro-batches are dropped; distinct docs admitted") {
+    val dir = Files.createTempDirectory("sndd_src").toString
+    val ckpt = Files.createTempDirectory("sndd_ckpt").toString
+    val a = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val b = "completely different content about spark structured streaming state stores and watermarks"
+    val c = "a third unrelated document discussing parquet column pruning and predicate pushdown"
+    writeDocs(dir, 1, Seq(
+      ("2024-03-15 12:00:00", 1L, a),
+      ("2024-03-15 12:00:05", 2L, b)))
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val admitted = StreamDedup.nearDupWithinWatermark(
+      stream, "ts", "doc_id", "text",
+      delay = "10 seconds", windowLen = "1 minute")
+
+    val q = admitted.writeStream.format("memory").queryName("sndd_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: near-dup of doc 1 (one appended token — the planted
+      // construction every batch detector recovers), plus a fresh doc
+      writeDocs(dir, 2, Seq(
+        ("2024-03-15 12:00:20", 10L, a + " graftdup"),
+        ("2024-03-15 12:00:25", 3L, c)))
+      q.processAllAvailable()
+      // batch 3: event time far enough ahead to close the 12:00 window
+      // (window end 12:01 + 10 s delay)
+      writeDocs(dir, 3, Seq(("2024-03-15 12:05:00", 99L, "window flusher")))
+      q.processAllAvailable()
+
+      val ids = spark.table("sndd_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.contains(1L) && ids.contains(2L) && ids.contains(3L),
+        s"distinct docs must be admitted; got ${ids.mkString(",")}")
+      assert(!ids.contains(10L),
+        s"near-dup of an earlier doc must be dropped; got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
 }
