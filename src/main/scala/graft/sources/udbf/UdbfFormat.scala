@@ -176,6 +176,37 @@ object UdbfFormat {
     case other => throw new IllegalArgumentException(s"unsupported UDBF data type $other")
   }
 
+  /** Absolute-offset variant of [[readValue]]: no position mutation, so
+    * the hot decode loops (one call per projected value per frame) skip
+    * the ByteBuffer's position/limit bookkeeping entirely. */
+  def readValueAt(buf: ByteBuffer, dataType: Int, off: Int): Double = dataType match {
+    case 1 | 3 | 9 => (buf.get(off) & 0xff).toDouble
+    case 2         => buf.get(off).toDouble
+    case 4         => buf.getShort(off).toDouble
+    case 5 | 10    => (buf.getShort(off) & 0xffff).toDouble
+    case 6         => buf.getInt(off).toDouble
+    case 7 | 11    => (buf.getInt(off) & 0xffffffffL).toDouble
+    case 8         => buf.getFloat(off).toDouble
+    case 12        => buf.getDouble(off)
+    case 13        => buf.getLong(off).toDouble
+    case 14 | 15   => buf.getLong(off).toDouble // u64 beyond 2^63 not produced by loggers
+    case other => throw new IllegalArgumentException(s"unsupported UDBF data type $other")
+  }
+
+  /** Absolute-offset variant of [[readTicks]]. */
+  def readTicksAt(buf: ByteBuffer, dataType: Int, off: Int): Long = dataType match {
+    case 1 | 3 | 9 => (buf.get(off) & 0xff).toLong
+    case 2         => buf.get(off).toLong
+    case 4         => buf.getShort(off).toLong
+    case 5 | 10    => (buf.getShort(off) & 0xffff).toLong
+    case 6         => buf.getInt(off).toLong
+    case 7 | 11    => buf.getInt(off) & 0xffffffffL
+    case 8         => buf.getFloat(off).toLong
+    case 12        => buf.getDouble(off).toLong
+    case 13 | 14 | 15 => buf.getLong(off)
+    case other => throw new IllegalArgumentException(s"unsupported UDBF data type $other")
+  }
+
   /** Read the per-record time field as raw ticks (Long). */
   def readTicks(buf: ByteBuffer, dataType: Int): Long = dataType match {
     case 1 | 3 | 9 => (buf.get() & 0xff).toLong

@@ -156,4 +156,40 @@ class UdbfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("wide-channel file: columnar and row paths decode identically across batch boundaries") {
+    val p = Paths.get(tmpDir, "wide.dat")
+    val chans = (0 until 48).map(i => ChannelSpec(f"w_$i%02d", "V"))
+    def gen(i: Int, j: Int): Double = math.sin(i * 0.01 + j)
+    // 10000 frames > the 4096-row vector capacity → several ColumnarBatches
+    UdbfWriter.write(p, chans, 10000, gen, 1700000000000000L, 100.0)
+    val colDf = spark.read.format("udbf").load(p.toString)
+    val rowDf = spark.read.format("udbf")
+      .option("columnar", "false").load(p.toString)
+    // the default path is really vectorized, the opt-out really is not
+    assert(colDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(colDf.count() == 10000 && rowDf.count() == 10000)
+    // bit-exact parity, every column of every frame, both directions
+    assert(colDf.exceptAll(rowDf).isEmpty && rowDf.exceptAll(colDf).isEmpty)
+    // pruning holds on the vectorized path: a 2-column projection reads
+    // a 2-column batch
+    val pruned = colDf.select("ts", "w_07")
+    val leaves = pruned.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.exists(_.output.map(_.name) == Seq("ts", "w_07")))
+    assert(math.abs(pruned.agg(sum("w_07")).head.getDouble(0) -
+      (0 until 10000).map(i => math.sin(i * 0.01 + 7)).sum) < 1e-6)
+  }
+
+  test("D5 chunk gate is terminal on the columnar path too") {
+    // chunk 2 starts with a NON-advancing timestamp: everything from
+    // there on is a stale re-concat and must be dropped — even though
+    // the vectorized reader keeps asking for more batches
+    val p = Paths.get(tmpDir, "wrap_col.dat")
+    UdbfWriter.write(p, Seq(ChannelSpec("c", "V")), 30, (i, _) => i.toDouble,
+      0L, 1.0, ticksAt = i => if (i < 20) i * 1000L else (i - 20) * 1000L)
+    val n = spark.read.format("udbf")
+      .option("chunkFrames", "10").load(p.toString).count()
+    assert(n == 20, s"expected the gate to end the file at frame 20, read $n")
+  }
 }
