@@ -22,7 +22,17 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nErr = results.count(_._3.nonEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the full metric line: the console line can get
+    // truncated by log tailing, losing the per-query breakdown that
+    // round-over-round comparison needs
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_full.json")),
+      line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not persist metric line: $e") }
     spark.stop()
   }
 }
