@@ -23,16 +23,21 @@ object GoldenGen {
   /** The queries gated by golden files, with their repo-committed paths. */
   val goldenQueries: Seq[String] = Seq(
     "t07_minhash_neardup", "t08_simhash_neardup",
-    "t12_ann_lsh_topk", "t13_embedding_neardup")
+    "t12_ann_lsh_topk", "t13_embedding_neardup", "t25_ivf_topk")
 
   def goldenPath(name: String): String = s"/root/repo/golden/$name.parquet"
 
+  /** args: [sfDir] [outDir] [queryName...] — with no names, regenerates
+    * every golden (name filtering avoids byte-churn on untouched files). */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/root/repo/golden"
+    val names = if (args.length > 2) args.drop(2).toSeq else goldenQueries
+    require(names.forall(goldenQueries.contains),
+      s"unknown golden query in ${names.mkString(",")}")
     val spark = graft.core.Sessions.local("graft-golden")
     Files.createDirectories(Paths.get(outDir))
-    goldenQueries.foreach { name =>
+    names.foreach { name =>
       val tmp = Paths.get(outDir, s"__tmp_$name")
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index: the k-means-centroid counterpart to
+  * the random-hyperplane [[AnnIndex]] — together they are the two
+  * standard scale paths for embedding search (SURVEY §2 "an IVF or
+  * LSH-bucketed variant"). Vectors are clustered once; the index stores
+  * each vector under its nearest centroid in the TABLE LAYOUT
+  * (`partitionBy(cluster)`), so a query reads only its `nprobe` closest
+  * centroid partitions instead of scanning the corpus — the IVF recall
+  * knob is the probe count, not a hash width.
+  *
+  * Everything is deliberately deterministic so queries over a persisted
+  * index are reproducible across runs, partition orders, and engines:
+  *   - init = the k lowest-id vectors (no RNG);
+  *   - Lloyd's iterations run a fixed count, with per-dimension means
+  *     ROUNDED to `roundDp` decimals before use — partial-aggregation
+  *     summation order perturbs raw doubles at ~1e-15, and rounding
+  *     absorbs it (the same convention the oracle queries use);
+  *   - assignment = argmax cosine with first-index tie-break.
+  *
+  * Scale shape: each Lloyd's iteration is one scan + one (cluster, dim)
+  * aggregation shuffle; centroids ride as plan literals (k × dims
+  * doubles — broadcast-sized by construction) and come back through a
+  * [[graft.core.Bounded]] control-plane collect. No vector ever joins
+  * against another vector during training; query-time scoring touches
+  * only the probed partitions' rows. */
+object IvfIndex {
+
+  /** Nearest-centroid assignment as a Column: argmax of the native
+    * codegen'd cosine against each centroid literal, ties to the lowest
+    * cluster id (array_position finds the FIRST maximum). */
+  private def assignment(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val sims = array(centroids.map(c =>
+      call_function("graft_cosine", vec, typedLit(c))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Train `k` centroids with `iters` Lloyd's iterations. Returns the
+    * rounded centroids, cluster id = row index. */
+  def train(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+            k: Int, iters: Int = 5, roundDp: Int = 4): Seq[Seq[Double]] = {
+    require(k >= 1 && iters >= 1)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+
+    // deterministic init: the k lowest-id vectors
+    var centroids: Seq[Seq[Double]] = graft.core.Bounded.collect(
+      vecs.orderBy(col("id")).limit(k), k, "IvfIndex.init")
+      .map(_.getAs[scala.collection.Seq[Float]]("vec").map(_.toDouble).toSeq)
+      .toSeq
+    require(centroids.length == k,
+      s"IVF needs at least k=$k vectors, found ${centroids.length}")
+
+    var i = 0
+    while (i < iters) {
+      // one scan: assign, explode dims, mean per (cluster, dim). The
+      // collect is control-plane: exactly k*dims small rows.
+      val next = graft.core.Bounded.collect(
+        vecs.select(assignment(col("vec"), centroids).as("cluster"),
+            posexplode(col("vec")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg((round(avg(col("v").cast("double")), roundDp) + 0.0).as("c"))
+          .orderBy(col("cluster"), col("pos")),
+        k * dims, "IvfIndex.train")
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        .toMap
+      // a cluster that lost all members keeps its previous centroid —
+      // deterministic, and standard Lloyd's practice
+      centroids = centroids.indices.map(c => next.getOrElse(c, centroids(c)))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Build the persisted index: every vector under its nearest-centroid
+    * partition, plus the centroid table itself for query-time probing. */
+  def build(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+            path: String, k: Int, iters: Int = 5): Seq[Seq[Double]] = {
+    val centroids = train(df, idCol, vecCol, dims, k, iters)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        assignment(col(vecCol), centroids).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path.centroids")
+    centroids
+  }
+
+  /** Driver-side nearest-`nprobe` centroid ranking for one query vector
+    * (k cosines over doubles — control plane by construction). */
+  private def rankClusters(centroids: Seq[(Int, Seq[Double])],
+                           queryVec: Array[Float], nprobe: Int): Seq[Int] = {
+    val q = queryVec.map(_.toDouble)
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    centroids.map { case (id, c) =>
+      val dot = q.indices.map(i => q(i) * c(i)).sum
+      val d = qn * math.sqrt(c.map(x => x * x).sum)
+      (if (d == 0) 0.0 else dot / d, id)
+    }.sortBy { case (sim, id) => (-sim, id) }.take(nprobe).map(_._2)
+  }
+
+  /** The `nprobe` clusters nearest to the query vector, read from a
+    * persisted index's centroid table. */
+  def probeClusters(spark: SparkSession, path: String,
+                    queryVec: Array[Float], nprobe: Int): Seq[Int] =
+    rankClusters(
+      graft.core.Bounded.collect(
+        spark.read.parquet(s"$path.centroids"), 1 << 20, "IvfIndex.centroids")
+        .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]](1).toSeq)
+        .toSeq,
+      queryVec, nprobe)
+
+  /** One-shot IVF top-k over an in-memory corpus (no persisted index):
+    * train, probe the query's `nprobe` nearest clusters, score only
+    * rows assigned to them. Same recall/pruning semantics as the
+    * persisted path — the cluster filter trims the scan output instead
+    * of directories — and fully deterministic, so it is oracle-able.
+    * The query vector is selected from the corpus by `queryId`. */
+  def scanTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+               queryId: Long, k: Int, kClusters: Int = 16, iters: Int = 3,
+               nprobe: Int = 2): DataFrame = {
+    val centroids = train(df, idCol, vecCol, dims, kClusters, iters)
+    val qvec = graft.core.Bounded.collect(
+      df.filter(col(idCol) === queryId).select(col(vecCol)),
+      1, "IvfIndex.queryVec")
+      .head.getAs[scala.collection.Seq[Float]](0).toArray
+    val probes = rankClusters(centroids.zipWithIndex.map(_.swap), qvec, nprobe)
+    df.select(col(idCol), col(vecCol),
+        assignment(col(vecCol), centroids).as("cluster"))
+      .filter(col("cluster").isin(probes: _*))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(call_function("graft_cosine", col(vecCol),
+          typedLit(qvec.toSeq)), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k by cosine over the `nprobe` probed partitions only —
+    * partition pruning turns the filter into "read nprobe directories". */
+  def topK(spark: SparkSession, path: String, queryVec: Array[Float],
+           k: Int, nprobe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val probes = probeClusters(spark, path, queryVec, nprobe)
+    val cand = spark.read.parquet(path)
+      .filter(col("cluster").isin(probes: _*))
+    val q = Seq(queryVec).toDF("__qvec")
+    val scored = cand.join(broadcast(q))
+      .select(col("id"),
+        round(call_function("graft_cosine", col("vec"), col("__qvec")), 4)
+          .as("cosine_sim"))
+    excludeId.fold(scored)(id => scored.filter(col("id") =!= id))
+      .orderBy(col("cosine_sim").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -772,6 +772,18 @@ object LlmQueries {
       Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
         dims = 64, threshold = 0.95, bits = 10, tables = 4)
         .orderBy(col("left_id"), col("right_id"))
+    },
+
+    // IVF ANN — the k-means-centroid scale path next to t12's LSH one.
+    // Training is deterministic by construction (lowest-id init, fixed
+    // iterations, rounded means), so the query is golden-oracle-able
+    // like the other hash/LSH detectors (graft.GoldenGen).
+    sql("t25_ivf_topk")(
+      """SELECT * FROM read_parquet('/root/repo/golden/t25_ivf_topk.parquet')
+        |ORDER BY cosine_sim DESC, vec_id""") { (s, d) =>
+      graft.operators.IvfIndex.scanTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
+        kClusters = 16, iters = 3, nprobe = 2)
     }
   )
 }
