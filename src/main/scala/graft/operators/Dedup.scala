@@ -245,15 +245,24 @@ object Dedup {
                    threshold: Double, shingleSize: Int = 3,
                    maxDocFreq: Int = 20): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val docSh = docs.select(col("doc_id"),
-      explode(TextFunctions.shingles(col("text"), shingleSize)).as("shingle"))
-    // ONE aggregation pass replaces the earlier count-join + self-join
-    // chain (which shuffled the (shingle, doc_id) stream three times):
-    // group to each shingle's sorted doc list, keep rare shingles
-    // (2..maxDocFreq — the skew guard), and enumerate the <=
-    // maxDocFreq·(maxDocFreq−1)/2 ordered pairs per shingle in-place.
-    // Candidate semantics are identical: pairs sharing >= 1 rare shingle.
-    val candidates = docSh.groupBy(col("shingle"))
+    val candidates = shingleCandidates(docs, shingleSize, maxDocFreq)
+    verifyJaccard(candidates, docs, minJaccard = Some(threshold))
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Rare-shingle blocking, shared by [[jaccardPairs]] and
+    * [[containmentPairs]]: distinct (left_id, right_id) pairs (left <
+    * right) sharing at least one shingle with document frequency in
+    * [2, maxDocFreq]. ONE aggregation pass: group to each shingle's
+    * sorted doc list, keep rare shingles (the skew guard), enumerate the
+    * ≤ maxDocFreq·(maxDocFreq−1)/2 ordered pairs per shingle in-place.
+    * Only (shingle, doc_id) rides the shuffle. */
+  private def shingleCandidates(docs: DataFrame, shingleSize: Int,
+                                maxDocFreq: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), shingleSize)).as("shingle"))
+      .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
@@ -261,8 +270,40 @@ object Dedup {
           struct(a.as("left_id"), b.as("right_id")))))).as("p"))
       .select(col("p.left_id"), col("p.right_id"))
       .distinct()
-    verifyJaccard(candidates, docs, minJaccard = Some(threshold))
-      .select(col("left_id"), col("right_id"), col("jaccard"))
-      .filter(col("jaccard") >= threshold)
+
+  /** Substring-containment dedup pairs: (contained_id, container_id)
+    * where one document's text appears verbatim inside another's — the
+    * "exact-substring inclusion" stage web-corpus curation runs next to
+    * near-dup detection. Candidates come from the same rare-shingle
+    * blocking as [[jaccardPairs]] (a contained document shares ALL its
+    * shingles with its container, so any of its rare shingles blocks the
+    * pair); the verify is one codegen'd `Contains` per candidate after a
+    * length prefilter, with text re-joined by id once — the standard
+    * scale contract. Equal texts are mutually containing and emit both
+    * directions (exact dedup handles them upstream). Recall contract:
+    * found unless EVERY shared shingle is corpus-common (df >
+    * maxDocFreq) — near-impossible for verbatim inclusion of
+    * non-boilerplate text. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 3, maxDocFreq: Int = 20): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val candidates = shingleCandidates(docs, shingleSize, maxDocFreq)
+    val lt = docs.select(col("doc_id").as("left_id"), col("text").as("__lt"))
+    val rt = docs.select(col("doc_id").as("right_id"), col("text").as("__rt"))
+    // candidate pairs are left < right by id; containment is asymmetric,
+    // so verify both orientations (the joined subtree is shared — tiny
+    // candidate set, text joined once per side)
+    val joined = candidates.join(lt, Seq("left_id")).join(rt, Seq("right_id"))
+    val lInR = joined
+      .filter(length(col("__lt")) <= length(col("__rt")) &&
+        col("__rt").contains(col("__lt")))
+      .select(col("left_id").as("contained_id"),
+        col("right_id").as("container_id"))
+    val rInL = joined
+      .filter(length(col("__rt")) <= length(col("__lt")) &&
+        col("__lt").contains(col("__rt")))
+      .select(col("right_id").as("contained_id"),
+        col("left_id").as("container_id"))
+    lInR.unionAll(rInL)
   }
 }

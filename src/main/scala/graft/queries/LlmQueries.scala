@@ -784,6 +784,65 @@ object LlmQueries {
       graft.operators.IvfIndex.scanTopK(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
         kClusters = 16, iters = 3, nprobe = 2)
+    },
+
+    // substring-containment dedup (exact-inclusion stage): planted
+    // wrapper documents ('pre ' || text || ' post', id + 2,000,000)
+    // guarantee positives; pure set arithmetic + contains() → FULL
+    // DuckDB oracle, same rare-shingle blocking as t09
+    sql("t26_containment_dedup")(
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'pre ' || text || ' post' FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM corpus
+        |),
+        |shingles AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks
+        |),
+        |doc_sh AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM shingles
+        |),
+        |rare AS (
+        |  SELECT shingle FROM doc_sh GROUP BY shingle
+        |  HAVING count(*) BETWEEN 2 AND 20
+        |),
+        |blocked AS (
+        |  SELECT d.doc_id, d.shingle FROM doc_sh d JOIN rare r USING (shingle)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |  FROM blocked l JOIN blocked r USING (shingle)
+        |  WHERE l.doc_id < r.doc_id
+        |),
+        |pairs AS (
+        |  SELECT c.left_id AS contained_id, c.right_id AS container_id
+        |  FROM cand c
+        |  JOIN corpus a ON a.doc_id = c.left_id
+        |  JOIN corpus b ON b.doc_id = c.right_id
+        |  WHERE length(a.text) <= length(b.text) AND contains(b.text, a.text)
+        |  UNION ALL
+        |  SELECT c.right_id, c.left_id
+        |  FROM cand c
+        |  JOIN corpus a ON a.doc_id = c.left_id
+        |  JOIN corpus b ON b.doc_id = c.right_id
+        |  WHERE length(b.text) <= length(a.text) AND contains(a.text, b.text)
+        |)
+        |SELECT contained_id, container_id FROM pairs
+        |ORDER BY contained_id, container_id""") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("pre "), col("text"), lit(" post")).as("text")))
+      Dedup.containmentPairs(corpus, "text", "doc_id")
+        .orderBy(col("contained_id"), col("container_id"))
     }
   )
 }

@@ -142,4 +142,25 @@ class DedupSpec extends SparkSpec {
       .collect()
     verified.foreach(r => assert(r.getDouble(2) >= 0.6))
   }
+
+  test("containmentPairs recovers planted wrappers and reports only true inclusions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val corpus = docs.unionAll(docs.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(lit("pre "), col("text"), lit(" post")).as("text")))
+    val pairs = Dedup.containmentPairs(corpus, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every original is contained in its planted wrapper
+    (0L until 100L).foreach { id =>
+      assert(pairs.contains((id, id + 2000000L)),
+        s"planted containment ($id, ${id + 2000000L}) missed")
+    }
+    // soundness: every reported pair is a true substring inclusion
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(a != b && texts(b).contains(texts(a)),
+        s"false containment ($a, $b)")
+    }
+  }
 }
