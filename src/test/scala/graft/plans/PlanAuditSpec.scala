@@ -44,6 +44,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("containmentPairs: text never a shuffle key, no cartesian product") {
+    val df = Dedup.containmentPairs(documents, "text", "doc_id")
+    val plan = executedPlan(df)
+    assert(shuffleKeys(plan).forall(k => !k.contains("text")),
+      "document text must not be a shuffle key")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("IVF query: centroids are plan literals — no join, no shuffle before top-k") {
+    val df = graft.operators.IvfIndex.scanTopK(
+      embeddings, "vec_id", "embedding", dims = 64,
+      queryId = 0L, k = 5, kClusters = 4, iters = 1, nprobe = 2)
+    val plan = executedPlan(df)
+    // assignment + probe filter + scoring all evaluate against literal
+    // centroid/query vectors in the scan stage: the only plan shape is
+    // scan → filter → TakeOrdered; any Join or Exchange would mean the
+    // centroids leaked into a data-plane join
+    assert(!plan.contains("Join"), s"unexpected join in IVF query:\n$plan")
+    assert(shuffleKeys(plan).isEmpty, "IVF scoring must not shuffle")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("simHash signature subplan is exchange-free (scan-stage computation)") {
     val plan = Dedup.simHash(documents, "text", "doc_id")
       .queryExecution.executedPlan.toString
