@@ -843,6 +843,41 @@ object LlmQueries {
         concat(lit("pre "), col("text"), lit(" post")).as("text")))
       Dedup.containmentPairs(corpus, "text", "doc_id")
         .orderBy(col("contained_id"), col("container_id"))
+    },
+
+    // bigram LM surprisal (CCNet-style LM quality filter): add-one
+    // smoothed corpus bigram model, mean -ln p per document — pure
+    // count arithmetic + ln, fully DuckDB-oracled
+    sql("t27_lm_surprisal")(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+        |  WHERE len(ts) >= 2
+        |),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    cast(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(-ln((bi.c12 + 1.0) / (uni.c1 + v.v))), 4) AS surprisal
+        |  FROM bg
+        |  JOIN bi USING (w1, w2)
+        |  JOIN uni USING (w1)
+        |  CROSS JOIN v
+        |  GROUP BY bg.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(s.surprisal, 0.0) AS surprisal
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      graft.operators.LmScore.surprisal(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 }
