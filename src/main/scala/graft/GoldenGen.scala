@@ -3,20 +3,25 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Comparator
 
-/** Regenerates the golden expected-output parquet files for the four
-  * hash-based queries whose semantics are not DuckDB-expressible
-  * (xxhash64 MinHash/SimHash signatures, seeded random-hyperplane LSH):
-  * t07/t08/t12/t13. Their outputs ARE fully deterministic — fixed hash
-  * primitives, seeded hyperplanes, explicit ORDER BY with unique
-  * tiebreaks — so a reviewed precomputed parquet is a valid oracle, the
-  * same way u01/u02 gate the UDBF reader with closed-form literals. The
-  * driver's DuckDB side then reads the golden via `read_parquet` and
-  * hash-compares as usual.
+/** Regenerates the golden expected-output parquet files for the five
+  * queries whose semantics are not DuckDB-expressible (xxhash64
+  * MinHash/SimHash signatures, seeded random-hyperplane LSH, k-means
+  * IVF): t07/t08/t12/t13/t25. Their outputs ARE fully deterministic —
+  * fixed hash primitives, seeded hyperplanes, deterministic training,
+  * explicit ORDER BY with unique tiebreaks — so a reviewed precomputed
+  * parquet is a valid oracle, the same way u01/u02 gate the UDBF reader
+  * with closed-form literals. The driver's DuckDB side reads the golden
+  * via `read_parquet` and hash-compares as usual.
+  *
+  * Goldens are PER SCALE FACTOR (the corpora differ), committed under
+  * `golden/<sfTag>/`; the oracle SQL selects the right one at runtime by
+  * branching on `count(*) FROM customer` (150 at sf0.001, 1500 at
+  * sf0.01), so the gate is green at either verify SF.
   *
   * MUST be regenerated (and the diff reviewed — planted pairs present,
-  * row counts plausible) whenever the detectors' hash/LSH parameters
-  * change. Generated at the driver's verify scale factor (sf0.01):
-  *   sbt "runMain graft.GoldenGen /root/testdata/sf0.01 /root/repo/golden"
+  * row counts plausible) whenever detector parameters change:
+  *   sbt "runMain graft.GoldenGen /root/testdata/sf0.001 /root/repo/golden"
+  *   sbt "runMain graft.GoldenGen /root/testdata/sf0.01  /root/repo/golden"
   */
 object GoldenGen {
 
@@ -25,31 +30,47 @@ object GoldenGen {
     "t07_minhash_neardup", "t08_simhash_neardup",
     "t12_ann_lsh_topk", "t13_embedding_neardup", "t25_ivf_topk")
 
-  def goldenPath(name: String): String = s"/root/repo/golden/$name.parquet"
+  /** The verify SFs goldens exist for, with the `customer` row count the
+    * oracle SQL keys on. */
+  val sfTags: Seq[(String, Long)] = Seq("sf0.001" -> 150L, "sf0.01" -> 1500L)
+
+  def goldenPath(sfTag: String, name: String): String =
+    s"/root/repo/golden/$sfTag/$name.parquet"
+
+  /** Oracle SQL selecting the golden matching the runtime corpus, with a
+    * deterministic outer ordering. */
+  def oracleSql(name: String, orderBy: String): String =
+    sfTags.map { case (tag, nCust) =>
+      s"""SELECT * FROM read_parquet('${goldenPath(tag, name)}')
+         |WHERE (SELECT count(*) FROM customer) = $nCust""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"\n) ORDER BY $orderBy")
 
   /** args: [sfDir] [outDir] [queryName...] — with no names, regenerates
-    * every golden (name filtering avoids byte-churn on untouched files). */
+    * every golden for that SF (name filtering avoids byte-churn on
+    * untouched files). */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/root/repo/golden"
     val names = if (args.length > 2) args.drop(2).toSeq else goldenQueries
     require(names.forall(goldenQueries.contains),
       s"unknown golden query in ${names.mkString(",")}")
+    val sfTag = Paths.get(sfDir).getFileName.toString
+    require(sfTags.exists(_._1 == sfTag), s"no golden slot for $sfTag")
     val spark = graft.core.Sessions.local("graft-golden")
-    Files.createDirectories(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir, sfTag))
     names.foreach { name =>
-      val tmp = Paths.get(outDir, s"__tmp_$name")
+      val tmp = Paths.get(outDir, sfTag, s"__tmp_$name")
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp)
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .findFirst().orElseThrow(() =>
           new IllegalStateException(s"no parquet part written for $name"))
-      Files.move(part, Paths.get(outDir, s"$name.parquet"),
+      Files.move(part, Paths.get(outDir, sfTag, s"$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       Files.walk(tmp).sorted(Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => Files.delete(p))
-      println(s"[golden] wrote $outDir/$name.parquet")
+      println(s"[golden] wrote $outDir/$sfTag/$name.parquet")
     }
     spark.stop()
   }

@@ -155,21 +155,20 @@ object LlmQueries {
 
     // xxhash64-based signatures aren't DuckDB-expressible, but the output
     // is fully deterministic (fixed hash primitives, explicit unique-key
-    // ordering) — so the oracle is a reviewed golden parquet generated
-    // once at the driver's verify SF by [[graft.GoldenGen]] (planted-pair
-    // recall and row counts checked at generation; GoldenSpec re-derives
-    // equality on every test run). Regenerate on any parameter change.
+    // ordering) — so the oracle is a reviewed golden parquet per verify
+    // SF, generated by [[graft.GoldenGen]] (planted-pair recall and row
+    // counts checked at generation; GoldenSpec re-derives equality on
+    // every test run). The SQL picks the SF's golden by corpus size.
+    // Regenerate on any parameter change.
     sql("t07_minhash_neardup")(
-      """SELECT * FROM read_parquet('/root/repo/golden/t07_minhash_neardup.parquet')
-        |ORDER BY left_id, right_id""") { (s, d) =>
+      graft.GoldenGen.oracleSql("t07_minhash_neardup", "left_id, right_id")) { (s, d) =>
       Dedup.minHashPairs(plantedCorpus(s, d), "text", "doc_id")
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("left_id"), col("right_id"))
     },
 
     sql("t08_simhash_neardup")(
-      """SELECT * FROM read_parquet('/root/repo/golden/t08_simhash_neardup.parquet')
-        |ORDER BY left_id, right_id""") { (s, d) =>
+      graft.GoldenGen.oracleSql("t08_simhash_neardup", "left_id, right_id")) { (s, d) =>
       // blocks = maxHamming + 1 → pigeonhole-complete recall
       Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id",
         maxHamming = 6, blocks = 7)
@@ -758,15 +757,13 @@ object LlmQueries {
     // hyperplane LSH is deterministic, so precomputed expected output is
     // a valid hash-compare target for the driver.
     sql("t12_ann_lsh_topk")(
-      """SELECT * FROM read_parquet('/root/repo/golden/t12_ann_lsh_topk.parquet')
-        |ORDER BY cosine_sim DESC, vec_id""") { (s, d) =>
+      graft.GoldenGen.oracleSql("t12_ann_lsh_topk", "cosine_sim DESC, vec_id")) { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
     },
 
     sql("t13_embedding_neardup")(
-      """SELECT * FROM read_parquet('/root/repo/golden/t13_embedding_neardup.parquet')
-        |ORDER BY left_id, right_id""") { (s, d) =>
+      graft.GoldenGen.oracleSql("t13_embedding_neardup", "left_id, right_id")) { (s, d) =>
       // bits=10: 1024 buckets/table keeps candidate volume subquadratic
       // as the corpus grows; 4 tables hold planted recall >= 0.95
       Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
@@ -779,8 +776,7 @@ object LlmQueries {
     // iterations, rounded means), so the query is golden-oracle-able
     // like the other hash/LSH detectors (graft.GoldenGen).
     sql("t25_ivf_topk")(
-      """SELECT * FROM read_parquet('/root/repo/golden/t25_ivf_topk.parquet')
-        |ORDER BY cosine_sim DESC, vec_id""") { (s, d) =>
+      graft.GoldenGen.oracleSql("t25_ivf_topk", "cosine_sim DESC, vec_id")) { (s, d) =>
       graft.operators.IvfIndex.scanTopK(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
         kClusters = 16, iters = 3, nprobe = 2)
