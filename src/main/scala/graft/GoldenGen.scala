@@ -32,7 +32,8 @@ object GoldenGen {
 
   /** The verify SFs goldens exist for, with the `customer` row count the
     * oracle SQL keys on. */
-  val sfTags: Seq[(String, Long)] = Seq("sf0.001" -> 150L, "sf0.01" -> 1500L)
+  val sfTags: Seq[(String, Long)] = Seq(
+    "sf0.001" -> 150L, "sf0.01" -> 1500L, "sf0.1" -> 15000L)
 
   def goldenPath(sfTag: String, name: String): String =
     s"/root/repo/golden/$sfTag/$name.parquet"
