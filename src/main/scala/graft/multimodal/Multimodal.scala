@@ -95,6 +95,62 @@ object Multimodal {
       }
   }
 
+  /** One resized media row: payload re-encoded to the target box with
+    * aspect preserved, plus the old/new geometry. */
+  final case class Resized(
+      media_id: Long, src_width: Int, src_height: Int,
+      width: Int, height: Int, format: String, content: Array[Byte])
+
+  /** The resize kernel: (bytes, srcW, srcH, dstW, dstH) → resized bytes.
+    * Must be a deterministic pure function of its inputs. */
+  trait MediaResizer extends Serializable {
+    def resize(bytes: Array[Byte], srcW: Int, srcH: Int,
+               dstW: Int, dstH: Int): Array[Byte]
+  }
+
+  /** STUB resizer (same contract as [[DeterministicFakeDecoder]]): emits
+    * a deterministic payload whose LENGTH scales with the target pixel
+    * count — preserving the property pipelines size partitions by. A
+    * real deployment swaps in an ImageIO/libvips implementation. */
+  object DeterministicFakeResizer extends MediaResizer {
+    override def resize(bytes: Array[Byte], srcW: Int, srcH: Int,
+                        dstW: Int, dstH: Int): Array[Byte] = {
+      val n = math.max(1, (bytes.length.toLong * dstW * dstH /
+        math.max(1L, srcW.toLong * srcH)).toInt)
+      Array.tabulate(n)(i => bytes(i % math.max(1, bytes.length)))
+    }
+  }
+
+  /** Resize media into a bounding box with aspect ratio preserved:
+    * decode geometry, compute the fitted target, re-encode. Narrow
+    * iterator-to-iterator transform like [[decode]] — one decoder +
+    * resizer instance per partition, payload rewritten in place, no
+    * shuffle, output payload bounded by the box. */
+  def resize(df: DataFrame, idCol: String, contentCol: String,
+      maxWidth: Int, maxHeight: Int,
+      decoder: MediaDecoder = DeterministicFakeDecoder,
+      resizer: MediaResizer = DeterministicFakeResizer): Dataset[Resized] = {
+    require(maxWidth > 0 && maxHeight > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, fmt, _) = decoder.decode(bytes)
+          val scale = math.min(1.0,
+            math.min(maxWidth.toDouble / w, maxHeight.toDouble / h))
+          // round, don't truncate: at extreme aspect ratios truncation
+          // of the small dimension (e.g. 33x708 → 5.96) distorts aspect
+          val (dw, dh) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          val out = if (scale >= 1.0) bytes
+            else resizer.resize(bytes, w, h, dw, dh)
+          Resized(id, w, h, dw, dh, fmt, out)
+        }
+      }
+  }
+
   /** Feature-extract a deterministic fixed-size embedding from media
     * bytes (hash-projection stand-in for a real vision/audio encoder).
     * Output plugs directly into Similarity.topK / annTopK / nearDupPairs

@@ -69,6 +69,33 @@ class MultimodalSpec extends SparkSpec {
     assert(top.forall(r => r.getDouble(1) <= 1.0 && r.getDouble(1) >= -1.0))
   }
 
+  test("resize: aspect preserved, box respected, payload scales, no-op under box") {
+    val out = Multimodal.resize(media, "media_id", "content",
+      maxWidth = 128, maxHeight = 128).collect()
+    assert(out.length == media.count())
+    out.foreach { r =>
+      assert(r.width <= 128 && r.height <= 128, s"box violated: $r")
+      assert(r.width >= 1 && r.height >= 1)
+      // aspect preserved within integer truncation
+      val srcAspect = r.src_width.toDouble / r.src_height
+      val dstAspect = r.width.toDouble / r.height
+      assert(math.abs(srcAspect - dstAspect) / srcAspect < 0.1,
+        s"aspect drift: $r")
+      // already-fitting media pass through untouched
+      if (r.src_width <= 128 && r.src_height <= 128) {
+        assert(r.width == r.src_width && r.height == r.src_height)
+      } else {
+        // payload length tracks the pixel reduction
+        assert(r.content.length < r.src_width * r.src_height)
+      }
+    }
+    // deterministic across runs
+    val again = Multimodal.resize(media, "media_id", "content",
+      maxWidth = 128, maxHeight = 128).collect()
+    assert(out.map(r => (r.media_id, r.width, r.height, r.content.toSeq)).toSet ==
+      again.map(r => (r.media_id, r.width, r.height, r.content.toSeq)).toSet)
+  }
+
   test("decode runs partition-parallel (no driver-side loop)") {
     val parts = media.repartition(7)
     val decoded = Multimodal.decode(parts, "media_id", "content")
