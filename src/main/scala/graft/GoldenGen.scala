@@ -35,16 +35,37 @@ object GoldenGen {
   val sfTags: Seq[(String, Long)] = Seq(
     "sf0.001" -> 150L, "sf0.01" -> 1500L, "sf0.1" -> 15000L)
 
+  /** Root of the committed golden tree. Env-overridable so a relocated
+    * repo (or a driver with its own checkout) can point the oracles at
+    * the right files instead of silently reading a stale absolute path. */
+  def goldenRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_GOLDEN_DIR", "/root/repo/golden")
+
   def goldenPath(sfTag: String, name: String): String =
-    s"/root/repo/golden/$sfTag/$name.parquet"
+    s"$goldenRoot/$sfTag/$name.parquet"
 
   /** Oracle SQL selecting the golden matching the runtime corpus, with a
-    * deterministic outer ordering. */
-  def oracleSql(name: String, orderBy: String): String =
-    sfTags.map { case (tag, nCust) =>
+    * deterministic outer ordering. A final sentinel branch (schema
+    * borrowed from the first golden, rows impossible) raises a DuckDB
+    * `error(...)` when the corpus size matches NO golden slot — without
+    * it every branch is silently false and an un-goldened SF surfaces as
+    * a baffling zero-row hash mismatch instead of a diagnosable failure.
+    * The CASE is what defers `error` evaluation to the no-slot case
+    * (AND operand order is not guaranteed; CASE branches are). */
+  def oracleSql(name: String, orderBy: String): String = {
+    val branches = sfTags.map { case (tag, nCust) =>
       s"""SELECT * FROM read_parquet('${goldenPath(tag, name)}')
          |WHERE (SELECT count(*) FROM customer) = $nCust""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"\n) ORDER BY $orderBy")
+    }
+    val counts = sfTags.map(_._2).mkString(", ")
+    val sentinel =
+      s"""SELECT * FROM read_parquet('${goldenPath(sfTags.head._1, name)}')
+         |WHERE CASE WHEN (SELECT count(*) FROM customer) IN ($counts) THEN FALSE
+         |      ELSE error(concat('no golden slot for corpus size ',
+         |                 (SELECT count(*) FROM customer)::VARCHAR)) END""".stripMargin
+    (branches :+ sentinel)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"\n) ORDER BY $orderBy")
+  }
 
   /** args: [sfDir] [outDir] [queryName...] — with no names, regenerates
     * every golden for that SF (name filtering avoids byte-churn on
@@ -63,10 +84,11 @@ object GoldenGen {
       val tmp = Paths.get(outDir, sfTag, s"__tmp_$name")
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() =>
-          new IllegalStateException(s"no parquet part written for $name"))
+      val part = scala.util.Using.resource(Files.list(tmp)) { files =>
+        files.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() =>
+            new IllegalStateException(s"no parquet part written for $name"))
+      }
       Files.move(part, Paths.get(outDir, sfTag, s"$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       Files.walk(tmp).sorted(Comparator.reverseOrder[java.nio.file.Path]())

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate pair graph — the cluster
@@ -10,10 +11,24 @@ import org.apache.spark.sql.functions._
   * gets its component's minimum id as `cluster_id`, and "keep one doc
   * per cluster" is then a trivial filter (`doc_id = cluster_id`).
   *
-  * Algorithm: alternating large-star / small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
-  * standard scale-safe formulation. Each round is two groupBy shuffles
-  * over the EDGE set only (no vertex state table, no driver-side graph),
+  * Algorithm: a partition-local union-find CONTRACTION pass, then
+  * alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — the standard
+  * scale-safe formulation; no vertex state table, no driver-side graph.
+  *
+  * The contraction pass is the scale-and-latency lever: one narrow
+  * `mapPartitions` (zero shuffle) replaces each partition's edges with
+  * the star forest of its union-find — same connectivity, at most one
+  * edge per distinct node in the partition. Dense near-dup clusters
+  * (the common shape: near-identical boilerplate families) collapse
+  * wherever they are co-located, so the global star loop starts from a
+  * graph near its fixpoint and typically converges in 1-2 rounds
+  * instead of 4-6 — and the iterative rounds are exactly the part whose
+  * driver barriers amplify under cluster contention. Memory is bounded
+  * by the edges of ONE partition (`maxPartitionBytes`-sized at scale),
+  * not the graph.
+  *
+  * Each star round is two groupBy shuffles over the EDGE set only,
   * converges in O(log² n) rounds, and strictly shrinks edge targets
   * toward component minima, so worst-case skew is a single groupBy key
   * per star center — exactly what AQE skew handling covers. Per-round
@@ -30,11 +45,19 @@ import org.apache.spark.sql.functions._
   * remembered driver-side. (Round 3 ran 3 blocking jobs per round —
   * eager checkpoint + count + exceptAll — which amplified scheduler
   * contention ~12× on t15 under driver load.)
+  *
+  * Block hygiene: each round's checkpoint blocks are unpersisted as
+  * soon as the next round is materialized — an iterative operator must
+  * not leave O(rounds) block-manager litter behind in a long-lived
+  * session (the final round's small star forest is the only survivor,
+  * since the returned plan reads it).
   */
 object ConnectedComponents {
 
   /** Large-star: for every node u (over the bidirected edge view), link
-    * each STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}). */
+    * each STRICTLY LARGER neighbor to m = min(N(u) ∪ {u}). Output may
+    * contain cross-star duplicates — the consumer ([[smallStar]]'s
+    * groupBy) dedupes them for free, so no distinct here. */
   private def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
@@ -45,12 +68,12 @@ object ConnectedComponents {
         col("m"))
       .filter(col("big") =!= col("m"))
       .select(col("big").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Small-star: orient every edge large→small, then for every node u
     * link each of its (all smaller-or-equal) neighbors and u itself to
-    * m = min of the neighborhood. */
+    * m = min of the neighborhood. Output IS distinct — the convergence
+    * test's set algebra depends on that. */
   private def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
@@ -63,6 +86,50 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Partition-local union-find contraction: replaces each partition's
+    * edge multiset with its star forest — (node, partition-local
+    * component min) for every non-root node. Narrow (no shuffle),
+    * tolerates duplicate and unoriented input, and emits edges already
+    * in the large→small orientation. Connectivity is preserved exactly:
+    * within a partition by union-find correctness, across partitions
+    * because every node keeps its id. */
+  private def contract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          val (ru, rv) = (find(u), find(v))
+          // min-id root: find() then yields the partition-local component min
+          if (ru < rv) parent(rv) = ru
+          else if (rv < ru) parent(ru) = rv
+        }
+        parent.keysIterator.toArray.iterator.flatMap { x =>
+          val r = find(x)
+          if (r != x) Iterator((x, r)) else Iterator.empty
+        }
+      }
+      .toDF("u", "v")
+  }
+
+  /** Best-effort release of the block-manager storage behind a
+    * checkpointed DataFrame (no-op for plans that hold no persisted
+    * RDD, e.g. reliable checkpoints). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Resolve components of the undirected graph given by (srcCol,
     * dstCol) pairs. Returns ("id", "component") for every node that
     * appears in at least one edge; `component` is the minimum node id
@@ -71,13 +138,13 @@ object ConnectedComponents {
               maxIterations: Int = 20,
               checkpoint: DataFrame => DataFrame =
                 _.localCheckpoint(eager = false)): DataFrame = {
-    var edges = checkpoint(pairs
+    // contraction first, on the pairs' natural partitioning — union-find
+    // absorbs duplicates for free, so the (large) raw pair set is never
+    // distinct-ed; the distinct shuffle runs over the contracted star
+    // forest (≤ one row per node per partition) instead
+    var edges = checkpoint(contract(pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      // normalize to the large→small orientation the star steps emit, so
-      // an already-converged input is recognized on the first comparison
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")))
       .distinct())
 
     // one bootstrap action: materializes the lazy checkpoint and counts
@@ -96,6 +163,11 @@ object ConnectedComponents {
       val (n, overlap) = (row.getLong(0), row.getLong(1))
       converged = n == prevCount && overlap == n
       prevCount = n
+      // next is fully materialized in its own blocks — the previous
+      // round's no longer feed anything (with MEMORY_AND_DISK local
+      // checkpoints, eviction spills to disk rather than dropping, so
+      // releasing the parent does not endanger recompute)
+      unpersistCheckpoint(edges)
       edges = next
       i += 1
     }

@@ -45,9 +45,13 @@ object IvfIndex {
     require(k >= 1 && iters >= 1)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
 
-    // deterministic init: the k lowest-id vectors
+    // deterministic init: the k lowest-id vectors. The xxhash64(vec)
+    // secondary sort makes the prefix well-defined even when id values
+    // are NOT unique — without it, duplicate ids at the limit boundary
+    // would make init (and thus the whole golden-oracled index)
+    // engine/partition-order dependent.
     var centroids: Seq[Seq[Double]] = graft.core.Bounded.collect(
-      vecs.orderBy(col("id")).limit(k), k, "IvfIndex.init")
+      vecs.orderBy(col("id"), xxhash64(col("vec"))).limit(k), k, "IvfIndex.init")
       .map(_.getAs[scala.collection.Seq[Float]]("vec").map(_.toDouble).toSeq)
       .toSeq
     require(centroids.length == k,

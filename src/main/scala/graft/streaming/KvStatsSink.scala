@@ -20,7 +20,17 @@ object KvStatsSink {
     * per-batch collect: one row per (window, sensor) per trigger. The
     * default covers thousands of sensors across the handful of windows a
     * trigger can touch; a stream that exceeds it is publishing data, not
-    * stats, and fails loudly rather than flooding the driver. */
+    * stats, and fails loudly rather than flooding the driver.
+    *
+    * Fail-loud consequence: the guard throws INSIDE foreachBatch, which
+    * TERMINATES the streaming query (it does not skip the batch). That
+    * is deliberate — a silent partial publish would leave stale stats
+    * under fresh TTLs — but it means `maxBatchRows` must be sized for
+    * the WORST-CASE batch, which is backlog replay after downtime:
+    * sensors × windows covered by the catch-up interval, not by one
+    * trigger. The default (100k) absorbs e.g. 1k sensors × a full day
+    * of 10-min windows; restart-after-longer-outage deployments should
+    * raise it (or bound replay with `maxFilesPerTrigger` upstream). */
   def start(windowed: DataFrame, kv: KvSink, checkpointDir: String,
       ttlSeconds: Long = graft.core.GraftConfig.basicTtlSeconds,
       trigger: String = s"${graft.core.GraftConfig.tickerIntervalSec} seconds",
