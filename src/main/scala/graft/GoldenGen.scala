@@ -28,7 +28,8 @@ object GoldenGen {
   /** The queries gated by golden files, with their repo-committed paths. */
   val goldenQueries: Seq[String] = Seq(
     "t07_minhash_neardup", "t08_simhash_neardup",
-    "t12_ann_lsh_topk", "t13_embedding_neardup", "t25_ivf_topk")
+    "t12_ann_lsh_topk", "t13_embedding_neardup", "t25_ivf_topk",
+    "t28_semdedup")
 
   /** The verify SFs goldens exist for, with the `customer` row count the
     * oracle SQL keys on. */

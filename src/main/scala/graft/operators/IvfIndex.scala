@@ -32,7 +32,7 @@ object IvfIndex {
   /** Nearest-centroid assignment as a Column: argmax of the native
     * codegen'd cosine against each centroid literal, ties to the lowest
     * cluster id (array_position finds the FIRST maximum). */
-  private def assignment(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  private[operators] def assignment(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val sims = array(centroids.map(c =>
       call_function("graft_cosine", vec, typedLit(c))): _*)
     (array_position(sims, array_max(sims)) - 1).cast("int")

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding space with k-means, then
+  * prune within each cluster any vector whose cosine similarity to a
+  * LOWER-ID vector of the same cluster reaches the threshold — the
+  * embedding-space counterpart of the text near-dup detectors, catching
+  * paraphrases and template families that share no surface n-grams.
+  *
+  * The clustering is what makes this tractable: pairwise similarity is
+  * only ever computed WITHIN a cluster, so the quadratic term is bounded
+  * by cluster size, not corpus size — `kClusters` is the knob and should
+  * scale ~n/„target cluster size‟ as the corpus grows (the published
+  * method uses the same regime: 50k clusters for LAION-scale corpora).
+  * Per-cluster skew lands on one join key and is exactly what AQE
+  * skew-join splitting covers.
+  *
+  * Everything is deterministic, so the operator is golden-oracle-able
+  * like the other embedding queries: training is [[IvfIndex.train]]
+  * (lowest-id init, fixed iterations, rounded means), the prune rule
+  * compares ROUNDED cosines, and "earlier" is vector-id order — no RNG,
+  * no partition-order dependence.
+  *
+  * Scale shape: one training pass (see IvfIndex), one assignment scan,
+  * one cluster-keyed self-join over (id, vec) rows; the
+  * `repartition(cluster)` materializes a single exchange that
+  * ReuseExchange feeds to both join sides. Output is one row per input
+  * vector: its cluster, the max cosine to any earlier cluster-mate
+  * (−2.0 when it has none — below any real cosine), and the prune
+  * verdict. "Keep" = `NOT pruned`; survivors are exactly the SemDeDup
+  * canonical set.
+  */
+object SemDedup {
+
+  def prune(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+            threshold: Double, kClusters: Int = 16, iters: Int = 3)
+      : DataFrame = {
+    val centroids = IvfIndex.train(df, idCol, vecCol, dims, kClusters, iters)
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cluster", IvfIndex.assignment(col("vec"), centroids))
+      .repartition(col("cluster"))
+
+    val earlier = assigned.select(col("cluster"),
+      col("id").as("prev_id"), col("vec").as("prev_vec"))
+    val maxPrev = assigned.join(earlier, Seq("cluster"))
+      .filter(col("prev_id") < col("id"))
+      .select(col("id"),
+        round(call_function("graft_cosine", col("vec"), col("prev_vec")), 4)
+          .as("sim"))
+      .groupBy(col("id")).agg(max(col("sim")).as("max_sim_prev"))
+
+    assigned.select(col("id"), col("cluster"))
+      .join(maxPrev, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("max_sim_prev"), lit(-2.0)).as("max_sim_prev"),
+        (coalesce(col("max_sim_prev"), lit(-2.0)) >= threshold).as("pruned"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions
-import graft.operators.{ConnectedComponents, Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Mixture, Packing, SemDedup, Similarity}
 import QueryDef.sql
 
 /** LLM-training-data pipeline operators: text analysis, deduplication,
@@ -874,6 +874,69 @@ object LlmQueries {
         |ORDER BY d.doc_id""") { (s, d) =>
       graft.operators.LmScore.surprisal(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // SemDeDup (embedding-space semantic dedup): k-means clusters +
+    // within-cluster cosine prune against lower-id vectors. Training is
+    // the deterministic IVF k-means, so golden-oracle-able; the planted
+    // +0.05 near-dup copies guarantee every detector run has real
+    // positives to prune (cos ≈ 0.999 ≥ 0.9).
+    sql("t28_semdedup")(
+      graft.GoldenGen.oracleSql("t28_semdedup", "vec_id")) { (s, d) =>
+      SemDedup.prune(plantedEmbeddings(s, d), "vec_id", "embedding",
+          dims = 64, threshold = 0.9, kClusters = 16, iters = 3)
+        .orderBy(col("vec_id"))
+    },
+
+    // sequence packing (concatenate-then-chunk): per (lang, doc_id%4)
+    // stream, cumulative token offsets cut into 128-token context
+    // windows — pure integer window arithmetic, fully SQL-oracled
+    sql("t29_sequence_pack")(
+      """WITH t AS (
+        |  SELECT doc_id, lang, cast(doc_id % 4 AS INT) AS shard,
+        |    cast(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    cast(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS stream_end
+        |  FROM t WHERE n_tokens >= 1
+        |)
+        |SELECT doc_id, lang, shard, n_tokens,
+        |  (stream_end - n_tokens) // 128 AS seq_first,
+        |  (stream_end - 1) // 128 AS seq_last,
+        |  (stream_end - n_tokens) % 128 AS offset_in_seq
+        |FROM s ORDER BY doc_id""") { (s, d) =>
+      Packing.contextPack(Tables.documents(s, d), "doc_id", "text",
+          strataCol = "lang", ctxLen = 128, shards = 4)
+        .orderBy(col("doc_id"))
+    },
+
+    // temperature-scaled mixture sampling (α = 0.5): per-source quotas
+    // ∝ sqrt(n_s), rows chosen by content-hash order — the training-
+    // mixture rebalancing step, fully SQL-oracled (sqrt is IEEE-exact
+    // in both engines; weights and quotas rounded per the QueryDef
+    // float conventions)
+    sql("t30_mixture_sample")(
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, round(sqrt(n), 4) AS w FROM n),
+        |q AS (SELECT source,
+        |        cast(round(200 * w / (SELECT sum(w) FROM w)) AS BIGINT) AS quota
+        |      FROM w),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, cast(r.rn AS INT) AS rn, q.quota
+        |FROM r JOIN q USING (source)
+        |WHERE rn <= quota
+        |ORDER BY source, rn""") { (s, d) =>
+      Mixture.temperatureSample(Tables.documents(s, d), "source", "text",
+          "doc_id", total = 200, alpha = 0.5)
+        .orderBy(col("source"), col("rn"))
     }
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup semantics: planted near-identical vectors are pruned in
+  * favor of their lower-id originals, dissimilar vectors survive, and
+  * the operator is deterministic across runs. */
+class SemDedupSpec extends SparkSpec {
+  import testImplicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plantedEmb = {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+  }
+
+  test("hand-built corpus: near-dup pruned, original and outlier kept") {
+    // two near-parallel vectors (cos ≈ 1) + one orthogonal; k=1 puts
+    // all three in one cluster, so the prune rule alone decides
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f))).toDF("id", "vec")
+    val out = SemDedup.prune(df, "id", "vec", dims = 3, threshold = 0.95,
+        kClusters = 1, iters = 1)
+      .orderBy(col("id")).collect()
+    assert(out.map(_.getBoolean(3)).toSeq === Seq(false, true, false))
+    // the survivor set is the lower-id representative + the outlier
+    assert(out.filter(!_.getBoolean(3)).map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // a row with no earlier cluster-mate reports the -2.0 sentinel
+    assert(out.head.getDouble(2) === -2.0)
+  }
+
+  test("planted +0.05 copies are pruned, originals never are") {
+    val out = SemDedup.prune(plantedEmb, "vec_id", "embedding", dims = 64,
+      threshold = 0.9, kClusters = 16, iters = 3)
+    val planted = out.filter(col("vec_id") >= 1000000L)
+    val originals = out.filter(col("vec_id") < 1000000L)
+    val nPlanted = planted.count()
+    val nPrunedPlanted = planted.filter(col("pruned")).count()
+    // recall bound: a boundary pair can land in different clusters
+    // (SemDeDup's documented miss mode), but the vast majority prune
+    assert(nPrunedPlanted >= (nPlanted * 9) / 10,
+      s"only $nPrunedPlanted of $nPlanted planted copies pruned")
+    // an original is always the lower id of its planted pair
+    assert(originals.filter(col("pruned")).count() === 0)
+  }
+
+  test("deterministic across runs") {
+    def run() = SemDedup.prune(plantedEmb, "vec_id", "embedding", dims = 64,
+      threshold = 0.9, kClusters = 16, iters = 3)
+    assert(run().exceptAll(run()).isEmpty)
+  }
+}
