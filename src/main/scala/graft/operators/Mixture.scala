@@ -38,11 +38,14 @@ object Mixture {
     val nPow: org.apache.spark.sql.Column =
       if (alpha == 0.5) sqrt(col("n"))
       else pow(col("n").cast("double"), alpha)
-    val weights = df.groupBy(col(strataCol))
+    // the weight normalizer comes from a global window over the
+    // strata-sized weight table (ONE subtree, one corpus aggregation) —
+    // a separate `weights.agg(sum)` branch would re-run the corpus
+    // count aggregate for the second reference
+    val quotas = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n"))
       .select(col(strataCol), round(nPow, 4).as("w"))
-    val totalW = weights.agg(sum(col("w")).as("tot"))
-    val quotas = weights.crossJoin(broadcast(totalW))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy()))
       .select(col(strataCol),
         round(lit(total.toDouble) * col("w") / col("tot"))
           .cast("long").as("quota"))

@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
   * compares ROUNDED cosines, and "earlier" is vector-id order — no RNG,
   * no partition-order dependence.
   *
-  * Scale shape: one training pass (see IvfIndex), one assignment scan,
-  * one cluster-keyed self-join over (id, vec) rows; the
-  * `repartition(cluster)` materializes a single exchange that
-  * ReuseExchange feeds to both join sides. Output is one row per input
-  * vector: its cluster, the max cosine to any earlier cluster-mate
-  * (−2.0 when it has none — below any real cosine), and the prune
-  * verdict. "Keep" = `NOT pruned`; survivors are exactly the SemDeDup
-  * canonical set.
+  * Scale shape: one training pass (see IvfIndex), then a cluster-keyed
+  * self-join over (id, vec, cluster) rows. The assignment expression is
+  * pure scan-stage work (16 codegen'd cosines against literal
+  * centroids, no shuffle), so each of the plan's references to the
+  * assigned table costs one parallel scan — never a join or exchange;
+  * at shuffle-join sizes the `repartition(cluster)` exchange is
+  * ReuseExchange-shareable across the self-join sides, and at
+  * broadcast sizes the planner ships the small side instead. No vector
+  * ever appears as a shuffle KEY (vectors ride the cluster partition,
+  * ids key everything else — the same contract as the text detectors).
+  * Output is one row per input vector: its cluster, the max cosine to
+  * any earlier cluster-mate (−2.0 when it has none — below any real
+  * cosine), and the prune verdict. "Keep" = `NOT pruned`; survivors
+  * are exactly the SemDeDup canonical set.
   */
 object SemDedup {
 

@@ -119,6 +119,48 @@ class PlanAuditSpec extends SparkSpec {
       "posexplode aggregation must partial-aggregate before the exchange")
   }
 
+  test("SemDedup: vectors never key a shuffle; self-join is cluster-equi") {
+    val df = graft.operators.SemDedup.prune(embeddings, "vec_id", "embedding",
+      dims = 64, threshold = 0.9, kClusters = 4, iters = 1)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"))
+    // the scale contract: embeddings may RIDE the cluster partition but
+    // must never BE a partitioning key (a vector-keyed shuffle would
+    // hash 256-byte arrays corpus-wide)
+    val offending = shuffleKeys(plan).filter(k =>
+      k.contains("embedding") || k.contains("vec#") || k.contains("prev_vec"))
+    assert(offending.isEmpty, s"vector in shuffle keys: $offending")
+    // assignment is scan-stage: no exchange may sit BELOW the cluster
+    // repartition (centroids are literals, not a joined table)
+    assert(plan.contains("REPARTITION_BY_COL"),
+      "cluster repartition missing — self-join sides would each re-plan")
+  }
+
+  test("Packing: the only corpus shuffle is the per-stream window partition") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Packing.contextPack(docs, "doc_id", "text",
+      "lang", ctxLen = 128, shards = 4)
+    val keys = shuffleKeys(executedPlan(df))
+    assert(keys.forall(k => k.contains("lang") && k.contains("shard")),
+      s"unexpected shuffles: $keys")
+    assert(keys.size <= 1, s"expected one window exchange, got: $keys")
+  }
+
+  test("Mixture: quota side broadcasts; corpus aggregated once, ranked once") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.operators.Mixture.temperatureSample(
+      docs, "source", "text", "doc_id", total = 50)
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      "quota join must broadcast the strata-sized side")
+    // exactly two source-keyed exchanges: the weight aggregation and the
+    // rank window (the weight normalizer is a window over the tiny
+    // weight table, NOT a second corpus aggregation)
+    val corpusShuffles = shuffleKeys(plan).filter(_.contains("source"))
+    assert(corpusShuffles.size <= 2,
+      s"unexpected corpus shuffles: $corpusShuffles")
+  }
+
   test("native expressions appear in generated code, not as interpreted fallbacks") {
     val df = embeddings.limit(10).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
