@@ -937,6 +937,50 @@ object LlmQueries {
       Mixture.temperatureSample(Tables.documents(s, d), "source", "text",
           "doc_id", total = 200, alpha = 0.5)
         .orderBy(col("source"), col("rn"))
+    },
+
+    // cross-document boilerplate share: fraction of a doc's DISTINCT
+    // trigrams that appear in at least one other document — the
+    // corpus-level complement of t17's intra-doc repetition (C4/Gopher
+    // boilerplate signals). Same skinny (ngram, doc_id) stream as the
+    // shingle blocking; the df join is the t20 TF-IDF shape.
+    sql("t31_boilerplate_share")(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks
+        |),
+        |doc_ng AS (
+        |  SELECT doc_id, unnest(sh) AS ng FROM sh
+        |),
+        |dfreq AS (
+        |  SELECT ng, count(*) AS df FROM doc_ng GROUP BY ng
+        |),
+        |agg AS (
+        |  SELECT doc_id, cast(count(*) AS BIGINT) AS n_ngrams,
+        |    cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM doc_ng JOIN dfreq USING (ng) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_ngrams, n_shared,
+        |  round(n_shared::DOUBLE / n_ngrams, 4) AS boilerplate_share
+        |FROM agg ORDER BY doc_id""") { (s, d) =>
+      val docNg = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("ng"))
+      val dfreq = docNg.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      docNg.join(dfreq, Seq("ng"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_ngrams"), 4)
+            .as("boilerplate_share"))
+        .orderBy(col("doc_id"))
     }
   )
 }
