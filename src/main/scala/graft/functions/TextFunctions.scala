@@ -51,10 +51,17 @@ object TextFunctions {
 
   /** Word n-gram shingles (default 3) over the token sequence — the unit
     * for MinHash document fingerprints. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  /** Composed-Column reference for [[shingles]]: sliding window via
+    * interpreted `transform` over indices (short docs yield the
+    * whole-text single shingle so they still participate). Kept for the
+    * native-expression parity spec — the lambda evaluates interpreted
+    * once per shingle position, which made shingling the dominant scan
+    * cost of every near-dup detector. */
+  def shinglesComposed(text: Column, n: Int = 3): Column = {
     val ts = tokens(text)
-    // sliding window via transform over indices; short docs yield the
-    // whole-text single shingle so they still participate
     when(size(ts) < n, array(concat_ws(" ", ts)))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(ts) - n),

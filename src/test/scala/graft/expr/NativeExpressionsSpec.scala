@@ -106,6 +106,34 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_shingles equals the composed transform chain on real documents") {
+    for (n <- Seq(2, 3, 8)) {
+      val mismatches = documents
+        .select(TextFunctions.shingles(col("text"), n).as("native"),
+          TextFunctions.shinglesComposed(col("text"), n).as("composed"))
+        .filter(col("native") =!= col("composed"))
+        .count()
+      assert(mismatches == 0, s"shingle mismatch at n=$n")
+    }
+  }
+
+  test("graft_shingles edge cases match the composed form (empty, spaces, short, dups, null)") {
+    val edge = Seq(
+      Some(""), Some("   "), Some("one"), Some("one two"),
+      Some("a b a b a b"),                 // duplicate shingles — distinct order
+      Some("  leading and trailing  "),    // ASCII-space trim
+      Some("tab\tand\nnewline separated"), // \s+ covers tabs/newlines
+      None)
+      .toDF("text")
+    val rows = edge.select(
+      TextFunctions.shingles(col("text"), 3).as("native"),
+      TextFunctions.shinglesComposed(col("text"), 3).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
   test("graft_minhash_sig of an empty array is the fold identity (Long.MaxValue)") {
     val out = spark.sql(
       "SELECT graft_minhash_sig(CAST(array() AS ARRAY<STRING>), 4)").head().getSeq[Long](0)

@@ -66,6 +66,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("block hygiene: intermediate round checkpoints are released") {
+    // a graph wide enough to force several star rounds, so resolve
+    // checkpoints repeatedly; only the FINAL round's star forest may
+    // stay persisted after the result is consumed
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(2000)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }
+    val before = spark.sparkContext.getPersistentRDDs.size
+    ConnectedComponents.resolve(edges.toDF("a", "b"), "a", "b").count()
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1,
+      s"$leaked checkpoint RDDs left persisted — rounds must clean up")
+  }
+
   test("empty pair graph: every document is its own singleton cluster") {
     val docs = (1L to 5L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("left_id", "right_id")
