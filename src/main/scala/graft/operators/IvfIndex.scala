@@ -59,18 +59,30 @@ object IvfIndex {
 
     var i = 0
     while (i < iters) {
-      // one scan: assign, explode dims, mean per (cluster, dim). The
-      // collect is control-plane: exactly k*dims small rows.
-      val next = graft.core.Bounded.collect(
-        vecs.select(assignment(col("vec"), centroids).as("cluster"),
-            posexplode(col("vec")).as(Seq("pos", "v")))
-          .groupBy(col("cluster"), col("pos"))
-          .agg((round(avg(col("v").cast("double")), roundDp) + 0.0).as("c"))
-          .orderBy(col("cluster"), col("pos")),
-        k * dims, "IvfIndex.train")
-        .groupBy(_.getInt(0))
-        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-        .toMap
+      // one scan: assign, then `dims` per-dimension sum aggregates + a
+      // count, grouped by cluster — the shuffle carries k×(dims+1)
+      // partial-sum cells, NOT n×dims exploded rows (the posexplode
+      // formulation shipped one row per vector element per iteration,
+      // which at corpus scale is a full-corpus-width shuffle every
+      // Lloyd's round). The collect is control-plane: exactly k rows.
+      val dimSums = (0 until dims).map(d =>
+        sum(col("vec").getItem(d).cast("double")).as(s"s$d"))
+      val rows = graft.core.Bounded.collect(
+        vecs.select(assignment(col("vec"), centroids).as("cluster"), col("vec"))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cnt"), dimSums: _*),
+        k, "IvfIndex.train")
+      // rounded mean per dimension, driver-side: BigDecimal HALF_UP is
+      // exactly Spark's round(), and `+ 0.0` normalizes -0.0 the same
+      // way the oracled queries do
+      val next = rows.map { r =>
+        val cnt = r.getLong(1)
+        r.getInt(0) -> (0 until dims).map { d =>
+          java.math.BigDecimal.valueOf(r.getDouble(2 + d) / cnt)
+            .setScale(roundDp, java.math.RoundingMode.HALF_UP)
+            .doubleValue() + 0.0
+        }
+      }.toMap
       // a cluster that lost all members keeps its previous centroid —
       // deterministic, and standard Lloyd's practice
       centroids = centroids.indices.map(c => next.getOrElse(c, centroids(c)))
