@@ -981,6 +981,174 @@ object LlmQueries {
           round(col("n_shared").cast("double") / col("n_ngrams"), 4)
             .as("boilerplate_share"))
         .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style repetition signals (round 5): fraction of 5-gram
+    // OCCURRENCES belonging to a gram repeated within the doc (the
+    // "fraction of characters in duplicate n-grams" family) plus the
+    // single most frequent token's share of all tokens. Complements
+    // t17 (max-bigram share) and t31 (cross-doc boilerplate): these are
+    // the intra-doc duplicate-mass signals Gopher rules threshold on.
+    sql("t32_gopher_repetition")(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
+        |),
+        |g5 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts) - 3),
+        |      i -> array_to_string(ts[i:i+4], ' '))) AS g
+        |  FROM toks WHERE len(ts) >= 5
+        |),
+        |g5c AS (
+        |  SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g
+        |),
+        |dup5 AS (
+        |  SELECT doc_id,
+        |    round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c), 4)
+        |      AS dup5_frac
+        |  FROM g5c GROUP BY doc_id
+        |),
+        |tokc AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY doc_id, t
+        |),
+        |topw AS (
+        |  SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
+        |  FROM tokc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(dup5.dup5_frac, 0.0) AS dup5_frac,
+        |  coalesce(topw.top_word_frac, 0.0) AS top_word_frac
+        |FROM documents d
+        |LEFT JOIN dup5 USING (doc_id)
+        |LEFT JOIN topw USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val g5 = docs.select(col("doc_id"),
+        explode(TextFunctions.ngramsRaw(col("text"), 5)).as("g"))
+      val dup5 = g5.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double")
+          / sum(col("c")), 4).as("dup5_frac"))
+      val topw = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
+          .as("top_word_frac"))
+      docs.select(col("doc_id"))
+        .join(dup5, Seq("doc_id"), "left")
+        .join(topw, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"),
+          coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // per-source (per-domain) cap: keep at most 50 docs per source,
+    // chosen by content-hash order (md5 of the text, doc_id tiebreak) so
+    // the selection is deterministic and uniform, not "first N by id" —
+    // the standard domain-balancing step before mixing (C4/RefinedWeb
+    // per-domain caps). One window per source partition; at scale the
+    // partition key is the source, so no global sort is involved.
+    sql("t33_source_cap")(
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    cast(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(text), doc_id) AS INT) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, rk FROM ranked
+        |WHERE rk <= 50 ORDER BY source, rk""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 50)
+        .orderBy(col("source"), col("rk"))
+    },
+
+    // deterministic train/val/test split (round 5): bucket = first 8 hex
+    // chars of md5("g1-" || doc_id) as an integer, mod 100 → 80/10/10.
+    // Hash-based (not modulo-of-id) so the split is uncorrelated with
+    // any id-ordered attribute; salt "g1-" versions the split. Pure
+    // per-row projection — no shuffle at all until the output sort.
+    sql("t34_hash_split")(
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('g1-' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 100 AS bucket,
+        |  CASE
+        |    WHEN ('0x' || substr(md5('g1-' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 < 80 THEN 'train'
+        |    WHEN ('0x' || substr(md5('g1-' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      val bucket = conv(substring(
+        md5(concat(lit("g1-"), col("doc_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+      Tables.documents(s, d)
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // hashing-trick linear classifier score (round 5): fastText-style
+    // quality scoring without a model artifact — each token hashes into
+    // one of 1024 buckets (first 4 hex chars of md5), the bucket's weight
+    // is a deterministic pseudo-random value in [-1, 1], and the doc
+    // score is the mean token weight. The shape is exactly a production
+    // classifier's (token → hashed feature → weight lookup → mean); the
+    // weights would be a broadcast model table in real use. The mean is
+    // an exact BIGINT sum of integer weights divided ONCE by 997.0·n —
+    // prime denominator, so scores are generic doubles that never sit on
+    // a round-half-at-4-decimals boundary (with /1000.0 the exact ties
+    // exposed Spark's BigDecimal HALF_UP vs DuckDB's double-multiply
+    // rounding). `+ 0.0` guards the signed-zero case (QueryDef
+    // convention).
+    sql("t35_hash_classifier")(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((('0x' || substr(md5(t), 1, 4))::BIGINT % 1024)
+        |        * 2654435761 % 2001) - 1000 AS w
+        |  FROM toks
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |    round(cast(sum(w) AS BIGINT) / (997.0 * count(*)), 4) + 0.0 AS score,
+        |    cast(count(*) AS BIGINT) AS n_tokens
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(a.score, 0.0) AS score,
+        |  coalesce(a.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN coalesce(a.score, 0.0) > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bucket = conv(substring(md5(col("t")), 1, 4), 16, 10)
+        .cast("long") % 1024
+      val weight = (bucket * lit(2654435761L)) % 2001L - 1000L
+      val agg = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), weight.as("w"))
+        .groupBy(col("doc_id"))
+        .agg((round(sum(col("w")) / (lit(997.0) * count(lit(1))), 4) + 0.0)
+          .as("score"), count(lit(1)).as("n_tokens"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("score"), lit(0.0)).as("score"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          when(coalesce(col("score"), lit(0.0)) > 0, "keep")
+            .otherwise("drop").as("label"))
+        .orderBy(col("doc_id"))
     }
   )
 }
