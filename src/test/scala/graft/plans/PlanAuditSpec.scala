@@ -161,6 +161,36 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected corpus shuffles: $corpusShuffles")
   }
 
+  private def namedQuery(name: String): DataFrame =
+    graft.queries.LlmQueries.all.find(_.name == name).get.fn(spark, sfDir)
+
+  test("t34 hash split: pure projection — zero hash shuffles before the output sort") {
+    val plan = executedPlan(namedQuery("t34_hash_split"))
+    assert(shuffleKeys(plan).isEmpty,
+      s"split assignment must not shuffle: ${shuffleKeys(plan)}")
+  }
+
+  test("t33 source cap: exactly one hash shuffle, keyed by source (the window)") {
+    val plan = executedPlan(namedQuery("t33_source_cap"))
+    val keys = shuffleKeys(plan)
+    assert(keys.size == 1 && keys.head.contains("source"),
+      s"expected one source-keyed window exchange, got: $keys")
+    assert(keys.forall(k => !k.contains("text")),
+      "document text must not be a shuffle key")
+  }
+
+  test("t32/t35 per-doc signals: text never a shuffle key, aggs are partial") {
+    for (name <- Seq("t32_gopher_repetition", "t35_hash_classifier")) {
+      val plan = executedPlan(namedQuery(name))
+      assert(shuffleKeys(plan).forall(k => !k.contains("text")),
+        s"$name: document text must not be a shuffle key")
+      assert(!plan.contains("CartesianProduct"), name)
+      // token/gram counts combine map-side before the exchange
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$name: expected map-side partial aggregation")
+    }
+  }
+
   test("native expressions appear in generated code, not as interpreted fallbacks") {
     val df = embeddings.limit(10).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
