@@ -96,5 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_simhash expects (tokens)")
         SimHash64(children.head)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsLong].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_bloom_contains expects (hash, sketch)")
+        BloomContainsLong(children.head, children(1))
+      }))
   }
 }

@@ -306,4 +306,55 @@ object Dedup {
         col("left_id").as("container_id"))
     lInR.unionAll(rInL)
   }
+
+  /** Benchmark decontamination via a Bloom-sketch prefilter — the scale
+    * path beside the broadcast semi-join (t24): build a [[org.apache.
+    * spark.util.sketch.BloomFilter]] over the xxhash64 of the benchmark's
+    * n-grams (a few MB regardless of dictionary size), probe every corpus
+    * n-gram inside whole-stage codegen (`graft_bloom_contains` — no join,
+    * no shuffle), and exact-verify only the survivors with a semi-join.
+    * At 100 TB the broadcast variant needs the full benchmark n-gram
+    * DICTIONARY on every executor; this variant ships a constant-size
+    * sketch and shuffles only `fpp × stream + true hits` rows. The final
+    * answer is identical to the exact computation — Bloom false positives
+    * die in the verify join, and false negatives don't exist.
+    *
+    * Output: (doc_id, contaminated) for every input document. */
+  def bloomDecontaminate(docs: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String,
+                         shingleSize: Int = 8,
+                         expectedNgrams: Long = 1L << 22,
+                         fpp: Double = 0.01): DataFrame = {
+    val docsN = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val benchNg = bench
+      .select(explode(TextFunctions.shingles(col(textCol), shingleSize)).as("ng"))
+    // one aggregation action builds the sketch (tree-merged partials);
+    // duplicates need no pre-distinct — Bloom insertion is idempotent.
+    // A zero-row benchmark yields a null-buffer sketch from
+    // stat.bloomFilter — substitute a minimal empty filter (still sound:
+    // it contains nothing, so nothing survives the prefilter).
+    val bloom =
+      try benchNg.select(xxhash64(col("ng")).as("h"))
+        .stat.bloomFilter("h", expectedNgrams, fpp)
+      catch {
+        // zero benchmark rows: the aggregate yields null bytes and
+        // stat.bloomFilter NPEs deserializing them (Spark 4.1)
+        case _: NullPointerException =>
+          org.apache.spark.util.sketch.BloomFilter.create(1)
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val sketch = lit(bos.toByteArray)
+    val flagged = docsN
+      .select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), shingleSize)).as("ng"))
+      .filter(call_function("graft_bloom_contains",
+        xxhash64(col("ng")), sketch))
+      .join(benchNg.distinct(), Seq("ng"), "left_semi") // exact verify
+      .select(col("doc_id")).distinct()
+      .withColumn("__c", lit(true))
+    docsN.select(col("doc_id")).join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
 }

@@ -1096,6 +1096,50 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-prefiltered decontamination (round 5): IDENTICAL result to
+    // t24 — same oracle SQL — through the 100 TB plan: a constant-size
+    // Bloom sketch of the benchmark's 8-gram hashes probes the corpus
+    // n-gram stream inside codegen (no broadcast dictionary, no shuffle),
+    // and only sketch survivors reach the exact-verify semi-join. The
+    // sketch's false positives are removed by the verify join, so the
+    // exact SQL is a sound oracle for the approximate-prefilter plan.
+    sql("t36_bloom_decontamination")(
+      """WITH bench AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+        |),
+        |bench_ng AS (
+        |  SELECT DISTINCT ng FROM (
+        |    SELECT unnest(
+        |      CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |           ELSE list_distinct(list_transform(range(1, len(ts) - 6),
+        |                  i -> array_to_string(ts[i:i+7], ' ')))
+        |      END) AS ng
+        |    FROM (SELECT string_split_regex(trim(text), '\s+') AS ts FROM bench) b)
+        |),
+        |doc_ng AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(ts) < 8 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 6),
+        |                i -> array_to_string(ts[i:i+7], ' ')))
+        |    END) AS ng
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |        FROM documents) t
+        |),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM doc_ng JOIN bench_ng USING (ng)
+        |)
+        |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN flagged f USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // sketch sized for the %97 benchmark slice (~1/97 of corpus
+      // n-grams); an overfull sketch only raises the prefilter's FPP —
+      // the exact-verify join keeps the result identical
+      Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+          "text", "doc_id", expectedNgrams = 1L << 18)
+        .orderBy(col("doc_id"))
+    },
+
     // hashing-trick linear classifier score (round 5): fastText-style
     // quality scoring without a model artifact — each token hashes into
     // one of 1024 buckets (first 4 hex chars of md5), the bucket's weight

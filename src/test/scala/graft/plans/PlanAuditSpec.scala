@@ -191,6 +191,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t36 bloom decontamination: sketch probe in-plan, text off shuffle keys") {
+    val plan = executedPlan(namedQuery("t36_bloom_decontamination"))
+    assert(plan.contains("graft_bloom_contains"),
+      "prefilter must be the native sketch probe")
+    assert(shuffleKeys(plan).forall(k => !k.contains("text")),
+      "document text must not be a shuffle key")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("native expressions appear in generated code, not as interpreted fallbacks") {
     val df = embeddings.limit(10).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
