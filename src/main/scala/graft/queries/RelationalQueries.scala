@@ -383,6 +383,36 @@ object RelationalQueries {
       graft.streaming.Sessionize
         .sessions(Tables.events(s, d), "ts", "user_id", "value")
         .orderBy(col("user_id"), col("session_start_us"))
+    },
+
+    // as-of (point-in-time) join: every event picks up the timestamp and
+    // value of the most recent 'error' event of the same user at or
+    // before its own timestamp. Spark has no ASOF JOIN — the engine's
+    // operators/AsOfJoin does it with ONE key shuffle and a running
+    // last(ignoreNulls) window, no join node and no range explosion; the
+    // oracle is DuckDB's native ASOF LEFT JOIN over the same tables.
+    sql("q22_asof_join")(
+      """WITH cp AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  epoch_us(cp.ts) AS err_ts_us, cp.value AS err_value
+        |FROM events e ASOF LEFT JOIN cp
+        |  ON e.user_id = cp.user_id AND e.ts >= cp.ts
+        |ORDER BY e.event_id""") { (s, d) =>
+      val events = Tables.events(s, d)
+      val checkpoints = events.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asOf(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          checkpoints, keys = Seq("user_id"),
+          leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("ts", "value"), outPrefix = "err_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("err_ts")).as("err_ts_us"),
+          col("err_value"))
+        .orderBy(col("event_id"))
     }
   )
 }
