@@ -413,6 +413,57 @@ object RelationalQueries {
           unix_micros(col("err_ts")).as("err_ts_us"),
           col("err_value"))
         .orderBy(col("event_id"))
+    },
+
+    // interval-containment join: attach to every event the session
+    // window [start, end) that contains it (sessions are themselves an
+    // engine product — q21's session_window aggregation). Spark would
+    // plan the point-in-interval predicate as a nested-loop join; the
+    // engine's operators/RangeJoin bucketizes both sides so it becomes
+    // an equi-join on (user, bucket) + a residual containment filter.
+    // The oracle rebuilds the same sessions with gaps-and-islands SQL
+    // and joins with the raw inequality (DuckDB IEJoin).
+    sql("q23_interval_join")(
+      """WITH lagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM lagged
+        |),
+        |agg AS (
+        |  SELECT user_id,
+        |    epoch_us(min(ts)) AS session_start_us,
+        |    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  a.session_start_us, a.session_end_us
+        |FROM events e JOIN agg a ON e.user_id = a.user_id
+        |  AND epoch_us(e.ts) >= a.session_start_us
+        |  AND epoch_us(e.ts) < a.session_end_us
+        |ORDER BY e.event_id""") { (s, d) =>
+      val events = Tables.events(s, d)
+      val sessions = graft.streaming.Sessionize
+        .sessions(events, "ts", "user_id", "value")
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"))
+      graft.operators.RangeJoin.interval(
+          events.select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us")),
+          sessions, keys = Seq("user_id"),
+          ptCol = "ts_us", loCol = "session_start_us",
+          hiCol = "session_end_us",
+          bucketWidth = 30L * 60L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("session_start_us"), col("session_end_us"))
+        .orderBy(col("event_id"))
     }
   )
 }
