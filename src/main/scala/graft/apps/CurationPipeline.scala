@@ -54,7 +54,7 @@ object CurationPipeline {
   /** Adds the per-language content-hash rank `rn` and keeps rn ≤ n. */
   private def sample(df: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      .partitionBy(col("lang")).orderBy(md5(col("text")).asc_nulls_last, col("doc_id"))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 

@@ -26,11 +26,16 @@ import org.apache.spark.sql.functions._
   *
   * Contract: right rows with NULL timestamps are dropped (they can never
   * satisfy `l.ts >= r.ts`); left rows always survive (left-join
-  * semantics) with NULL payload when no earlier right row exists. If
-  * multiple right rows share (key, ts), the propagated payload is the
-  * last in (ts, side) sort order within the union — callers needing a
-  * deterministic pick among exact duplicates should pre-aggregate the
-  * right side (e.g. `max_by`) to one row per (key, ts).
+  * semantics) with NULL payload when no earlier right row exists. All
+  * payload columns are packed into ONE struct per right row before the
+  * window, so the propagated values always come from the SAME right row
+  * (atomic match, as in pandas/DuckDB ASOF), and a right row whose
+  * payload value is genuinely NULL propagates that NULL rather than
+  * falling back to an older row. If multiple right rows share (key, ts),
+  * the propagated row is the last in (ts, side) sort order within the
+  * union — callers needing a deterministic pick among exact duplicates
+  * should pre-aggregate the right side (e.g. `max_by`) to one row per
+  * (key, ts).
   *
   * Output: every left column, plus `<outPrefix><payloadCol>` for each
   * requested right payload column. */
@@ -49,15 +54,20 @@ object AsOfJoin {
     val passthrough = leftCols.filterNot(keys.contains)
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
 
+    // One struct per right row (non-null even when every payload value is
+    // NULL) keeps last(ignoreNulls) skipping only left rows — the match
+    // is atomic per right row.
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(c, rightTypes(c))))
     val leftU = left.select(
       keys.map(col) ++
-        Seq(col(leftTsCol).as("__ts"), lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(rightTypes(c)).as(s"__r_$c")) ++
+        Seq(col(leftTsCol).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(payloadStruct).as("__r")) ++
         passthrough.map(col): _*)
     val rightU = right.filter(col(rightTsCol).isNotNull).select(
       keys.map(col) ++
-        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side")) ++
-        payload.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"),
+          struct(payload.map(col): _*).as("__r")) ++
         passthrough.map(c => lit(null).cast(leftTypes(c)).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
@@ -65,12 +75,10 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     leftU.unionByName(rightU)
       .select(
-        (keys ++ passthrough).map(col) ++ Seq(col("__side")) ++
-          payload.map(c =>
-            last(col(s"__r_$c"), ignoreNulls = true).over(w)
-              .as(s"$outPrefix$c")): _*)
+        (keys ++ passthrough).map(col) ++ Seq(col("__side"),
+          last(col("__r"), ignoreNulls = true).over(w).as("__rlast")): _*)
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"$outPrefix$c")): _*)
+        payload.map(c => col("__rlast").getField(c).as(s"$outPrefix$c")): _*)
   }
 }

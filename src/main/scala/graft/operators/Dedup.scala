@@ -330,18 +330,16 @@ object Dedup {
       .select(explode(TextFunctions.shingles(col(textCol), shingleSize)).as("ng"))
     // one aggregation action builds the sketch (tree-merged partials);
     // duplicates need no pre-distinct — Bloom insertion is idempotent.
-    // A zero-row benchmark yields a null-buffer sketch from
-    // stat.bloomFilter — substitute a minimal empty filter (still sound:
-    // it contains nothing, so nothing survives the prefilter).
+    // A zero-row benchmark yields a null-buffer sketch that
+    // stat.bloomFilter NPEs on (Spark 4.1) — test emptiness explicitly
+    // and substitute a minimal empty filter (still sound: it contains
+    // nothing, so nothing survives the prefilter). An explicit guard,
+    // not a catch: any OTHER failure must fail loudly rather than
+    // silently mark every document uncontaminated.
     val bloom =
-      try benchNg.select(xxhash64(col("ng")).as("h"))
+      if (benchNg.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1)
+      else benchNg.select(xxhash64(col("ng")).as("h"))
         .stat.bloomFilter("h", expectedNgrams, fpp)
-      catch {
-        // zero benchmark rows: the aggregate yields null bytes and
-        // stat.bloomFilter NPEs deserializing them (Spark 4.1)
-        case _: NullPointerException =>
-          org.apache.spark.util.sketch.BloomFilter.create(1)
-      }
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     val sketch = lit(bos.toByteArray)

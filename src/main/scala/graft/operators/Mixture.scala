@@ -50,8 +50,10 @@ object Mixture {
         round(lit(total.toDouble) * col("w") / col("tot"))
           .cast("long").as("quota"))
 
+    // nulls-last on the hash key: Spark's ASC default is NULLS FIRST,
+    // DuckDB's is NULLS LAST — a NULL text row must rank the same in both
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(col(textCol)), col(idCol))
+      .orderBy(md5(col(textCol)).asc_nulls_last, col(idCol))
     df.select(col(idCol), col(strataCol), col(textCol))
       .withColumn("rn", row_number().over(w))
       .join(broadcast(quotas), Seq(strataCol))

@@ -25,17 +25,33 @@ import org.apache.spark.sql.functions._
   * intervals are half-open `[lo, hi)`. Inner-join semantics: points
   * contained by no interval are dropped (wrap with a left anti/semi
   * pattern for outer behavior). Intervals with `hi <= lo` match nothing;
-  * null bounds or points never match. */
+  * null bounds or points never match. One corrupt/sentinel interval
+  * (hi near Long.MaxValue) would otherwise explode span/bucketWidth
+  * rows and OOM the task — any interval wider than `maxBuckets` buckets
+  * FAILS the job loudly (raise_error) rather than silently exploding or
+  * silently dropping data; callers with genuine ultra-wide intervals
+  * raise `bucketWidth` (or `maxBuckets` deliberately). */
 object RangeJoin {
 
   def interval(left: DataFrame, right: DataFrame, keys: Seq[String],
                ptCol: String, loCol: String, hiCol: String,
-               bucketWidth: Long): DataFrame = {
+               bucketWidth: Long, maxBuckets: Long = 1L << 16): DataFrame = {
     require(bucketWidth > 0, "interval: bucketWidth must be positive")
+    require(maxBuckets > 0, "interval: maxBuckets must be positive")
     val l = left.withColumn("__bucket", floor(col(ptCol) / bucketWidth))
+    val nBuckets =
+      floor((col(hiCol) - 1) / bucketWidth) - floor(col(loCol) / bucketWidth) + 1
     val r = right
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) < col(hiCol))
+      .filter(when(nBuckets > maxBuckets,
+        raise_error(format_string(
+          "RangeJoin.interval: interval [%d,%d) spans %d buckets" +
+            " > maxBuckets=" + maxBuckets +
+            " at bucketWidth=" + bucketWidth +
+            " — corrupt bound, or raise bucketWidth/maxBuckets",
+          col(loCol), col(hiCol), nBuckets)).cast("boolean"))
+        .otherwise(lit(true)))
       .withColumn("__bucket",
         explode(sequence(floor(col(loCol) / bucketWidth),
           floor((col(hiCol) - 1) / bucketWidth))))

@@ -590,7 +590,7 @@ object LlmQueries {
         |ORDER BY lang, rn""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("text")), col("doc_id"))
+        .orderBy(md5(col("text")).asc_nulls_last, col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("text"))
         .withColumn("rn", row_number().over(w))
@@ -1062,7 +1062,7 @@ object LlmQueries {
         |WHERE rk <= 50 ORDER BY source, rk""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("text")), col("doc_id"))
+        .orderBy(md5(col("text")).asc_nulls_last, col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           row_number().over(w).as("rk"))

@@ -393,7 +393,8 @@ object RelationalQueries {
     // oracle is DuckDB's native ASOF LEFT JOIN over the same tables.
     sql("q22_asof_join")(
       """WITH cp AS (
-        |  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'error' GROUP BY user_id, ts
         |)
         |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  epoch_us(cp.ts) AS err_ts_us, cp.value AS err_value
@@ -401,8 +402,11 @@ object RelationalQueries {
         |  ON e.user_id = cp.user_id AND e.ts >= cp.ts
         |ORDER BY e.event_id""") { (s, d) =>
       val events = Tables.events(s, d)
+      // One row per (user_id, ts): ties on the right timestamp would make
+      // the propagated payload sort-order-dependent (AsOfJoin contract).
       val checkpoints = events.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("value"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value"))
       graft.operators.AsOfJoin.asOf(
           events.select(col("event_id"), col("user_id"), col("ts")),
           checkpoints, keys = Seq("user_id"),

@@ -46,6 +46,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out === Map(1L -> 1.1))
   }
 
+  test("match is atomic: NULL payload from the matched row propagates, " +
+    "all payload columns come from the SAME right row") {
+    // right rows: ts=10 has (a=1.0, b=NULL); ts=20 has (a=NULL, b=2.0).
+    // A per-column last(ignoreNulls) would stitch (a=1.0, b=2.0) from two
+    // different rows; the atomic contract requires left ts=25 to see
+    // ONLY the ts=20 row: (a=NULL, b=2.0).
+    val left = Seq((1L, 1L, 25L), (2L, 1L, 15L)).toDF("id", "k", "ts")
+    val right = Seq(
+      (1L, 10L, Some(1.0), Option.empty[Double]),
+      (1L, 20L, Option.empty[Double], Some(2.0)))
+      .toDF("k", "ts", "a", "b")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("a", "b"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) === ((None, Some(2.0))),
+      "ts=25 must take BOTH columns from the ts=20 row (a genuinely NULL)")
+    assert(out(2L) === ((Some(1.0), None)),
+      "ts=15 must take BOTH columns from the ts=10 row (b genuinely NULL)")
+  }
+
   test("plan has one key shuffle and no join node") {
     val left = spark.range(100).select(col("id"), (col("id") % 5).as("k"),
       (col("id") * 10).as("ts"))

@@ -43,6 +43,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 
+  test("interval wider than maxBuckets fails loudly instead of exploding") {
+    val pts = Seq((1L, 1L, 5L)).toDF("id", "k", "pt")
+    // sentinel hi near Long.MaxValue: would explode ~9e17 rows unchecked
+    val ivs = Seq((1L, 0L, Long.MaxValue - 1, "corrupt"))
+      .toDF("k", "lo", "hi", "tag")
+    val ex = intercept[Exception] {
+      RangeJoin.interval(pts, ivs, Seq("k"), "pt", "lo", "hi",
+        bucketWidth = 10L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxBuckets")),
+      s"expected the raise_error message, got: ${messages(ex)}")
+    // same interval passes when maxBuckets is raised to cover it, at a
+    // bucketWidth that keeps the explode bounded
+    val wide = RangeJoin.interval(pts, ivs, Seq("k"), "pt", "lo", "hi",
+      bucketWidth = Long.MaxValue / 4, maxBuckets = 8L)
+    assert(wide.count() === 1L)
+  }
+
   test("plans as an equi-join on (key, bucket) — no nested loop, no cartesian") {
     val pts = spark.range(100).select(col("id"), (col("id") % 3).as("k"),
       (col("id") * 9).as("pt"))
