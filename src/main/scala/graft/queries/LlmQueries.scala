@@ -1193,6 +1193,141 @@ object LlmQueries {
           when(coalesce(col("score"), lit(0.0)) > 0, "keep")
             .otherwise("drop").as("label"))
         .orderBy(col("doc_id"))
+    },
+
+    // BM25 keyword retrieval (operators/Ranking): top-20 documents for a
+    // 3-term topic probe. Rank is over the ROUNDED score (4 dp, doc_id
+    // tiebreak) so floating-sum order can't reorder engines; the Spark
+    // side takes top-k via TakeOrderedAndProject, not a global window.
+    sql("t37_bm25_search")(
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM docs
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t
+        |),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score,
+        |    cast(count(*) AS BIGINT) AS n_matched
+        |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, score, n_matched,
+        |  cast(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 20
+        |ORDER BY rank""") { (s, d) =>
+      graft.operators.Ranking.bm25(Tables.documents(s, d),
+          idCol = "doc_id", textCol = "text",
+          queryTerms = Seq("spark", "join", "window"), topK = 20)
+        .orderBy(col("rank"))
+    },
+
+    // DSIR importance weights (operators/Importance): hashed-unigram
+    // log-likelihood ratio of a target slice (sources src0/src1) vs the
+    // raw corpus, length-normalized — the Xie et al. 2023 selection
+    // signal. Bucketing is the cross-engine md5 hash trick (t34/t35).
+    sql("t38_dsir_weights")(
+      """WITH base AS (
+        |  SELECT doc_id, text, source IN ('src0', 'src1') AS is_target
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |tok AS (
+        |  SELECT doc_id, is_target,
+        |    (('0x' || substr(md5(t), 1, 4))::BIGINT % 256) AS bucket
+        |  FROM (SELECT doc_id, is_target,
+        |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |        FROM base)
+        |),
+        |p_r AS (
+        |  SELECT bucket, (count(*) + 1.0)
+        |      / ((SELECT count(*) FROM tok) + 256.0) AS p_r
+        |  FROM tok GROUP BY bucket
+        |),
+        |p_t AS (
+        |  SELECT bucket, (count(*) + 1.0)
+        |      / ((SELECT count(*) FROM tok WHERE is_target) + 256.0) AS p_t
+        |  FROM tok WHERE is_target GROUP BY bucket
+        |),
+        |floor_t AS (
+        |  SELECT 1.0 / (count(*) + 256.0) AS floor_t FROM tok WHERE is_target
+        |),
+        |lr AS (
+        |  SELECT p_r.bucket,
+        |    ln(coalesce(p_t.p_t, floor_t.floor_t) / p_r.p_r) AS lr
+        |  FROM p_r LEFT JOIN p_t USING (bucket) CROSS JOIN floor_t
+        |),
+        |per_doc AS (
+        |  SELECT doc_id, round(sum(c * lr) / sum(c), 4) + 0.0 AS weight,
+        |    cast(sum(c) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, bucket, count(*) AS c FROM tok
+        |        GROUP BY doc_id, bucket) dc
+        |  JOIN lr USING (bucket) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(p.weight, 0.0) AS weight,
+        |  coalesce(p.n_tokens, 0) AS n_tokens
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      graft.operators.Importance.dsirWeights(Tables.documents(s, d),
+          idCol = "doc_id", textCol = "text",
+          targetPred = col("source").isin("src0", "src1"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Word-distribution Shannon entropy per document — a lexical-
+    // diversity quality signal (low entropy = repetitive/template text;
+    // composes with t17's repetition ratio). Pure composition of the
+    // engine's tf machinery: one exploded pass, doc-keyed aggregation.
+    sql("t39_word_entropy")(
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE length(trim(text)) > 0) x
+        |  GROUP BY doc_id, t
+        |),
+        |ent AS (
+        |  SELECT doc_id,
+        |    round(-sum((c / n::DOUBLE) * log2(c / n::DOUBLE)), 4) + 0.0
+        |      AS entropy,
+        |    cast(count(*) AS BIGINT) AS n_types,
+        |    cast(n AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, t, c, sum(c) OVER (PARTITION BY doc_id) AS n
+        |        FROM tf) y
+        |  GROUP BY doc_id, n
+        |)
+        |SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy,
+        |  coalesce(e.n_types, 0) AS n_types, coalesce(e.n_tokens, 0) AS n_tokens
+        |FROM documents d LEFT JOIN ent e USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
+      val p = col("c") / col("n").cast("double")
+      val ent = tf.withColumn("n", n)
+        .groupBy(col("doc_id"), col("n"))
+        .agg((round(-sum(p * log(2.0, p)), 4) + 0.0).as("entropy"),
+          count(lit(1)).as("n_types"))
+      docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("entropy"), lit(0.0)).as("entropy"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("n").cast("long"), lit(0L)).as("n_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 }
