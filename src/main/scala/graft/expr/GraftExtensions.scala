@@ -98,6 +98,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_pq_encode expects (vec, codebook, m, k)")
+        PqEncode(children.head, children(1),
+          intArg(children(2), "graft_pq_encode", 2),
+          intArg(children(3), "graft_pq_encode", 3))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_pq_adc expects (codes, table, k)")
+        PqAdc(children.head, children(1),
+          intArg(children(2), "graft_pq_adc", 2))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContainsLong].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => {

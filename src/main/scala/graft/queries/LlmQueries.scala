@@ -782,6 +782,17 @@ object LlmQueries {
         kClusters = 16, iters = 3, nprobe = 2)
     },
 
+    // product-quantization ANN (operators/PqIndex): corpus stored as m=8
+    // codeword ids, query scored with 8 table lookups per row
+    // (graft_pq_adc in the scan stage), exact re-rank of k·refine
+    // candidates. Deterministic training → golden oracle, like t25.
+    sql("t40_pq_topk")(
+      graft.GoldenGen.oracleSql("t40_pq_topk", "l2_sq, vec_id")) { (s, d) =>
+      graft.operators.PqIndex.scanTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
+        m = 8, kCodes = 16, iters = 3, refine = 4)
+    },
+
     // substring-containment dedup (exact-inclusion stage): planted
     // wrapper documents ('pre ' || text || ' post', id + 2,000,000)
     // guarantee positives; pure set arithmetic + contains() → FULL
