@@ -1206,6 +1206,36 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // tokenizer fertility: BPE-ish subword pieces per whitespace word —
+    // the cost signal tokenizer teams budget by (fertility ~1 = cheap
+    // prose, high = code/digits/punctuation-heavy). DuckDB mirror of the
+    // subword regex: letter runs | digit runs | each non-alnum non-space
+    // char (RE2 has no lookarounds, so the oracle counts pieces rather
+    // than split points — same value by construction).
+    sql("t41_subword_fertility")(
+      """SELECT doc_id, n_tokens, n_subwords,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE round(n_subwords / n_tokens::DOUBLE, 4) END AS fertility
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE cast(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens,
+        |    cast(len(regexp_extract_all(text,
+        |      '\p{L}+|\p{N}+|[^\p{L}\p{N} ]')) AS BIGINT) AS n_subwords
+        |  FROM documents) x
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(round(col("n_subwords") / col("n_tokens"), 4))
+            .as("fertility"))
+        .orderBy(col("doc_id"))
+    },
+
     // BM25 keyword retrieval (operators/Ranking): top-20 documents for a
     // 3-term topic probe. Rank is over the ROUNDED score (4 dp, doc_id
     // tiebreak) so floating-sum order can't reorder engines; the Spark
