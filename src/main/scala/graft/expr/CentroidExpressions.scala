@@ -1,0 +1,109 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Nearest-centroid assignment kernel shared by eval and codegen.
+  * Value-identical to the composed chain it replaces
+  * (`array_position(sims, array_max(sims)) - 1` over k
+  * `graft_cosine(vec, centroid_literal)` columns — pinned by the
+  * t25/t28 goldens): per-centroid cosine uses the exact
+  * [[CosineSimilarity]] accumulation order (dot/na/nb in index order,
+  * `sqrt(na)*sqrt(nb)` denominator, zero-denominator → 0.0), and the
+  * strict `>` comparison keeps the FIRST maximal centroid — the same
+  * tie-break as `array_position`'s first-match contract. A null vector
+  * element yields null (the composed chain's null-sim corner; no
+  * corpus row exercises it). */
+object CentroidKernel {
+
+  /** Flattened centroids: centroid `c`'s component `i` at `c*dims + i`. */
+  def argmax(vec: ArrayData, isFloat: Boolean, cb: Array[Double],
+             k: Int): java.lang.Integer = {
+    val n = vec.numElements()
+    if (k * n != cb.length) return null
+    var best = -1
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (vec.isNullAt(i)) return null
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = cb(c * n + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      val sim = if (d == 0.0) 0.0 else dot / d
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** `graft_argmax_cosine(vec, centroids, k)` → int id of the
+  * max-cosine centroid. `centroids` must be a foldable flattened
+  * array<double> literal (k·dims values) — one codebook per query,
+  * pinned into generated code via `addReferenceObj`, so assignment is
+  * ONE static call per row instead of k inlined cosine loops plus an
+  * array build (the k=16 composed form generated ~16×64-literal
+  * methods per Lloyd's iteration — Janino compile time dominated
+  * training on small corpora). */
+case class CentroidArgmax(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (l, ArrayType(DoubleType, _)) if elemOk(l) && right.foldable =>
+        if (k >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_argmax_cosine: k must be >= 1")
+      case (l, r) if elemOk(l) => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmax_cosine: centroids must be a foldable array<double>, got ${r.sql}")
+      case (l, _) => TypeCheckResult.TypeCheckFailure(
+        s"graft_argmax_cosine requires array<float|double> vec, got ${l.sql}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_cosine"
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val centroids: Array[Double] =
+    right.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override protected def nullSafeEval(vec: Any, _cb: Any): Any = {
+    val r = CentroidKernel.argmax(vec.asInstanceOf[ArrayData], isFloat, centroids, k)
+    if (r == null) null else r.intValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Integer $r =
+         |  graft.expr.CentroidKernel.argmax($v, $isFloat, $ref, $k);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidArgmax =
+    copy(left = newLeft, right = newRight)
+}

@@ -98,6 +98,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_argmax_cosine"),
+      new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_argmax_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_argmax_cosine expects (vec, centroids, k)")
+        CentroidArgmax(children.head, children(1),
+          intArg(children(2), "graft_argmax_cosine", 2))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => {

@@ -29,14 +29,16 @@ import org.apache.spark.sql.functions._
   * only the probed partitions' rows. */
 object IvfIndex {
 
-  /** Nearest-centroid assignment as a Column: argmax of the native
-    * codegen'd cosine against each centroid literal, ties to the lowest
-    * cluster id (array_position finds the FIRST maximum). */
-  private[operators] def assignment(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val sims = array(centroids.map(c =>
-      call_function("graft_cosine", vec, typedLit(c))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  /** Nearest-centroid assignment as a Column: the native
+    * [[graft.expr.CentroidArgmax]] kernel — max cosine, ties to the
+    * lowest cluster id. Value-identical to the k-column
+    * `array_position(sims, array_max(sims)) - 1` chain it replaces
+    * (pinned by the t25/t28 goldens) but ONE static call per row: the
+    * composed form inlined k cosine loops with k·dims literal doubles,
+    * and Janino compile time dominated training on small corpora. */
+  private[operators] def assignment(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    call_function("graft_argmax_cosine", vec,
+      typedLit(centroids.flatten), lit(centroids.length))
 
   /** Train `k` centroids with `iters` Lloyd's iterations. Returns the
     * rounded centroids, cluster id = row index. */
