@@ -1369,6 +1369,132 @@ object LlmQueries {
           coalesce(col("n_types"), lit(0L)).as("n_types"),
           coalesce(col("n").cast("long"), lit(0L)).as("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // Duplicate-SPAN profile (operators/SpanDedup): fraction of each
+    // document's 10-token sliding windows that occur ≥2× corpus-wide —
+    // the Lee et al. 2022 exact-substring dedup signal that document-
+    // level dedup (t06-t09) can't see. Windows shuffle as md5 keys only.
+    sql("t42_duplicate_spans")(
+      """WITH wins AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 9),
+        |      i -> md5(array_to_string(list_slice(ws, i, i + 9), ' ')))) AS k
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |        FROM documents WHERE length(trim(text)) > 0) x
+        |),
+        |wc AS (SELECT doc_id, k, count(*) AS c FROM wins GROUP BY doc_id, k),
+        |tot AS (SELECT k, sum(c) AS tot FROM wc GROUP BY k),
+        |per AS (
+        |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_windows,
+        |    cast(sum(CASE WHEN tot >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_windows
+        |  FROM wc JOIN tot USING (k) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_windows, 0) AS n_windows,
+        |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+        |       ELSE round(n_dup_windows / n_windows::DOUBLE, 4)
+        |  END AS dup_fraction
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      graft.operators.SpanDedup.duplicateSpans(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+
+    // Heuristic quality-gate battery (operators/QualityGates): the C4 /
+    // Gopher rule filters as independent audited gates. Booleans are
+    // cast to INT for the cross-engine hash (true/True formatting).
+    sql("t43_quality_gates")(
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE cast(len(toks) AS BIGINT) END AS n_words,
+        |    round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |      / len(toks)::DOUBLE, 4) AS mean_wlen,
+        |    round(len(list_filter(toks, t -> t IN
+        |        ('the','a','an','and','or','of','to','in','is','it')))
+        |      / len(toks)::DOUBLE, 4) AS stop_frac,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE round((length(text)
+        |             - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |           / length(text)::DOUBLE, 4) END AS symbol_frac
+        |  FROM base),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM base
+        |        WHERE length(trim(text)) > 0) y
+        |  GROUP BY doc_id, t),
+        |top AS (
+        |  SELECT doc_id, round(max(c) / sum(c)::DOUBLE, 4) AS top_frac
+        |  FROM tf GROUP BY doc_id)
+        |SELECT f.doc_id, n_words, mean_wlen, stop_frac, symbol_frac,
+        |  coalesce(top_frac, 0.0) AS top_frac,
+        |  cast(n_words BETWEEN 5 AND 5000 AS INT) AS pass_nwords,
+        |  cast(mean_wlen >= 1.5 AND mean_wlen <= 10.0 AS INT) AS pass_wlen,
+        |  cast(stop_frac >= 0.01 AS INT) AS pass_stop,
+        |  cast(coalesce(top_frac, 0.0) <= 0.30 AS INT) AS pass_top,
+        |  cast(symbol_frac <= 0.25 AS INT) AS pass_symbol,
+        |  cast(n_words BETWEEN 5 AND 5000
+        |    AND mean_wlen >= 1.5 AND mean_wlen <= 10.0
+        |    AND stop_frac >= 0.01
+        |    AND coalesce(top_frac, 0.0) <= 0.30
+        |    AND symbol_frac <= 0.25 AS INT) AS keep
+        |FROM feat f LEFT JOIN top USING (doc_id)
+        |ORDER BY f.doc_id""") { (s, d) =>
+      val g = graft.operators.QualityGates(Tables.documents(s, d))
+      g.select(
+          col("doc_id"), col("n_words"), col("mean_wlen"), col("stop_frac"),
+          col("symbol_frac"), col("top_frac"),
+          col("pass_nwords").cast("int").as("pass_nwords"),
+          col("pass_wlen").cast("int").as("pass_wlen"),
+          col("pass_stop").cast("int").as("pass_stop"),
+          col("pass_top").cast("int").as("pass_top"),
+          col("pass_symbol").cast("int").as("pass_symbol"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token-budget selection (operators/Selection): greedy best-quality-
+    // first fill of a 20k-token training budget via the two-phase
+    // distributed prefix sum (no single-partition global window).
+    sql("t44_token_budget")(
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens / 50.0, 1.0)
+        |         + (1.0 - least(symbol_ratio * 5.0, 1.0))
+        |         + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality,
+        |    cast(n_tokens AS BIGINT) AS n_tokens
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE cast(len(toks) AS BIGINT) END AS n_tokens,
+        |      CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE (length(text)
+        |               - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |             / length(text)::DOUBLE END AS symbol_ratio,
+        |      CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, t -> t IN
+        |               ('the','a','an','and','or','of','to','in','is','it')))
+        |             / len(toks)::DOUBLE END AS stop_ratio
+        |    FROM (SELECT doc_id, text,
+        |            string_split_regex(trim(lower(text)), '\s+') AS toks
+        |          FROM documents) x) y
+        |),
+        |c AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    cast(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, quality, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 20000
+        |ORDER BY quality DESC, doc_id""") { (s, d) =>
+      graft.operators.Selection.tokenBudget(Tables.documents(s, d))
+        .orderBy(col("quality").desc, col("doc_id"))
     }
   )
 }

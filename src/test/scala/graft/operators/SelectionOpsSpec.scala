@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-6 selection/audit operators: duplicate-span profiling
+  * (SpanDedup), the heuristic gate battery (QualityGates), and
+  * token-budget assembly (Selection) — hand-built corpora with
+  * closed-form expectations; the DuckDB oracles (t42–t44) pin the same
+  * operators against the real SF tables.
+  */
+class SelectionOpsSpec extends SparkSpec {
+  import testImplicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, text) => (id, text, "en", "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- SpanDedup ----------------------------------------------------
+
+  test("spans: planted shared window is flagged in both docs, unique text is not") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ") // exactly one 10-window
+    val out = SpanDedup.duplicateSpans(docs(
+        (1L, shared + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2L, "one two three four five six seven eight nine ten eleven " + shared),
+        (3L, "unique tokens only here nothing repeats at all anywhere today")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: 20 tokens → 11 windows; only the window fully inside `shared`
+    // (position 1) also occurs in doc2 (position 12 of 21 tokens → 12 windows).
+    assert(out(1L)._1 === 11L && out(2L)._1 === 12L && out(3L)._1 === 1L)
+    assert(out(1L)._2 === 1L)
+    assert(out(2L)._2 === 1L)
+    assert(out(3L)._2 === 0L)
+  }
+
+  test("spans: within-document repetition counts as duplication; short docs have zero windows") {
+    val rep = (("a b c d e f g h i j " * 2).trim, 20) // window 1 == window 11
+    val out = SpanDedup.duplicateSpans(docs((1L, rep._1), (2L, "too short")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 === 11L)
+    assert(out(1L)._2 >= 2L) // positions 1 and 11 share one window key
+    assert(out(2L) === ((0L, 0L, 0.0)))
+  }
+
+  // ---- QualityGates -------------------------------------------------
+
+  test("gates: prose passes, token soup fails stopword gate, repetition fails top gate") {
+    val out = QualityGates(docs(
+        (1L, "the quick brown fox jumps over a lazy dog in the field today"),
+        (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3L, "spam spam spam spam spam the spam spam spam spam")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("pass_stop") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("pass_top") && !out(3L).getAs[Boolean]("keep"))
+  }
+
+  test("gates: empty and too-short docs fail the word-count gate with zeroed features") {
+    val out = QualityGates(docs((1L, ""), (2L, "just four words here")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getAs[Boolean]("pass_nwords") && !out(1L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[Double]("top_frac") === 0.0)
+    assert(!out(2L).getAs[Boolean]("pass_nwords"))
+  }
+
+  // ---- Selection.tokenBudget ---------------------------------------
+
+  test("budget: greedy fill is quality-ordered, inclusive, and stops at the boundary") {
+    // qualities: len-score dominates; doc 1 longest → best
+    val d = docs(
+      (1L, ("the of a " * 20).trim),  // 60 tokens
+      (2L, ("the of a " * 10).trim),  // 30 tokens
+      (3L, ("the of a " * 5).trim),   // 15 tokens
+      (4L, "the of"))                 // 2 tokens
+    val out = Selection.tokenBudget(d, budget = 100L)
+      .orderBy(col("cum_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // 60 + 30 = 90 ≤ 100; +15 = 105 > 100 → doc3 excluded; doc4 would fit
+    // greedily by size but is QUALITY-ordered after doc3, and cum already
+    // crossed the budget — greedy-prefix semantics, not knapsack.
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out.map(_._3).toSeq === Seq(60L, 90L))
+  }
+
+  test("budget: cumulative counts are a correct prefix sum across many range partitions") {
+    val d = docs((1L to 200L).map(i => (i, s"tok$i word number $i plus filler")): _*)
+    val out = Selection.tokenBudget(d, budget = 1000000L)
+      .orderBy(col("cum_tokens")).collect()
+    assert(out.length === 200)
+    var acc = 0L
+    out.foreach { r =>
+      acc += r.getLong(2)
+      assert(r.getLong(3) === acc, s"prefix sum broken at doc ${r.getLong(0)}")
+    }
+  }
+
+  test("budget: result is independent of input partitioning") {
+    val d = docs((1L to 50L).map(i => (i, s"doc $i has some words " + ("pad " * (i.toInt % 7)))): _*)
+    val a = Selection.tokenBudget(d.repartition(1), budget = 150L).collect().toSet
+    val b = Selection.tokenBudget(d.repartition(13), budget = 150L).collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+}
