@@ -45,7 +45,18 @@ object IvfIndex {
   def train(df: DataFrame, idCol: String, vecCol: String, dims: Int,
             k: Int, iters: Int = 5, roundDp: Int = 4): Seq[Seq[Double]] = {
     require(k >= 1 && iters >= 1)
+    // Lloyd's is iters+1 sequential actions over the same (id, vec)
+    // projection; cache it so iterations re-read columnar blocks instead
+    // of re-scanning the source (MEMORY_AND_DISK: spills, never recomputes
+    // from a possibly-expensive upstream plan). Unpersisted on exit.
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainLoop(vecs, dims, k, iters, roundDp)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  private def trainLoop(vecs: DataFrame, dims: Int, k: Int, iters: Int,
+                        roundDp: Int): Seq[Seq[Double]] = {
 
     // deterministic init: the k lowest-id vectors. The xxhash64(vec)
     // secondary sort makes the prefix well-defined even when id values

@@ -66,4 +66,37 @@ object LmScore {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * language, split documents into head/middle/tail terciles of the LM
+    * surprisal distribution — the standard first-pass quality
+    * stratification for web corpora (head ≈ Wikipedia-like, tail ≈
+    * noise; CCNet keeps head+middle by default).
+    *
+    * Tercile assignment is by `percent_rank` with a doc-id tiebreak
+    * (the t16 convention): exact rational (rank−1)/(n−1), identical in
+    * every engine, no interpolated quantile whose last-ulp could flip a
+    * boundary document cross-engine.
+    *
+    * Scale note: the rank window partitions by language, so the widest
+    * task is the largest language's doc list — (id, surprisal) pairs
+    * only, ~16 bytes/doc. Where even that is too wide, compute
+    * approximate tercile THRESHOLDS first (approx_percentile per lang,
+    * broadcast) and bucket in the scan stage — the same two-pass trade
+    * the extended-stats operator (A5) documents; the rank form is the
+    * oracle-able default. */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = surprisal(df, textCol, idCol)
+      .join(df.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("surprisal"), col("doc_id"))
+    s.withColumn("pr", percent_rank().over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("surprisal"),
+        round(col("pr"), 4).as("pr"),
+        when(col("pr") < lit(1.0 / 3.0), "head")
+          .when(col("pr") < lit(2.0 / 3.0), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -45,8 +45,16 @@ object PqIndex {
     require(m >= 1 && k >= 1 && iters >= 1, "pq: m, k, iters must be >= 1")
     require(dims % m == 0, s"pq: dims=$dims must divide into m=$m subspaces")
     val sub = dims / m
+    // iters+1 sequential actions over the same projection — cache like
+    // IvfIndex.train (MEMORY_AND_DISK, unpersisted on exit)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainLoop(vecs, sub, m, k, iters, roundDp)
+    finally vecs.unpersist(blocking = false)
+  }
 
+  private def trainLoop(vecs: DataFrame, sub: Int, m: Int, k: Int,
+                        iters: Int, roundDp: Int): Seq[Seq[Seq[Double]]] = {
     // deterministic init: subspace j's codewords = slices of the k
     // lowest-id vectors (same well-defined prefix as IvfIndex.train)
     val init = graft.core.Bounded.collect(

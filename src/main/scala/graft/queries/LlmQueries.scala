@@ -1459,6 +1459,53 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet perplexity buckets (operators/LmScore.perplexityBuckets):
+    // per-language head/middle/tail terciles of bigram surprisal — the
+    // Wenzek et al. 2020 stratification. Tercile assignment is by exact
+    // percent_rank (doc_id tiebreak), not interpolated quantiles, so the
+    // boundary documents bucket identically in both engines.
+    sql("t45_ccnet_buckets")(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+        |  WHERE len(ts) >= 2
+        |),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    cast(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(-ln((bi.c12 + 1.0) / (uni.c1 + v.v))), 4) AS surprisal
+        |  FROM bg
+        |  JOIN bi USING (w1, w2)
+        |  JOIN uni USING (w1)
+        |  CROSS JOIN v
+        |  GROUP BY bg.doc_id
+        |),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(s.surprisal, 0.0) AS surprisal,
+        |    percent_rank() OVER (PARTITION BY d.lang
+        |      ORDER BY coalesce(s.surprisal, 0.0), d.doc_id) AS pr
+        |  FROM documents d LEFT JOIN scored s USING (doc_id)
+        |)
+        |SELECT doc_id, lang, n_bigrams, surprisal, round(pr, 4) AS pr,
+        |  CASE WHEN pr < 1.0 / 3.0 THEN 'head'
+        |       WHEN pr < 2.0 / 3.0 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked
+        |ORDER BY doc_id""") { (s, d) =>
+      graft.operators.LmScore.perplexityBuckets(
+          Tables.documents(s, d), "text", "doc_id", "lang")
+        .orderBy(col("doc_id"))
+    },
+
     // Token-budget selection (operators/Selection): greedy best-quality-
     // first fill of a 20k-token training budget via the two-phase
     // distributed prefix sum (no single-partition global window).

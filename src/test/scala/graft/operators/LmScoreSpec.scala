@@ -44,4 +44,22 @@ class LmScoreSpec extends SparkSpec {
     assert(out(1L) < out(100L),
       s"boilerplate ${out(1L)} must undercut unique ${out(100L)}")
   }
+
+  test("perplexity buckets: per-language terciles are 1/3 each and surprisal-monotone") {
+    // 9 docs per language → percent_rank hits 0, 1/8 … 1; terciles 3/3/3
+    val rows =
+      (1L to 9L).map(i => (i, s"en doc $i " + ("common words here " * i.toInt), "en")) ++
+      (11L to 19L).map(i => (i, s"de text $i " + ("andere worte hier " * (i.toInt - 10)), "de"))
+    val out = LmScore.perplexityBuckets(
+        rows.toDF("doc_id", "text", "lang"), "text", "doc_id", "lang")
+      .collect()
+    val byLang = out.groupBy(_.getString(1))
+    for ((lang, rs) <- byLang) {
+      val counts = rs.groupBy(_.getString(5)).map { case (b, x) => b -> x.length }
+      assert(counts === Map("head" -> 3, "middle" -> 3, "tail" -> 3), s"$lang: $counts")
+      val maxHead = rs.filter(_.getString(5) == "head").map(_.getDouble(3)).max
+      val minTail = rs.filter(_.getString(5) == "tail").map(_.getDouble(3)).min
+      assert(maxHead <= minTail, s"$lang: head $maxHead above tail $minTail")
+    }
+  }
 }
