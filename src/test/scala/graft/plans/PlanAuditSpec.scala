@@ -200,6 +200,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("t42 duplicate spans: windows shuffle as md5 keys, never window text") {
+    val plan = executedPlan(namedQuery("t42_duplicate_spans"))
+    assert(shuffleKeys(plan).forall(k => !k.contains("text") && !k.contains("gram")),
+      s"window text must not be a shuffle key: ${shuffleKeys(plan)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "window counts must combine map-side")
+  }
+
+  test("t44 token budget: every window is pid-partitioned (no global single-partition sort)") {
+    val plan = executedPlan(namedQuery("t44_token_budget"))
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, "expected the per-slice running-sum window")
+    assert(specs.forall(_.contains("pid#")),
+      s"found a window without the range-partition id — a global-order window:\n${specs.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "partition offsets must broadcast")
+  }
+
+  test("t45 ccnet buckets: rank window partitions by language") {
+    val plan = executedPlan(namedQuery("t45_ccnet_buckets"))
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang#")),
+      s"tercile rank must partition by lang:\n${specs.mkString("\n")}")
+    assert(shuffleKeys(plan).forall(k => !k.contains("text")),
+      "document text must not be a shuffle key")
+  }
+
   test("native expressions appear in generated code, not as interpreted fallbacks") {
     val df = embeddings.limit(10).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
