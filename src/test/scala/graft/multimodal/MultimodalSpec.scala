@@ -102,4 +102,37 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.rdd.getNumPartitions == 7)
     assert(decoded.count() == 500)
   }
+
+  private def mediaQuery(name: String, rows: Seq[(Long, String)]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    rows.map { case (id, text) => (id, text, "en", "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.queries.MultimodalQueries.all.find(_.name == name).get.fn(spark, dir)
+  }
+
+  test("u09: byte-identical payloads collapse to the lowest id; distinct ones survive") {
+    val payload = "x" * 600
+    val out = mediaQuery("u09_media_dedup", Seq(
+        (1L, payload), (2L, payload), (3L, "y" * 600)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(out(1L) === ((1L, 2L, 0)))
+    assert(out(2L) === ((1L, 2L, 1)))
+    assert(out(3L) === ((3L, 1L, 0)))
+  }
+
+  test("u10: shared-prefix payloads pair with containment; disjoint ones don't pair") {
+    // varied 1024-byte prefix → 8 DISTINCT shared 128-byte frame fps
+    // (128 % 26 ≠ 0 shifts the cycle per frame); constant tails collapse
+    // to one fp each
+    val common = Iterator.continually('a' to 'z').flatten.take(1024).mkString
+    val out = mediaQuery("u10_media_frame_neardup", Seq(
+        (1L, common + "1" * 1024),
+        (2L, common + "2" * 1024),
+        (3L, "z" * 2048)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // exactly one pair: (1, 2) sharing the 8 prefix frames; each doc has
+    // 8 + 1 distinct fps → containment 8/9
+    assert(out.toSeq === Seq((1L, 2L, 8L, 0.8889)))
+  }
 }

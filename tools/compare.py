@@ -3,7 +3,14 @@
 run Verify's parquet dumps against DuckDB executing oracle_sql.json on
 the same source tables. NOT part of the engine (driver-side python only).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [skip1,skip2,...]
+
+The optional third arg skips named queries — used for the bench-scale
+(sf0.1) replay where the t15/t23 connected-components oracles are
+recursive CTEs whose cost explodes on the 500k-edge pair graph (>10 min;
+the ENGINE resolves the same fixpoint in seconds — the oracle
+formulation is what stops scaling; both stay hash-checked at
+sf0.001/sf0.01).
 """
 import json, sys, hashlib
 import duckdb
@@ -23,14 +30,18 @@ def frame_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(body).hexdigest()[:16]
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, skip: str = "") -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    skipped = {s for s in skip.split(",") if s}
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
+        if name in skipped:
+            print(f"skip {name}")
+            continue
         try:
             expect = canon(con.execute(sql).df())
             got = canon(duckdb.sql(
@@ -64,4 +75,4 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else "")
