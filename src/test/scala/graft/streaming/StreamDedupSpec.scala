@@ -105,4 +105,48 @@ class StreamDedupSpec extends SparkSpec {
         s"near-dup of an earlier doc must be dropped; got ${ids.mkString(",")}")
     } finally q.stop()
   }
+
+  test("streaming curation: scan-stage quality gate composes ahead of near-dup admission") {
+    val dir = Files.createTempDirectory("scur_src").toString
+    val ckpt = Files.createTempDirectory("scur_ckpt").toString
+    val good = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val junk = "alpha beta gamma delta epsilon zeta"  // no stopwords → gated out
+    writeDocs(dir, 1, Seq(
+      ("2024-03-15 12:00:00", 1L, good),
+      ("2024-03-15 12:00:05", 2L, junk)))
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    // gate BEFORE dedup: junk never reaches (or pollutes) dedup state
+    val gated = stream.filter(
+      graft.operators.QualityGates.scanKeep(col("text")))
+    val admitted = StreamDedup.nearDupWithinWatermark(
+      gated, "ts", "doc_id", "text",
+      delay = "10 seconds", windowLen = "1 minute")
+
+    val q = admitted.writeStream.format("memory").queryName("scur_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      writeDocs(dir, 2, Seq(
+        ("2024-03-15 12:00:20", 10L, good + " graftdup"),  // near-dup → dropped
+        ("2024-03-15 12:00:25", 11L, junk + " more")))     // still gated
+      q.processAllAvailable()
+      // the flusher must itself pass the gate, or event time never
+      // advances past the filter and the 12:00 window cannot close
+      writeDocs(dir, 3, Seq(
+        ("2024-03-15 12:05:00", 99L, "the window flusher document arrives much later in the day")))
+      q.processAllAvailable()
+
+      val ids = spark.table("scur_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.contains(1L), s"good doc must survive; got ${ids.mkString(",")}")
+      assert(!ids.contains(2L) && !ids.contains(11L),
+        s"gated docs must not be admitted; got ${ids.mkString(",")}")
+      assert(!ids.contains(10L),
+        s"near-dup must be dropped; got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
 }
