@@ -72,13 +72,16 @@ object TextFunctions {
     * unit for repetition analysis: Gopher-style quality filters measure
     * the fraction of text claimed by the single most repeated n-gram.
     * Docs with fewer than n tokens yield an empty array. */
-  def ngramsRaw(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def ngramsRaw(text: Column, n: Int): Column =
+    ngramsRawFromTokens(tokens(text), n)
+
+  /** [[ngramsRaw]] over an already-tokenized array — for callers that
+    * need the token array AND its windows without re-splitting. */
+  def ngramsRawFromTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key. */

@@ -82,4 +82,71 @@ object SpanDedup {
         when(col("n_windows") === 0, 0.0)
           .otherwise(round(col("n_dup_windows") / col("n_windows").cast("double"), 4)))
   }
+
+  /** The REMOVAL transform behind [[duplicateSpans]]: rewrite each
+    * document with every token covered by a corpus-duplicated window
+    * deleted — the Lee et al. scrub itself, not just the profile. A
+    * token survives iff NO window containing it occurs ≥ 2× corpus-wide.
+    *
+    * Output text is whitespace-normalized lowercase (the window
+    * tokenization); docs shorter than the window pass through unchanged
+    * (normalized), fully-duplicated docs come back empty.
+    *
+    * Scale shape: rewriting text is inherently O(corpus) — tokens move
+    * through the reassembly shuffle exactly once, keyed by doc id (the
+    * same per-doc payload a plain read moves). Everything else rides
+    * the [[duplicateSpans]] contract: md5 window keys, skinny
+    * (doc, position) rows for the removal set, map-side combines.
+    *
+    * Output: (idCol, n_tokens, n_removed, cleaned_text), one row per
+    * input doc. */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 10): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val id = col(idCol)
+
+    val words = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(id, TextFunctions.tokens(lower(col(textCol))).as("ws"))
+
+    // (doc, window start i [1-based], md5 key)
+    val wins = words
+      .select(id, posexplode(
+        TextFunctions.ngramsRawFromTokens(col("ws"), window))
+        .as(Seq("p0", "gram")))
+      .select(id, (col("p0") + 1).as("i"), md5(col("gram")).as("k"))
+
+    val tot = wins.groupBy(col("k")).agg(count(lit(1)).as("tot"))
+    val removed = wins
+      .join(tot, "k")
+      .filter(col("tot") >= 2)
+      .select(id, explode(sequence(col("i"), col("i") + (window - 1))).as("p"))
+      .distinct()
+
+    val toks = words
+      .select(id, posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(id, (col("p0") + 1).as("p"), col("tok"))
+
+    val kept = toks
+      .join(removed, Seq(idCol, "p"), "left_anti")
+      .groupBy(id)
+      .agg(concat_ws(" ",
+        transform(
+          sort_array(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned_text"))
+
+    val nrem = removed.groupBy(id).agg(count(lit(1)).as("n_removed"))
+
+    docs.select(id)
+      .join(words.select(id, size(col("ws")).cast("long").as("n_tokens")), Seq(idCol), "left")
+      .join(nrem, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -1506,6 +1506,50 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Duplicate-span REMOVAL (operators/SpanDedup.removeDuplicateSpans):
+    // the Lee et al. scrub itself — every token covered by a corpus-
+    // duplicated 10-token window is deleted and the document rewritten.
+    sql("t46_span_scrub")(
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, i,
+        |    md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS k
+        |  FROM words,
+        |    LATERAL (SELECT unnest(generate_series(1, len(ws) - 9)) AS i) li),
+        |tot AS (SELECT k, count(*) AS tot FROM wins GROUP BY k),
+        |dupstart AS (
+        |  SELECT doc_id, i FROM wins JOIN tot USING (k) WHERE tot >= 2),
+        |removed AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 9)) AS p
+        |  FROM dupstart),
+        |toks AS (
+        |  SELECT doc_id, unnest(ws) AS tok,
+        |    unnest(generate_series(1, len(ws))) AS p
+        |  FROM words),
+        |kept AS (
+        |  SELECT t.doc_id,
+        |    array_to_string(list(t.tok ORDER BY t.p), ' ') AS cleaned_text
+        |  FROM toks t
+        |  ANTI JOIN removed r ON t.doc_id = r.doc_id AND t.p = r.p
+        |  GROUP BY t.doc_id),
+        |nrem AS (
+        |  SELECT doc_id, cast(count(*) AS BIGINT) AS n_removed
+        |  FROM removed GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(cast(len(w.ws) AS BIGINT), 0) AS n_tokens,
+        |  coalesce(n.n_removed, 0) AS n_removed,
+        |  coalesce(k.cleaned_text, '') AS cleaned_text
+        |FROM documents d
+        |LEFT JOIN words w USING (doc_id)
+        |LEFT JOIN nrem n USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)
+        |ORDER BY d.doc_id""") { (s, d) =>
+      graft.operators.SpanDedup.removeDuplicateSpans(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    },
+
     // Token-budget selection (operators/Selection): greedy best-quality-
     // first fill of a 20k-token training budget via the two-phase
     // distributed prefix sum (no single-partition global window).

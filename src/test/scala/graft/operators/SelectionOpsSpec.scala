@@ -42,6 +42,32 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 0L, 0.0)))
   }
 
+  test("scrub: duplicated block is cut from both docs, surrounding text survives") {
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val out = SpanDedup.removeDuplicateSpans(docs(
+        (1L, shared + " " + tail),
+        (2L, "one two three four five six seven eight nine ten eleven " + shared),
+        (3L, "unique tokens only here nothing repeats at all anywhere today")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc1: positions 1-10 (the shared block) removed, tail survives
+    assert(out(1L) === ((20L, 10L, tail)))
+    // doc2: the block sits at positions 12-21; the 11-token prefix survives
+    assert(out(2L) === ((21L, 10L,
+      "one two three four five six seven eight nine ten eleven")))
+    assert(out(3L) === ((10L, 0L,
+      "unique tokens only here nothing repeats at all anywhere today")))
+  }
+
+  test("scrub: within-doc repetition scrubs the whole doc; short docs pass through") {
+    val out = SpanDedup.removeDuplicateSpans(docs(
+        (1L, ("a b c d e f g h i j " * 2).trim),
+        (2L, "too short to window")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((20L, 20L, "")))
+    assert(out(2L) === ((4L, 0L, "too short to window")))
+  }
+
   // ---- QualityGates -------------------------------------------------
 
   test("gates: prose passes, token soup fails stopword gate, repetition fails top gate") {
