@@ -1550,6 +1550,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary report (operators/CorpusStats): per-source token/type/
+    // hapax counts and type-token ratio — the corpus-QA aggregate behind
+    // the per-doc diversity signals. Exact distincts (oracle-able);
+    // approx_count_distinct is the documented 100 TB swap.
+    sql("t47_vocabulary_report")(
+      """WITH tf AS (
+        |  SELECT source AS stratum, t, count(*) AS c FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents WHERE length(trim(text)) > 0) x
+        |  GROUP BY source, t
+        |)
+        |SELECT stratum,
+        |  cast(sum(c) AS BIGINT) AS n_tokens,
+        |  cast(count(*) AS BIGINT) AS n_types,
+        |  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(count(*) / sum(c)::DOUBLE, 4) AS type_token_ratio
+        |FROM tf GROUP BY stratum
+        |ORDER BY stratum""") { (s, d) =>
+      graft.operators.CorpusStats.vocabularyReport(Tables.documents(s, d))
+        .orderBy(col("stratum"))
+    },
+
     // Token-budget selection (operators/Selection): greedy best-quality-
     // first fill of a 20k-token training budget via the two-phase
     // distributed prefix sum (no single-partition global window).

@@ -104,6 +104,22 @@ class SelectionOpsSpec extends SparkSpec {
     assert(batch === scan)
   }
 
+  test("vocabulary report: counts, hapax, and TTR are closed-form per stratum") {
+    val d = Seq(
+      (1L, "a b a c", "en", "s1", 7L),
+      (2L, "c d", "en", "s1", 3L),
+      (3L, "x x x", "en", "s2", 5L),
+      (4L, "", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusStats.vocabularyReport(d)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // s1: tokens a,b,a,c,c,d → 6 tokens, 4 types, hapax {b, d} = 2
+    assert(out("s1") === ((6L, 4L, 2L, 0.6667)))
+    // s2: x×3 → 3 tokens, 1 type, 0 hapax; empty doc contributes nothing
+    assert(out("s2") === ((3L, 1L, 0L, 0.3333)))
+  }
+
   // ---- Selection.tokenBudget ---------------------------------------
 
   test("budget: greedy fill is quality-ordered, inclusive, and stops at the boundary") {
