@@ -16,7 +16,11 @@ import org.apache.spark.sql.types._
   * strict `>` comparison keeps the FIRST maximal centroid — the same
   * tie-break as `array_position`'s first-match contract. A null vector
   * element yields null (the composed chain's null-sim corner; no
-  * corpus row exercises it). */
+  * corpus row exercises it). An all-NaN similarity row (NaN/Inf vector
+  * components) assigns centroid 0 — matching the composed chain, where
+  * `array_max` = NaN and `array_position`'s first NaN match is index 1;
+  * without the clamp the strict `>` loop would leak -1, an id no probe
+  * ever reads. */
 object CentroidKernel {
 
   /** Flattened centroids: centroid `c`'s component `i` at `c*dims + i`. */
@@ -42,7 +46,7 @@ object CentroidKernel {
       if (sim > bestSim) { bestSim = sim; best = c }
       c += 1
     }
-    best
+    if (best < 0) 0 else best
   }
 }
 

@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
 object PqKernel {
 
   /** Flattened codebook layout: codeword d-th component of code `c` in
-    * subspace `j` lives at `((j * k) + c) * sub + d`. */
+    * subspace `j` lives at `((j * k) + c) * sub + d`. A vector whose
+    * length is not m·sub, or with a null element, returns null (the
+    * [[CentroidKernel]] convention) — an unchecked `getFloat` past an
+    * UnsafeArrayData's end is a garbage read, not an error. */
   def encode(vec: ArrayData, isFloat: Boolean, codebook: Array[Double],
              m: Int, k: Int, sub: Int): ArrayData = {
+    if (vec.numElements() != m * sub) return null
     val codes = new Array[Any](m)
     var j = 0
     while (j < m) {
@@ -35,6 +39,7 @@ object PqKernel {
         var d = 0.0
         var i = 0
         while (i < sub) {
+          if (vec.isNullAt(j * sub + i)) return null
           val v = if (isFloat) vec.getFloat(j * sub + i).toDouble
                   else vec.getDouble(j * sub + i)
           val diff = v - codebook(base + i)
@@ -52,12 +57,19 @@ object PqKernel {
   }
 
   /** ADC score: Σ_j table[j·k + codes(j)] — the approximate squared L2
-    * distance to the query whose per-codeword partials fill `table`. */
-  def adc(codes: ArrayData, table: Array[Double], k: Int): Double = {
+    * distance to the query whose per-codeword partials fill `table`.
+    * Codes that don't fit the table (wrong m, code outside [0, k), null
+    * element) return null instead of indexing out of bounds. */
+  def adc(codes: ArrayData, table: Array[Double], k: Int): java.lang.Double = {
+    val m = codes.numElements()
+    if (m * k != table.length) return null
     var s = 0.0
     var j = 0
-    while (j < codes.numElements()) {
-      s += table(j * k + codes.getInt(j))
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) return null
+      s += table(j * k + c)
       j += 1
     }
     s
@@ -88,6 +100,7 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
     }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_encode"
 
   private def isFloat: Boolean = left.dataType match {
@@ -105,8 +118,15 @@ case class PqEncode(left: Expression, right: Expression, m: Int, k: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftPqCodebook", codebook, "double[]")
-    nullSafeCodeGen(ctx, ev, (v, _) =>
-      s"${ev.value} = graft.expr.PqKernel.encode($v, $isFloat, $ref, $m, $k, $sub);")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expr.PqKernel.encode($v, $isFloat, $ref, $m, $k, $sub);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -132,18 +152,27 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_adc"
 
   @transient private lazy val table: Array[Double] =
     right.eval(null).asInstanceOf[ArrayData].toDoubleArray()
 
-  override protected def nullSafeEval(codes: Any, _t: Any): Any =
-    PqKernel.adc(codes.asInstanceOf[ArrayData], table, k)
+  override protected def nullSafeEval(codes: Any, _t: Any): Any = {
+    val r = PqKernel.adc(codes.asInstanceOf[ArrayData], table, k)
+    if (r == null) null else r.doubleValue()
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftPqTable", table, "double[]")
-    nullSafeCodeGen(ctx, ev, (c, _) =>
-      s"${ev.value} = graft.expr.PqKernel.adc($c, $ref, $k);")
+    nullSafeCodeGen(ctx, ev, (c, _) => {
+      val r = ctx.freshName("r")
+      s"""
+         |java.lang.Double $r = graft.expr.PqKernel.adc($c, $ref, $k);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

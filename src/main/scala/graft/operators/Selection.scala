@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,20 +16,26 @@ import graft.functions.TextFunctions
   *
   * Scale shape — the naive formulation is a single global window
   * (`sum(tokens) OVER (ORDER BY quality DESC)`), which Spark plans as
-  * ONE partition holding the whole corpus: a scale-killer. This
-  * implementation is the classic two-phase distributed prefix sum:
-  *   1. `repartitionByRange` on the selection order (quality DESC, id)
-  *      — partition p holds a contiguous slice of the global order;
-  *   2. per-partition running sums via a window PARTITIONED by the
-  *      range-partition id (each task scans only its slice);
-  *   3. per-partition token totals → driver (bounded: one row per
-  *      shuffle partition — the cardinality contract of the single
-  *      `collect()` here), prefix-scanned into per-partition offsets,
-  *      broadcast back as a join on pid.
-  * The per-doc cumulative value depends only on the TOTAL order
-  * (quality DESC, id — unique tiebreak), not on where the range
-  * boundaries fall, so the result is partitioning-independent and
-  * deterministic.
+  * ONE partition holding the whole corpus: a scale-killer. This is the
+  * two-phase distributed prefix sum instead, bucketed by the QUALITY
+  * VALUE itself rather than by sampled range boundaries:
+  *   1. quality is rounded to 4 dp in [0, 1], so there are ≤ 10 001
+  *      distinct levels — the per-level token totals are a bounded
+  *      control-plane table by construction (the one `collect()` here,
+  *      guarded by [[graft.core.Bounded]]);
+  *   2. totals are prefix-scanned driver-side into per-level offsets
+  *      (tokens in all strictly-better levels) and broadcast back;
+  *   3. each level's running sum is a window PARTITIONED by the level,
+  *      ordered by id — within-level order and cross-level offsets
+  *      compose into the exact global cumulative count.
+  * Because the bucket is the value, both passes agree on every row's
+  * bucket by construction — a sampled `repartitionByRange` would draw
+  * DIFFERENT boundaries for the totals pass and the final pass (the
+  * range sampler's seed includes the RDD id), mis-assigning offsets
+  * near boundaries at corpus scale. Skew note: all docs sharing one
+  * level serialize through one window task; if a corpus concentrates
+  * in a single level, sub-split the level by an id range before the
+  * window (not needed for any test corpus).
   */
 object Selection {
 
@@ -53,31 +59,26 @@ object Selection {
       TextFunctions.qualityScore(col(textCol)).as("quality"),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
 
-    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = scored
-      .repartitionByRange(n, col("quality").desc, id.asc)
-      .withColumn("pid", spark_partition_id())
-
-    // One row per range partition (≤ numShufflePartitions — bounded by
-    // construction, never by data volume).
-    val totals: Array[Row] = parted
-      .groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptot"))
-      .orderBy(col("pid"))
-      .collect()
-    val offsets = totals
-      .scanLeft((0, 0L)) { case ((_, acc), r) =>
-        (r.getInt(0), acc + r.getLong(1))
-      }
-      .sliding(2)
-      .collect { case Array((_, prior), (pid, _)) => (pid, prior) }
-      .toSeq
+    // ≤ 10 001 rows (4-dp quality levels) — bounded by construction.
+    val levels = graft.core.Bounded.collect(
+      scored.groupBy(col("quality")).agg(sum(col("n_tokens")).as("qtot"))
+        .orderBy(col("quality").desc),
+      20002, "Selection.qualityLevels")
+    var acc = 0L
+    val offsets = levels.map { r =>
+      val o = acc
+      acc += r.getLong(1)
+      (r.getDouble(0), o)
+    }.toSeq
     val offsetsDf = docs.sparkSession
-      .createDataFrame(offsets).toDF("pid", "offset")
+      .createDataFrame(offsets).toDF("quality", "offset")
 
-    val local = Window.partitionBy(col("pid")).orderBy(col("quality").desc, id.asc)
-    parted
-      .join(broadcast(offsetsDf), "pid")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(local) + col("offset"))
+    // join key = the level value both passes computed identically (same
+    // rounded arithmetic, same provenance — never a sampled boundary)
+    val inLevel = Window.partitionBy(col("quality")).orderBy(id.asc)
+    scored
+      .join(broadcast(offsetsDf), "quality")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(inLevel) + col("offset"))
       .filter(col("cum_tokens") <= budget)
       .select(id, col("quality"), col("n_tokens"), col("cum_tokens"))
   }

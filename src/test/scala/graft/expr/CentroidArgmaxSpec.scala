@@ -52,6 +52,19 @@ class CentroidArgmaxSpec extends SparkSpec {
     assert(got(2L)._1 === got(2L)._2)
   }
 
+  test("all-NaN similarities assign centroid 0 (composed-chain parity), never -1") {
+    val cb = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val rows = Seq(
+      (1L, Seq(Float.NaN, 1.0f)),          // NaN poisons every cosine
+      (2L, Seq(Float.PositiveInfinity, 0f)) // Inf → NaN via inf*0 terms
+    ).toDF("id", "vec")
+    val got = rows.select(col("id"), native(col("vec"), cb).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 0, "NaN row must clamp to centroid 0")
+    assert(got.values.forall(c => c >= 0 && c < cb.length),
+      s"assignment must always be a valid cluster id: $got")
+  }
+
   test("kernel codegen emits the static call (no interpreted fallback)") {
     val dir = java.nio.file.Files.createTempDirectory("cas2").toString
     spark.range(100).select(col("id"),

@@ -40,6 +40,27 @@ class PqIndexSpec extends SparkSpec {
     assert(byId === again)
   }
 
+  test("ragged or ill-fitting inputs return null, never garbage reads or AIOOBE") {
+    val cb = PqIndex.train(corpus, "vec_id", "embedding", dims, m = 4, k = 8)
+    // vector shorter than m·sub → null codes
+    val short = Seq((1L, Seq(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    val encShort = short.select(call_function("graft_pq_encode",
+      col("embedding"), typedLit(cb.flatten.flatten), lit(4), lit(8)).as("codes"))
+      .collect().head
+    assert(encShort.isNullAt(0), "short vector must encode to null")
+    // codes outside [0, k) against the table → null score
+    val badCodes = Seq((1L, Seq(0, 1, 2, 99))).toDF("vec_id", "codes")
+    val table = (0 until 4 * 8).map(_.toDouble)
+    val adcBad = badCodes.select(call_function("graft_pq_adc",
+      col("codes"), typedLit(table), lit(8)).as("s")).collect().head
+    assert(adcBad.isNullAt(0), "out-of-range code must score null")
+    // wrong table size for the code width → null
+    val okCodes = Seq((1L, Seq(0, 1))).toDF("vec_id", "codes")
+    val adcWrong = okCodes.select(call_function("graft_pq_adc",
+      col("codes"), typedLit(table), lit(8)).as("s")).collect().head
+    assert(adcWrong.isNullAt(0), "table/code-width mismatch must score null")
+  }
+
   test("ADC score equals the table-sum of the row's codes (kernel parity)") {
     val cb = PqIndex.train(corpus, "vec_id", "embedding", dims, m = 4, k = 8)
     val q = corpus.filter(col("vec_id") === 0L).collect()

@@ -209,14 +209,14 @@ class PlanAuditSpec extends SparkSpec {
       "window counts must combine map-side")
   }
 
-  test("t44 token budget: every window is pid-partitioned (no global single-partition sort)") {
+  test("t44 token budget: every window is level-partitioned (no global single-partition sort)") {
     val plan = executedPlan(namedQuery("t44_token_budget"))
     val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty, "expected the per-slice running-sum window")
-    assert(specs.forall(_.contains("pid#")),
-      s"found a window without the range-partition id — a global-order window:\n${specs.mkString("\n")}")
+    assert(specs.nonEmpty, "expected the per-level running-sum window")
+    assert(specs.forall(_.contains("quality#")),
+      s"found a window without the quality-level key — a global-order window:\n${specs.mkString("\n")}")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      "partition offsets must broadcast")
+      "level offsets must broadcast")
   }
 
   test("t45 ccnet buckets: rank window partitions by language") {
