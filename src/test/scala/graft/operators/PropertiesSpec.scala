@@ -110,4 +110,63 @@ class PropertiesSpec extends SparkSpec {
       assert(keys.forall(k => k.matches("c\\d:(mean|minimum|maximum)")))
     }
   }
+
+  /** Brute-force reference for [[SpanDedup]]: windows via sliding,
+    * corpus-wide multiset count, positions covered by dup windows. */
+  private def bruteScrub(texts: Seq[(Long, String)], w: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = texts.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val wins = toks.toSeq.flatMap { case (id, ts) =>
+      if (ts.length < w) Seq.empty
+      else ts.sliding(w).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val counts = wins.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    texts.map { case (id, _) =>
+      val ts = toks(id)
+      val dupStarts = wins.filter(x => x._1 == id && counts(x._3) >= 2).map(_._2)
+      val removed = dupStarts.flatMap(i => i until (i + w)).toSet
+      val kept = ts.zipWithIndex.collect { case (t, p) if !removed.contains(p + 1) => t }
+      id -> ((ts.length.toLong, removed.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("property: span scrub equals the brute-force sliding-window reference") {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.listOfN(6, doc)) { texts: List[String] =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val got = SpanDedup.removeDuplicateSpans(df, window = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val want = bruteScrub(rows, 3)
+      assert(got === want, s"corpus: $rows")
+    }
+  }
+
+  test("property: token budget equals the brute-force greedy prefix") {
+    val doc = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("the", "word", "data", "of")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(12, doc)) { texts: List[String] =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val budget = 40L
+      val got = Selection.tokenBudget(df, budget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      // reference: quality from the operator's own scorer (same rounding),
+      // order (quality desc, id), inclusive cumulative cut
+      val scored = df.select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      var acc = 0L
+      val want = scored.sortBy { case (id, q, _) => (-q, id) }
+        .flatMap { case (id, _, n) =>
+          acc += n
+          if (acc <= budget) Some((id, acc)) else None
+        }.sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"corpus: $rows")
+    }
+  }
 }
