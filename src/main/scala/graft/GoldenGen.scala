@@ -29,7 +29,7 @@ object GoldenGen {
   val goldenQueries: Seq[String] = Seq(
     "t07_minhash_neardup", "t08_simhash_neardup",
     "t12_ann_lsh_topk", "t13_embedding_neardup", "t25_ivf_topk",
-    "t28_semdedup", "t40_pq_topk")
+    "t28_semdedup", "t40_pq_topk", "u11_webhook_gate")
 
   /** The verify SFs goldens exist for, with the `customer` row count the
     * oracle SQL keys on. */

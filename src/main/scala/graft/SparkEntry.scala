@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.ChannelStats
-import graft.queries.{LlmQueries, MultimodalQueries, QueryDef, ReferenceQueries, RelationalQueries, SensicalQueries, UdbfQueries}
+import graft.queries.{LlmQueries, MultimodalQueries, QueryDef, ReferenceQueries, RelationalQueries, SensicalQueries, UdbfQueries, WebhookQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private val defs: Seq[QueryDef] =
     RelationalQueries.all ++ ReferenceQueries.all ++ LlmQueries.all ++
-      UdbfQueries.all ++ SensicalQueries.all ++ MultimodalQueries.all
+      UdbfQueries.all ++ SensicalQueries.all ++ MultimodalQueries.all ++
+      WebhookQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's spine: per-channel round(mean/min/max, 3)

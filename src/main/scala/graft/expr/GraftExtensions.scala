@@ -135,5 +135,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_bloom_contains expects (hash, sketch)")
         BloomContainsLong(children.head, children(1))
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_json_strict"),
+      new ExpressionInfo(classOf[GraftJsonStrict].getName, "graft_json_strict"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_json_strict expects one string argument")
+        GraftJsonStrict(children.head)
+      }))
   }
 }

@@ -1,0 +1,58 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Strict whole-input JSON validation — `json.loads` semantics: the
+  * input must be EXACTLY one JSON value with nothing but the value in
+  * it. Spark's own `try_parse_json` stops after the first complete
+  * value and tolerates trailing garbage (`{"a":1}x` parses), which is
+  * the wrong admission semantics for a webhook gate mirroring a strict
+  * deserializer (`sevenio/app.py:58` json.loads). Built-ins cannot
+  * express "and the parser consumed everything", so this is one of the
+  * few places the engine needs a custom Expression rather than a
+  * composition. */
+object JsonStrict {
+  private val factory = new com.fasterxml.jackson.core.JsonFactory()
+
+  def isStrict(text: UTF8String): Boolean = {
+    try {
+      val p = factory.createParser(text.toString)
+      try {
+        if (p.nextToken() == null) return false // empty input
+        p.skipChildren()                        // consume the whole first value
+        p.nextToken() == null                   // nothing may follow it
+      } finally p.close()
+    } catch {
+      case _: java.io.IOException => false
+      case _: RuntimeException => false
+    }
+  }
+}
+
+/** `graft_json_strict(text)` → boolean: true iff the text is exactly
+  * one complete JSON value (strict-deserializer admission semantics).
+  * Null text → null. */
+case class GraftJsonStrict(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_json_strict requires a string column, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_json_strict"
+
+  override protected def nullSafeEval(text: Any): Any =
+    JsonStrict.isStrict(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.JsonStrict.isStrict($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftJsonStrict =
+    copy(child = newChild)
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HMAC-verified webhook admission — the data-plane semantics of the
+  * reference's alert/webhook service (`sevenio/app.py:31-62`: size cap →
+  * content-type check → shared-token check → HMAC-SHA256 signature over
+  * the raw body → JSON parse → enqueue), re-expressed as a batch/stream
+  * admission operator over a frame of received requests. The Flask
+  * plumbing (routes, worker thread) is transport, not analytics; what a
+  * pipeline needs downstream is exactly this gate: which requests were
+  * admitted, which status each rejected one got, and the parsed payload.
+  *
+  * HMAC-SHA256 is composed from Catalyst primitives — RFC 2104 with the
+  * key padding folded driver-side (the key is a constant):
+  *
+  *   hmac(K, m) = SHA256((K' ⊕ opad) || SHA256((K' ⊕ ipad) || m))
+  *
+  * `K' ⊕ ipad` / `K' ⊕ opad` become 64-byte binary literals, so the
+  * per-row work is two codegen'd `sha2` calls and two concats — no UDF,
+  * whole-stage codegen, zero shuffle. Spec-pinned byte-identical to
+  * `javax.crypto.Mac`.
+  *
+  * Scale shape: pure scan-stage projection — at 100 TB of webhook logs
+  * the gate runs inside the scan, and the dead-letter split is a
+  * filter, not a shuffle. */
+object WebhookGate {
+
+  /** RFC 2104 HMAC-SHA256 of `body` (binary or string column) under an
+    * ASCII `secret`, as a lowercase hex string. Keys longer than the
+    * SHA-256 block size are pre-hashed per the RFC. */
+  def hmacSha256Hex(secret: String, body: Column): Column = {
+    val keyBytes = {
+      val raw = secret.getBytes("UTF-8")
+      if (raw.length <= 64) raw
+      else java.security.MessageDigest.getInstance("SHA-256").digest(raw)
+    }
+    val padded = keyBytes.padTo(64, 0.toByte)
+    val ipad = padded.map(b => (b ^ 0x36).toByte)
+    val opad = padded.map(b => (b ^ 0x5c).toByte)
+    val inner = unhex(sha2(concat(lit(ipad), body.cast("binary")), 256))
+    sha2(concat(lit(opad), inner), 256)
+  }
+
+  /** Admission verdict per request row, mirroring the reference's check
+    * order: 413 (body over `maxBytes`) → 415 (not application/json) →
+    * 401 (bad token) → 401 (bad signature) → 400 (body not JSON) → 200.
+    *
+    * Input columns: raw body (string), hex signature, shared token,
+    * mimetype. Output: input id column + `status` (int) + `admitted`
+    * (boolean) + `payload` (the body for admitted rows, else null). */
+  def admit(
+      df: DataFrame,
+      idCol: String,
+      bodyCol: String,
+      sigCol: String,
+      tokenCol: String,
+      mimeCol: String,
+      secret: String,
+      maxBytes: Int = 16384): DataFrame = {
+    val body = col(bodyCol)
+    val status = when(length(body.cast("binary")) > maxBytes, 413)
+      .when(col(mimeCol) =!= "application/json", 415)
+      .when(col(tokenCol) =!= secret, 401)
+      .when(hmacSha256Hex(secret, body) =!= lower(col(sigCol)), 401)
+      // strict json.loads semantics: exactly one complete JSON value —
+      // Spark's try_parse_json tolerates trailing garbage, so the check
+      // is the native graft_json_strict expression
+      .when(!call_function("graft_json_strict", body), 400)
+      .otherwise(200)
+    df.select(col(idCol), status.as("status"),
+        (status === 200).as("admitted"),
+        when(status === 200, body).as("payload"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Webhook admission gate: the composed-Column HMAC must be
+  * bit-identical to javax.crypto.Mac, and the status precedence must
+  * mirror the reference service's check order (size → mimetype → token
+  * → signature → JSON parse). */
+class WebhookGateSpec extends SparkSpec {
+  import testImplicits._
+
+  private def javaHmac(secret: String, body: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("composed HMAC-SHA256 is bit-identical to javax.crypto.Mac") {
+    val cases = Seq(
+      ("graft-webhook-secret", """{"k": 87}"""),
+      ("s", ""),
+      ("x" * 63, "short key boundary"),
+      ("y" * 64, "exact block size"),
+      ("z" * 200, "long key is pre-hashed per RFC 2104"),
+      ("päßwörd", "non-ascii key and bödy ✓"))
+    val df = cases.toDF("secret", "body")
+    cases.foreach { case (secret, body) =>
+      val got = Seq(body).toDF("body")
+        .select(WebhookGate.hmacSha256Hex(secret, col("body")))
+        .head.getString(0)
+      assert(got === javaHmac(secret, body), s"secret=$secret body=$body")
+    }
+    assert(df.count() === cases.length) // silence unused warning path
+  }
+
+  private val Secret = "s3cret"
+
+  private def gate(rows: Seq[(Long, String, String, String, String)], maxBytes: Int = 16384) =
+    WebhookGate.admit(
+      rows.toDF("id", "body", "sig", "token", "mime"),
+      "id", "body", "sig", "token", "mime", Secret, maxBytes)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), Option(r.getString(3))))).toMap
+
+  test("status precedence mirrors the reference: 413 > 415 > 401 token > 401 sig > 400 > 200") {
+    val body = """{"a": 1}"""
+    val sig = javaHmac(Secret, body)
+    val out = gate(Seq(
+      (1L, body, sig, Secret, "application/json"),              // clean
+      (2L, body, sig, Secret, "text/plain"),                    // 415
+      (3L, body, sig, "bad", "application/json"),               // 401 token
+      (4L, body, "deadbeef", Secret, "application/json"),       // 401 sig
+      (5L, "not json", javaHmac(Secret, "not json"), Secret,
+        "application/json"),                                    // 400
+      (6L, body, "deadbeef", "bad", "text/plain")))             // 415 wins over both 401s
+    assert(out(1L) === ((200, true, Some(body))))
+    assert(out(2L) === ((415, false, None)))
+    assert(out(3L) === ((401, false, None)))
+    assert(out(4L) === ((401, false, None)))
+    assert(out(5L) === ((400, false, None)))
+    assert(out(6L) === ((415, false, None)))
+  }
+
+  test("strict JSON gate: json.loads semantics, not try_parse_json leniency") {
+    val cases = Seq(
+      ("""{"k": 87}""", true),
+      ("""{"k": 87}x""", false),   // trailing garbage — try_parse_json accepts this
+      ("""{"k": 87} """, true),    // trailing whitespace is fine (json.loads parity)
+      ("""[1, 2, {"a": null}]""", true),
+      ("5", true), ("\"str\"", true), ("true", true), // bare values parse
+      ("", false), ("not json", false), ("{", false), ("{}{}", false))
+    val dir = java.nio.file.Files.createTempDirectory("whg_json").toString
+    cases.map(_._1).toDF("b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("b"), call_function("graft_json_strict", col("b")).as("ok"))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (b, want) => assert(got(b) === want, s"body=<$b>") }
+    // the expression participates in codegen (static kernel call)
+    val code = df.queryExecution.debug.codegenToSeq()
+    assert(code.exists(_._2.contains("graft.expr.JsonStrict.isStrict(")),
+      "graft_json_strict must compile to the static kernel call")
+  }
+
+  test("size cap rejects with 413 before any other check") {
+    val big = """{"pad": """" + ("x" * 100) + "\"}"
+    val out = gate(Seq(
+        (1L, big, "whatever", "bad", "text/plain")), maxBytes = 50)
+    assert(out(1L) === ((413, false, None)))
+  }
+
+  test("signature comparison is case-insensitive on the provided hex") {
+    val body = """{"b": 2}"""
+    val out = gate(Seq(
+      (1L, body, javaHmac(Secret, body).toUpperCase, Secret, "application/json")))
+    assert(out(1L)._1 === 200)
+  }
+}
