@@ -95,4 +95,33 @@ class WebhookGateSpec extends SparkSpec {
       (1L, body, javaHmac(Secret, body).toUpperCase, Secret, "application/json")))
     assert(out(1L)._1 === 200)
   }
+
+  test("the gate is stream-safe: pure projection over a readStream, no state") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("whg_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("whg_ckpt").toString
+    val body = """{"ok": 1}"""
+    Seq(
+      (1L, body, javaHmac(Secret, body), Secret, "application/json"),
+      (2L, body, "bad-signature", Secret, "application/json"))
+      .toDF("id", "body", "sig", "token", "mime")
+      .coalesce(1).write.parquet(s"$dir/batch1")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("body", StringType),
+      StructField("sig", StringType), StructField("token", StringType),
+      StructField("mime", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$dir/*")
+    val admitted = WebhookGate.admit(stream, "id", "body", "sig", "token", "mime", Secret)
+    val q = admitted.writeStream.format("memory").queryName("whg_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("whg_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows === Map(1L -> 200, 2L -> 401))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the admission gate must not introduce a stateful operator")
+    } finally q.stop()
+  }
 }
