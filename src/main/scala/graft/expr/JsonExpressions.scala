@@ -16,7 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * few places the engine needs a custom Expression rather than a
   * composition. */
 object JsonStrict {
-  private val factory = new com.fasterxml.jackson.core.JsonFactory()
+  // json.loads accepts the non-standard NaN/Infinity/-Infinity literals
+  // by default; Jackson rejects them unless asked — enable for parity
+  private val factory = new com.fasterxml.jackson.core.JsonFactoryBuilder()
+    .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS)
+    .build()
 
   def isStrict(text: UTF8String): Boolean = {
     try {

@@ -43,9 +43,22 @@ object WebhookGate {
     sha2(concat(lit(opad), inner), 256)
   }
 
-  /** Admission verdict per request row, mirroring the reference's check
-    * order: 413 (body over `maxBytes`) → 415 (not application/json) →
-    * 401 (bad token) → 401 (bad signature) → 400 (body not JSON) → 200.
+  /** Admission verdict per request row, mirroring the reference's
+    * actual control flow (`sevenio/app.py`): 415 (mimetype, checked
+    * before the body is ever read) → 401 (shared token, headers only) →
+    * 413 (Flask's MAX_CONTENT_LENGTH fires lazily when `get_data` reads
+    * the body) → 401 (signature) → 400 (body not JSON) → 200.
+    *
+    * Fidelity notes, each mirroring the reference exactly:
+    *   - NULLs REJECT (a missing header is not a passing header):
+    *     every comparison is null-safe, a missing mimetype is `''` (what
+    *     Flask's `request.mimetype` yields with no Content-Type), and a
+    *     missing body is the empty byte string `get_data` returns;
+    *   - mimetype is normalized like `request.mimetype` — lowercased,
+    *     content-type parameters stripped;
+    *   - signature comparison is EXACT (`hmac.compare_digest` of hex
+    *     strings is case-sensitive — an uppercase-hex signature is
+    *     rejected).
     *
     * Input columns: raw body (string), hex signature, shared token,
     * mimetype. Output: input id column + `status` (int) + `admitted`
@@ -59,11 +72,12 @@ object WebhookGate {
       mimeCol: String,
       secret: String,
       maxBytes: Int = 16384): DataFrame = {
-    val body = col(bodyCol)
-    val status = when(length(body.cast("binary")) > maxBytes, 413)
-      .when(col(mimeCol) =!= "application/json", 415)
-      .when(col(tokenCol) =!= secret, 401)
-      .when(hmacSha256Hex(secret, body) =!= lower(col(sigCol)), 401)
+    val body = coalesce(col(bodyCol), lit(""))
+    val mime = lower(trim(substring_index(coalesce(col(mimeCol), lit("")), ";", 1)))
+    val status = when(!(mime <=> "application/json"), 415)
+      .when(!(col(tokenCol) <=> secret), 401)
+      .when(length(body.cast("binary")) > maxBytes, 413)
+      .when(!(hmacSha256Hex(secret, body) <=> col(sigCol)), 401)
       // strict json.loads semantics: exactly one complete JSON value —
       // Spark's try_parse_json tolerates trailing garbage, so the check
       // is the native graft_json_strict expression

@@ -43,7 +43,7 @@ class WebhookGateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getBoolean(2), Option(r.getString(3))))).toMap
 
-  test("status precedence mirrors the reference: 413 > 415 > 401 token > 401 sig > 400 > 200") {
+  test("status precedence mirrors the reference: 415 > 401 token > 413 > 401 sig > 400 > 200") {
     val body = """{"a": 1}"""
     val sig = javaHmac(Secret, body)
     val out = gate(Seq(
@@ -62,6 +62,31 @@ class WebhookGateSpec extends SparkSpec {
     assert(out(6L) === ((415, false, None)))
   }
 
+  test("NULL headers and bodies reject (fail closed), exactly like missing request parts") {
+    val body = """{"a": 1}"""
+    val sig = javaHmac(Secret, body)
+    val rows = Seq(
+      (1L, body, null, Secret, "application/json"),   // no signature → 401
+      (2L, body, sig, null, "application/json"),      // no token → 401
+      (3L, body, sig, Secret, null),                  // no content-type → 415
+      (4L, null, javaHmac(Secret, ""), Secret,
+        "application/json"))                          // no body: sig over b"" ok → 400 at parse
+      .toDF("id", "body", "sig", "token", "mime")
+    val out = WebhookGate.admit(rows, "id", "body", "sig", "token", "mime", Secret)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 401, 2L -> 401, 3L -> 415, 4L -> 400))
+  }
+
+  test("mimetype is normalized like Flask's request.mimetype (params stripped, lowercased)") {
+    val body = """{"a": 1}"""
+    val sig = javaHmac(Secret, body)
+    val out = gate(Seq(
+      (1L, body, sig, Secret, "application/json; charset=utf-8"),
+      (2L, body, sig, Secret, "Application/JSON")))
+    assert(out(1L)._1 === 200)
+    assert(out(2L)._1 === 200)
+  }
+
   test("strict JSON gate: json.loads semantics, not try_parse_json leniency") {
     val cases = Seq(
       ("""{"k": 87}""", true),
@@ -69,12 +94,19 @@ class WebhookGateSpec extends SparkSpec {
       ("""{"k": 87} """, true),    // trailing whitespace is fine (json.loads parity)
       ("""[1, 2, {"a": null}]""", true),
       ("5", true), ("\"str\"", true), ("true", true), // bare values parse
+      ("NaN", true), ("""{"v": -Infinity}""", true),  // json.loads leniency
       ("", false), ("not json", false), ("{", false), ("{}{}", false))
     val dir = java.nio.file.Files.createTempDirectory("whg_json").toString
     cases.map(_._1).toDF("b").write.mode("overwrite").parquet(dir)
     val df = spark.read.parquet(dir)
       .select(col("b"), call_function("graft_json_strict", col("b")).as("ok"))
-    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // fallback off: a codegen COMPILE failure now throws instead of
+    // silently interpreting, so the containment check below can't pass
+    // on never-compiled source
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val got =
+      try df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      finally spark.conf.set("spark.sql.codegen.fallback", "true")
     cases.foreach { case (b, want) => assert(got(b) === want, s"body=<$b>") }
     // the expression participates in codegen (static kernel call)
     val code = df.queryExecution.debug.codegenToSeq()
@@ -82,18 +114,25 @@ class WebhookGateSpec extends SparkSpec {
       "graft_json_strict must compile to the static kernel call")
   }
 
-  test("size cap rejects with 413 before any other check") {
+  test("size cap fires where Flask's lazy MAX_CONTENT_LENGTH does: after mime and token") {
     val big = """{"pad": """" + ("x" * 100) + "\"}"
     val out = gate(Seq(
-        (1L, big, "whatever", "bad", "text/plain")), maxBytes = 50)
+        (1L, big, "whatever", Secret, "application/json"),  // 413 (before sig)
+        (2L, big, "whatever", Secret, "text/plain"),        // 415 wins (mime precedes body read)
+        (3L, big, "whatever", "bad", "application/json")),  // 401 token wins
+      maxBytes = 50)
     assert(out(1L) === ((413, false, None)))
+    assert(out(2L)._1 === 415)
+    assert(out(3L)._1 === 401)
   }
 
-  test("signature comparison is case-insensitive on the provided hex") {
+  test("signature comparison is exact hex, like hmac.compare_digest (uppercase rejects)") {
     val body = """{"b": 2}"""
     val out = gate(Seq(
-      (1L, body, javaHmac(Secret, body).toUpperCase, Secret, "application/json")))
-    assert(out(1L)._1 === 200)
+      (1L, body, javaHmac(Secret, body).toUpperCase, Secret, "application/json"),
+      (2L, body, javaHmac(Secret, body), Secret, "application/json")))
+    assert(out(1L)._1 === 401)
+    assert(out(2L)._1 === 200)
   }
 
   test("the gate is stream-safe: pure projection over a readStream, no state") {
