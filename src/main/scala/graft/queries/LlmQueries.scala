@@ -1573,6 +1573,42 @@ object LlmQueries {
         .orderBy(col("stratum"))
     },
 
+    // Z-order layout values (operators/Layout): Morton-interleave the
+    // (user, value) bucket coordinates of every event and show that
+    // z-range buckets bound BOTH dimensions — the min/max rectangles a
+    // z-sorted parquet layout gives each row group, i.e. why z-order
+    // prunes multi-dimensional scans. Pure bit arithmetic, replayed
+    // verbatim in the oracle.
+    sql("t48_zorder_layout") {
+      val terms = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH coords AS (
+         |  SELECT user_id % 256 AS xb,
+         |    least(greatest(cast(floor(value) AS BIGINT), 0), 255) AS yb
+         |  FROM events
+         |),
+         |z AS (SELECT xb, yb, $terms AS zv FROM coords)
+         |SELECT zv >> 10 AS zbucket,
+         |  cast(count(*) AS BIGINT) AS n,
+         |  min(xb) AS x_min, max(xb) AS x_max,
+         |  min(yb) AS y_min, max(yb) AS y_max
+         |FROM z GROUP BY zbucket
+         |ORDER BY zbucket"""
+    } { (s, d) =>
+      val ev = Tables.events(s, d)
+      val x = (col("user_id") % 256).cast("long")
+      val y = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(255L))
+      ev.select(x.as("xb"), y.as("yb"),
+          graft.operators.Layout.zValue(x, y, bits = 8).as("zv"))
+        .withColumn("zbucket", shiftright(col("zv"), 10))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .orderBy(col("zbucket"))
+    },
+
     // Token-budget selection (operators/Selection): greedy best-quality-
     // first fill of a 20k-token training budget via the two-phase
     // distributed prefix sum (no single-partition global window).
