@@ -1573,6 +1573,78 @@ object LlmQueries {
         .orderBy(col("stratum"))
     },
 
+    // Hybrid retrieval: BM25 keyword candidates (t37 machinery, top-50)
+    // re-ranked by embedding cosine against the query document — the
+    // canonical two-stage lexical→semantic pipeline. The re-rank window
+    // is bounded by the candidate count (50), never the corpus; the
+    // query vector rides as a 1-row broadcast.
+    sql("t49_hybrid_retrieval")(
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM docs
+        |),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok
+        |  WHERE t IN ('spark', 'join', 'window') GROUP BY doc_id, t
+        |),
+        |dfq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+        |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25_score
+        |  FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |  GROUP BY tf.doc_id
+        |),
+        |cands AS (
+        |  SELECT doc_id, bm25_score,
+        |    cast(row_number() OVER (ORDER BY bm25_score DESC, doc_id) AS INT)
+        |      AS bm25_rank
+        |  FROM scored QUALIFY bm25_rank <= 50
+        |),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |rescored AS (
+        |  SELECT c.doc_id, c.bm25_score, c.bm25_rank,
+        |    round(list_dot_product(e.embedding::DOUBLE[], qv)
+        |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |         * sqrt(list_dot_product(qv, qv))), 4) AS cosine_sim
+        |  FROM cands c
+        |  JOIN embeddings e ON e.vec_id = c.doc_id
+        |  CROSS JOIN q
+        |)
+        |SELECT doc_id, bm25_score, bm25_rank, cosine_sim,
+        |  cast(row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS INT)
+        |    AS rerank
+        |FROM rescored
+        |QUALIFY rerank <= 10
+        |ORDER BY rerank""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cands = graft.operators.Ranking.bm25(Tables.documents(s, d),
+          idCol = "doc_id", textCol = "text",
+          queryTerms = Seq("spark", "join", "window"), topK = 50)
+        .select(col("doc_id"), col("score").as("bm25_score"),
+          col("rank").as("bm25_rank"))
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val rescored = cands
+        .join(emb.select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("bm25_score"), col("bm25_rank"),
+          round(call_function("graft_cosine", col("embedding"), col("qv")), 4)
+            .as("cosine_sim"))
+      // bounded window: 50 candidate rows, not the corpus
+      val w = Window.orderBy(col("cosine_sim").desc, col("doc_id"))
+      rescored
+        .withColumn("rerank", row_number().over(w).cast("int"))
+        .filter(col("rerank") <= 10)
+        .orderBy(col("rerank"))
+    },
+
     // Z-order layout values (operators/Layout): Morton-interleave the
     // (user, value) bucket coordinates of every event and show that
     // z-range buckets bound BOTH dimensions — the min/max rectangles a
