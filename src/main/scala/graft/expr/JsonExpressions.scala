@@ -22,13 +22,38 @@ object JsonStrict {
     .enable(com.fasterxml.jackson.core.json.JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS)
     .build()
 
+  /** json.loads accepts exactly these non-numeric literal spellings;
+    * Jackson's ALLOW_NON_NUMERIC_NUMBERS additionally accepts +INF,
+    * -INF and +Infinity, which must be rejected for parity. Numeral
+    * overflow ("1e999" → inf) is NOT a literal and stays accepted —
+    * json.loads parses it too. */
+  private val PyNonFinite = Set("NaN", "Infinity", "-Infinity")
+
   def isStrict(text: UTF8String): Boolean = {
+    import com.fasterxml.jackson.core.JsonToken._
     try {
       val p = factory.createParser(text.toString)
       try {
-        if (p.nextToken() == null) return false // empty input
-        p.skipChildren()                        // consume the whole first value
-        p.nextToken() == null                   // nothing may follow it
+        var tok = p.nextToken()
+        if (tok == null) return false // empty input
+        // walk the first value token-by-token (not skipChildren) so each
+        // non-finite literal's spelling can be vetted
+        var depth = 0
+        var first = true
+        while (first || depth > 0) {
+          first = false
+          tok match {
+            case START_OBJECT | START_ARRAY => depth += 1
+            case END_OBJECT | END_ARRAY => depth -= 1
+            case _ =>
+              if (p.isNaN && !PyNonFinite.contains(p.getText)) return false
+          }
+          if (depth > 0) {
+            tok = p.nextToken()
+            if (tok == null) return false // truncated container
+          }
+        }
+        p.nextToken() == null // nothing may follow the first value
       } finally p.close()
     } catch {
       case _: java.io.IOException => false

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HMAC-verified webhook admission — the data-plane semantics of the
-  * reference's alert/webhook service (`sevenio/app.py:31-62`: size cap →
-  * content-type check → shared-token check → HMAC-SHA256 signature over
-  * the raw body → JSON parse → enqueue), re-expressed as a batch/stream
-  * admission operator over a frame of received requests. The Flask
+  * reference's alert/webhook service (`sevenio/app.py:31-62`:
+  * content-type check → shared-token check → lazy size cap at body
+  * read → HMAC-SHA256 signature over the raw body → JSON parse →
+  * enqueue), re-expressed as a batch/stream admission operator over a
+  * frame of received requests. The Flask
   * plumbing (routes, worker thread) is transport, not analytics; what a
   * pipeline needs downstream is exactly this gate: which requests were
   * admitted, which status each rejected one got, and the parsed payload.

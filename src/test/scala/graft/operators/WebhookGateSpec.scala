@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Webhook admission gate: the composed-Column HMAC must be
   * bit-identical to javax.crypto.Mac, and the status precedence must
-  * mirror the reference service's check order (size → mimetype → token
-  * → signature → JSON parse). */
+  * mirror the reference service's actual control flow (mimetype → token
+  * → lazy size cap → signature → JSON parse). */
 class WebhookGateSpec extends SparkSpec {
   import testImplicits._
 
@@ -95,6 +95,9 @@ class WebhookGateSpec extends SparkSpec {
       ("""[1, 2, {"a": null}]""", true),
       ("5", true), ("\"str\"", true), ("true", true), // bare values parse
       ("NaN", true), ("""{"v": -Infinity}""", true),  // json.loads leniency
+      ("1e999", true),                   // numeral overflow → inf parses in both
+      ("+Infinity", false), ("-INF", false),          // Jackson-only spellings
+      ("""{"v": +INF}""", false),
       ("", false), ("not json", false), ("{", false), ("{}{}", false))
     val dir = java.nio.file.Files.createTempDirectory("whg_json").toString
     cases.map(_._1).toDF("b").write.mode("overwrite").parquet(dir)
@@ -103,10 +106,11 @@ class WebhookGateSpec extends SparkSpec {
     // fallback off: a codegen COMPILE failure now throws instead of
     // silently interpreting, so the containment check below can't pass
     // on never-compiled source
+    val priorFallback = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     val got =
       try df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-      finally spark.conf.set("spark.sql.codegen.fallback", "true")
+      finally spark.conf.set("spark.sql.codegen.fallback", priorFallback)
     cases.foreach { case (b, want) => assert(got(b) === want, s"body=<$b>") }
     // the expression participates in codegen (static kernel call)
     val code = df.queryExecution.debug.codegenToSeq()
