@@ -20,22 +20,24 @@ import graft.functions.TextFunctions
   * two-phase distributed prefix sum instead, bucketed by the QUALITY
   * VALUE itself rather than by sampled range boundaries:
   *   1. quality is rounded to 4 dp in [0, 1], so there are ≤ 10 001
-  *      distinct levels — the per-level token totals are a bounded
-  *      control-plane table by construction (the one `collect()` here,
-  *      guarded by [[graft.core.Bounded]]);
-  *   2. totals are prefix-scanned driver-side into per-level offsets
-  *      (tokens in all strictly-better levels) and broadcast back;
+  *      distinct levels — the per-level token totals are a BOUNDED
+  *      table by construction;
+  *   2. per-level offsets (tokens in all strictly-better levels) come
+  *      from a running-sum window over that level table — global-order
+  *      but level-table-sized, the same bounded-global-window trade the
+  *      mixture operator documents — and broadcast-join back;
   *   3. each level's running sum is a window PARTITIONED by the level,
   *      ordered by id — within-level order and cross-level offsets
   *      compose into the exact global cumulative count.
-  * Because the bucket is the value, both passes agree on every row's
+  * Everything is ONE action with no driver collect; because the bucket
+  * is the value, the aggregation and the join agree on every row's
   * bucket by construction — a sampled `repartitionByRange` would draw
-  * DIFFERENT boundaries for the totals pass and the final pass (the
-  * range sampler's seed includes the RDD id), mis-assigning offsets
-  * near boundaries at corpus scale. Skew note: all docs sharing one
-  * level serialize through one window task; if a corpus concentrates
-  * in a single level, sub-split the level by an id range before the
-  * window (not needed for any test corpus).
+  * DIFFERENT boundaries for a totals pass and a final pass (the range
+  * sampler's seed includes the RDD id), mis-assigning offsets near
+  * boundaries at corpus scale. Skew note: all docs sharing one level
+  * serialize through one window task; if a corpus concentrates in a
+  * single level, sub-split the level by an id range before the window
+  * (not needed for any test corpus).
   */
 object Selection {
 
@@ -59,25 +61,22 @@ object Selection {
       TextFunctions.qualityScore(col(textCol)).as("quality"),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
 
-    // ≤ 10 001 rows (4-dp quality levels) — bounded by construction.
-    val levels = graft.core.Bounded.collect(
-      scored.groupBy(col("quality")).agg(sum(col("n_tokens")).as("qtot"))
-        .orderBy(col("quality").desc),
-      20002, "Selection.qualityLevels")
-    var acc = 0L
-    val offsets = levels.map { r =>
-      val o = acc
-      acc += r.getLong(1)
-      (r.getDouble(0), o)
-    }.toSeq
-    val offsetsDf = docs.sparkSession
-      .createDataFrame(offsets).toDF("quality", "offset")
+    // ≤ 10 001 rows (4-dp quality levels) — bounded by construction;
+    // the partition-less offset window runs over THIS table, not the
+    // corpus (the Mixture convention for strata-sized normalizers)
+    val levels = scored
+      .groupBy(col("quality")).agg(sum(col("n_tokens")).as("qtot"))
+    val offsetW = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = levels.select(col("quality"),
+      coalesce(sum(col("qtot")).over(offsetW), lit(0L)).as("offset"))
 
-    // join key = the level value both passes computed identically (same
-    // rounded arithmetic, same provenance — never a sampled boundary)
+    // join key = the level value both subtrees computed identically
+    // (same rounded arithmetic, same provenance — never a sampled
+    // boundary); broadcast keeps the corpus side shuffle-free
     val inLevel = Window.partitionBy(col("quality")).orderBy(id.asc)
     scored
-      .join(broadcast(offsetsDf), "quality")
+      .join(broadcast(offsets), "quality")
       .withColumn("cum_tokens", sum(col("n_tokens")).over(inLevel) + col("offset"))
       .filter(col("cum_tokens") <= budget)
       .select(id, col("quality"), col("n_tokens"), col("cum_tokens"))
