@@ -1573,6 +1573,67 @@ object LlmQueries {
         .orderBy(col("stratum"))
     },
 
+    // Semi-structured JSON analytics: extract a typed field from the
+    // events' JSON props column in the scan stage (get_json_object —
+    // codegen'd path evaluation, no UDF) and aggregate per event type.
+    // The scan-stage extraction is the 100 TB shape: project-then-
+    // aggregate, never materialize parsed structs corpus-wide.
+    sql("t50_json_props_stats")(
+      """SELECT event_type,
+        |  cast(count(*) AS BIGINT) AS n,
+        |  cast(sum(k) AS BIGINT) AS k_sum,
+        |  round(avg(k), 4) AS k_avg,
+        |  min(k) AS k_min, max(k) AS k_max
+        |FROM (
+        |  SELECT event_type,
+        |    cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) x
+        |GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("k_sum"),
+          round(avg(col("k")), 4).as("k_avg"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy(col("event_type"))
+    },
+
+    // Corpus snapshot diff (operators/SnapshotDiff): classify every doc
+    // as added/removed/changed/unchanged between two synthesized
+    // snapshots (old = ids % 10 != 0; new = ids % 13 != 0, with % 7
+    // docs edited) — the dataset-versioning audit that bounds
+    // incremental reprocessing. Fingerprints join, text never does.
+    sql("t51_snapshot_diff")(
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END),
+        |      '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |  CASE WHEN old.fp IS NULL THEN 'added'
+        |       WHEN new.fp IS NULL THEN 'removed'
+        |       WHEN old.fp <> new.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap)
+        .orderBy(col("doc_id"))
+    },
+
     // Hybrid retrieval: BM25 keyword candidates (t37 machinery, top-50)
     // re-ranked by embedding cosine against the query document — the
     // canonical two-stage lexical→semantic pipeline. The re-rank window

@@ -120,6 +120,16 @@ class SelectionOpsSpec extends SparkSpec {
     assert(out("s2") === ((3L, 1L, 0L, 0.3333)))
   }
 
+  test("snapshot diff: added/removed/changed/unchanged classified by content fingerprint") {
+    val oldSnap = docs((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+    val newSnap = docs((1L, "same   text"), (2L, "has changed"), (4L, "brand new"))
+    val out = SnapshotDiff.diff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // whitespace-normalized fingerprints: doc 1 is unchanged despite spacing
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   // ---- Selection.tokenBudget ---------------------------------------
 
   test("budget: greedy fill is quality-ordered, inclusive, and stops at the boundary") {
