@@ -468,6 +468,96 @@ object RelationalQueries {
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("session_start_us"), col("session_end_us"))
         .orderBy(col("event_id"))
+    },
+
+    // Ordered funnel analysis: per user, the signup → click → purchase
+    // progression where each step must occur strictly AFTER the
+    // previous step's first completion — the classic product-analytics
+    // sequence query. All timestamp math is integer microseconds in
+    // BOTH engines (no ns-vs-µs comparison semantics); every stage is a
+    // user-keyed aggregation/join, so the whole funnel is three
+    // hash-partitioned passes — no window over the event log.
+    sql("q24_funnel_stages")(
+      """WITH ue AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+        |),
+        |s AS (SELECT user_id, min(tsu) AS ts_s FROM ue
+        |      WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT ue.user_id, min(tsu) AS ts_c FROM ue JOIN s USING (user_id)
+        |      WHERE event_type = 'click' AND tsu > ts_s GROUP BY ue.user_id),
+        |p AS (SELECT ue.user_id, min(tsu) AS ts_p FROM ue JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND tsu > ts_c GROUP BY ue.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ue)
+        |SELECT u.user_id,
+        |  CASE WHEN ts_p IS NOT NULL THEN 3
+        |       WHEN ts_c IS NOT NULL THEN 2
+        |       WHEN ts_s IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage,
+        |  coalesce(ts_s, -1) AS signup_us,
+        |  coalesce(ts_c, -1) AS first_click_us,
+        |  coalesce(ts_p, -1) AS purchase_us
+        |FROM u LEFT JOIN s USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""") { (s, d) =>
+      val ue = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+      val su = ue.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("ts_s"))
+      val cl = ue.join(su, "user_id")
+        .filter(col("event_type") === "click" && col("tsu") > col("ts_s"))
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("ts_c"))
+      val pu = ue.join(cl, "user_id")
+        .filter(col("event_type") === "purchase" && col("tsu") > col("ts_c"))
+        .groupBy(col("user_id")).agg(min(col("tsu")).as("ts_p"))
+      ue.select(col("user_id")).distinct()
+        .join(su, Seq("user_id"), "left")
+        .join(cl, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("ts_p").isNotNull, 3)
+            .when(col("ts_c").isNotNull, 2)
+            .when(col("ts_s").isNotNull, 1).otherwise(0).as("funnel_stage"),
+          coalesce(col("ts_s"), lit(-1L)).as("signup_us"),
+          coalesce(col("ts_c"), lit(-1L)).as("first_click_us"),
+          coalesce(col("ts_p"), lit(-1L)).as("purchase_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // retention = share of the cohort active in each later week — the
+    // other product-analytics staple. Both engines truncate to ISO
+    // Monday weeks; offsets are exact day-diffs / 7 (both weeks are
+    // truncated, so the difference is always a multiple of 7).
+    sql("q25_cohort_retention")(
+      """WITH ue AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        |),
+        |firstwk AS (SELECT user_id, min(wk) AS cohort FROM ue GROUP BY user_id),
+        |cohorts AS (SELECT cohort, count(*) AS n0 FROM firstwk GROUP BY cohort),
+        |act AS (SELECT DISTINCT user_id, wk FROM ue),
+        |ret AS (
+        |  SELECT f.cohort,
+        |    cast(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+        |    cast(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |  FROM act a JOIN firstwk f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT epoch_us(r.cohort) AS cohort_us, week_offset, n_active,
+        |  round(n_active / n0::DOUBLE, 4) AS retention
+        |FROM ret r JOIN cohorts co ON r.cohort = co.cohort
+        |ORDER BY cohort_us, week_offset""") { (s, d) =>
+      val ue = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val firstwk = ue.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      val cohorts = firstwk.groupBy(col("cohort")).agg(count(lit(1)).as("n0"))
+      val act = ue.distinct()
+      act.join(firstwk, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(cohorts, "cohort")
+        .select(unix_micros(col("cohort")).as("cohort_us"), col("week_offset"),
+          col("n_active"),
+          round(col("n_active") / col("n0").cast("double"), 4).as("retention"))
+        .orderBy(col("cohort_us"), col("week_offset"))
     }
   )
 }
