@@ -558,6 +558,29 @@ object RelationalQueries {
           col("n_active"),
           round(col("n_active") / col("n0").cast("double"), 4).as("retention"))
         .orderBy(col("cohort_us"), col("week_offset"))
+    },
+
+    // Hopping-window aggregates: Spark's native window(ts, 1h, 15min)
+    // assigns each event to its 4 overlapping hour windows — the
+    // sliding-window shape streaming dashboards use, here as batch.
+    // The oracle replays the assignment as integer-µs grid arithmetic
+    // (each event's window starts are the 4 preceding 15-min marks),
+    // which is exactly Spark's window-start formula.
+    sql("q26_hopping_stats")(
+      """SELECT ws_us, cast(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) + 0.0 AS value_sum
+        |FROM (
+        |  SELECT value,
+        |    (epoch_us(ts) // 900000000 - k) * 900000000 AS ws_us
+        |  FROM events, unnest([0, 1, 2, 3]) AS t(k)) x
+        |GROUP BY ws_us
+        |ORDER BY ws_us""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 4) + 0.0).as("value_sum"))
+        .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("value_sum"))
+        .orderBy(col("ws_us"))
     }
   )
 }
