@@ -282,6 +282,22 @@ object RelationalQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
+    // CUBE grouping sets (all four (type, lang) marginal combinations in
+    // one aggregation pass — the other half of q16's ROLLUP coverage)
+    sql("q27_cube_events")(
+      """SELECT event_type, cast(user_id % 3 AS BIGINT) AS user_band,
+        |  cast(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) + 0.0 AS value_sum
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 3)
+        |ORDER BY event_type NULLS FIRST, user_band NULLS FIRST""") { (s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), (col("user_id") % 3).as("user_band"))
+        .agg(count(lit(1)).as("n"),
+          (round(sum(col("value")), 4) + 0.0).as("value_sum"))
+        .orderBy(col("event_type").asc_nulls_first, col("user_band").asc_nulls_first)
+    },
+
     sql("q17_status_pivot")(
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
