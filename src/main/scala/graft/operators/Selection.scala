@@ -66,10 +66,20 @@ object Selection {
     // corpus (the Mixture convention for strata-sized normalizers)
     val levels = scored
       .groupBy(col("quality")).agg(sum(col("n_tokens")).as("qtot"))
+    // in-plan fail-fast on the boundedness invariant (still ONE action):
+    // if a caller ever feeds unrounded quality, this aborts with a named
+    // error instead of a late single-task window / broadcast OOM
+    val guard = levels.agg(count(lit(1)).as("n_levels"))
+      .select(assert_true(col("n_levels") <= 20002,
+        lit("Selection.tokenBudget: quality level table exceeded its rounded-4dp bound")
+      ).as("__guard"))
     val offsetW = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = levels.select(col("quality"),
       coalesce(sum(col("qtot")).over(offsetW), lit(0L)).as("offset"))
+      // the filter REFERENCES the assert column so pruning can't elide
+      // it (assert_true is null on success, throws on violation)
+      .crossJoin(guard).filter(col("__guard").isNull).drop("__guard")
 
     // join key = the level value both subtrees computed identically
     // (same rounded arithmetic, same provenance — never a sampled

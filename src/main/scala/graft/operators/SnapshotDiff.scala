@@ -19,20 +19,28 @@ import graft.functions.TextFunctions
 object SnapshotDiff {
 
   /** One row per id present in either snapshot:
-    * (idCol, status ∈ added|removed|changed|unchanged). */
+    * (idCol, status ∈ added|removed|changed|unchanged). Presence is
+    * tracked by explicit side markers, NOT fingerprint nullness — a
+    * document with NULL text (md5 → NULL) must still classify by which
+    * side(s) it appears on, and NULL↔non-NULL text counts as changed
+    * (null-safe fingerprint comparison). */
   def diff(
       oldSnap: DataFrame,
       newSnap: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val id = col(idCol)
-    val o = oldSnap.select(id, TextFunctions.fingerprint(col(textCol)).as("old_fp"))
-    val n = newSnap.select(id, TextFunctions.fingerprint(col(textCol)).as("new_fp"))
+    val o = oldSnap.select(id,
+      TextFunctions.fingerprint(col(textCol)).as("old_fp"),
+      lit(true).as("in_old"))
+    val n = newSnap.select(id,
+      TextFunctions.fingerprint(col(textCol)).as("new_fp"),
+      lit(true).as("in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(id,
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") =!= col("new_fp"), "changed")
+        when(!coalesce(col("in_old"), lit(false)), "added")
+          .when(!coalesce(col("in_new"), lit(false)), "removed")
+          .when(!(col("old_fp") <=> col("new_fp")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

@@ -1586,7 +1586,7 @@ object LlmQueries {
         |  min(k) AS k_min, max(k) AS k_max
         |FROM (
         |  SELECT event_type,
-        |    cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |    try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) x
         |GROUP BY event_type
         |ORDER BY event_type""") { (s, d) =>

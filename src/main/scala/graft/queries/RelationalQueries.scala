@@ -282,8 +282,9 @@ object RelationalQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     },
 
-    // CUBE grouping sets (all four (type, lang) marginal combinations in
-    // one aggregation pass — the other half of q16's ROLLUP coverage)
+    // CUBE grouping sets: all four (event_type, user-band) grouping
+    // combinations in one aggregation pass — the other half of q16's
+    // ROLLUP coverage
     sql("q27_cube_events")(
       """SELECT event_type, cast(user_id % 3 AS BIGINT) AS user_band,
         |  cast(count(*) AS BIGINT) AS n,
@@ -553,7 +554,7 @@ object RelationalQueries {
         |ret AS (
         |  SELECT f.cohort,
         |    cast(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
-        |    cast(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |    cast(count(*) AS BIGINT) AS n_active
         |  FROM act a JOIN firstwk f USING (user_id)
         |  GROUP BY 1, 2)
         |SELECT epoch_us(r.cohort) AS cohort_us, week_offset, n_active,
@@ -565,10 +566,12 @@ object RelationalQueries {
       val firstwk = ue.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
       val cohorts = firstwk.groupBy(col("cohort")).agg(count(lit(1)).as("n0"))
       val act = ue.distinct()
+      // act is (user_id, wk)-distinct and wk determines the group, so a
+      // plain count equals count(DISTINCT user) at one agg pass less
       act.join(firstwk, "user_id")
         .groupBy(col("cohort"),
           (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_active"))
+        .agg(count(lit(1)).as("n_active"))
         .join(cohorts, "cohort")
         .select(unix_micros(col("cohort")).as("cohort_us"), col("week_offset"),
           col("n_active"),

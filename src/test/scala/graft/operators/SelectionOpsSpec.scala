@@ -130,6 +130,19 @@ class SelectionOpsSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("snapshot diff: NULL text classifies by side presence, not fingerprint nullness") {
+    val oldSnap = Seq((1L, null: String), (2L, null: String), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, null: String), (2L, "now real"))
+      .toDF("doc_id", "text")
+    val out = SnapshotDiff.diff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "unchanged", // null → null: same (absent) content
+      2L -> "changed",   // null → real text
+      3L -> "removed"))  // present only in old, even with non-null text
+  }
+
   // ---- Selection.tokenBudget ---------------------------------------
 
   test("budget: greedy fill is quality-ordered, inclusive, and stops at the boundary") {

@@ -209,12 +209,29 @@ class PlanAuditSpec extends SparkSpec {
       "window counts must combine map-side")
   }
 
-  test("t44 token budget: every window is level-partitioned (no global single-partition sort)") {
+  test("t44 token budget: the CORPUS window is level-partitioned; only the bounded level table runs partition-less") {
     val plan = executedPlan(namedQuery("t44_token_budget"))
-    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-    assert(specs.nonEmpty, "expected the per-level running-sum window")
-    assert(specs.forall(_.contains("quality#")),
-      s"found a window without the quality-level key — a global-order window:\n${specs.mkString("\n")}")
+    // a physical Window node prints `Window [exprs], [partitionSpec],
+    // [orderSpec]` when partitioned and `Window [exprs], [orderSpec]`
+    // when global — the bracket-group count distinguishes them (the
+    // windowspecdefinition STRING cannot: order keys match too)
+    val winLines = plan.linesIterator.map(_.trim)
+      .filter(_.contains("Window [")).toSeq
+    def bracketGroups(l: String): Seq[String] =
+      l.substring(l.indexOf("Window [") + 7).split("\\], \\[").toSeq
+    assert(winLines.nonEmpty, "expected the running-sum windows")
+    val (partitioned, global) = winLines.partition(bracketGroups(_).length >= 3)
+    // the corpus-side cumulative sum (over n_tokens) MUST be partitioned
+    // by the quality level
+    assert(partitioned.exists(l =>
+        bracketGroups(l).head.contains("n_tokens") &&
+          bracketGroups(l)(1).contains("quality")),
+      s"corpus running sum must partition by quality level:\n${winLines.mkString("\n")}")
+    // any partition-less window may only aggregate the LEVEL table
+    // (qtot), never corpus columns — a global corpus sort is the
+    // scale-killer this pin exists to catch
+    assert(global.forall(_.contains("qtot")),
+      s"partition-less window over corpus columns:\n${global.mkString("\n")}")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       "level offsets must broadcast")
   }
