@@ -41,10 +41,12 @@ object CurationPipeline {
   }
 
   private def canonicalByNearDup(df: DataFrame, threshold: Double,
-      shingleSize: Int, maxDocFreq: Int): DataFrame = {
+      shingleSize: Int, maxDocFreq: Int,
+      checkpoint: DataFrame => DataFrame): DataFrame = {
     val pairs = Dedup.jaccardPairs(df, "text", "doc_id", threshold,
       shingleSize = shingleSize, maxDocFreq = maxDocFreq)
-    val clustered = ConnectedComponents.clusters(df, "doc_id", pairs)
+    val clustered = ConnectedComponents.clusters(df, "doc_id", pairs,
+      checkpoint = checkpoint)
     df.join(
       clustered.filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id")),
@@ -79,21 +81,35 @@ object CurationPipeline {
     *     collisions, at the cost of missing short-document overlaps.
     * Recall contract: candidates require ≥1 shared RARE shingle, so a
     * lower `maxDocFreq` can only drop pairs whose every shared shingle
-    * is a stop-shingle — near-identical docs always share rare ones. */
+    * is a stop-shingle — near-identical docs always share rare ones.
+    *
+    * Fault tolerance — `checkpoint` governs how the exact-dedup
+    * survivors AND every connected-components round are materialized.
+    * The default lazy `localCheckpoint` stores blocks on executors with
+    * TRUNCATED lineage: fastest on a healthy cluster, but the loss of
+    * any executor mid-query is unrecoverable (the blocks cannot be
+    * recomputed). On preemptible/spot clusters set
+    * `spark.sparkContext.setCheckpointDir(<hdfs-path>)` and pass
+    * `_.checkpoint(eager = false)` — rounds then persist to reliable
+    * storage and survive executor loss, at one distributed write per
+    * round. */
   def curate(docs: DataFrame,
              minQuality: Double = 0.3,
              jaccardThreshold: Double = 0.8,
              samplePerLang: Int = 100,
              shingleSize: Int = 3,
-             maxDocFreq: Int = 20): DataFrame = {
+             maxDocFreq: Int = 20,
+             checkpoint: DataFrame => DataFrame =
+               _.localCheckpoint(eager = false)): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
     // the exact-dedup survivors feed MANY downstream branches (shingle
     // blocking, word sets, cluster join, sample); materializing them
     // once collapses ~6 re-executions of the quality+dedup subtree
-    // (measured 13-26 s -> ~2 s at sf0.1). On a fault-tolerance-critical
-    // cluster substitute reliable checkpoint().
-    val exact = exactDedup(qualityGate(base, minQuality)).localCheckpoint()
-    sample(canonicalByNearDup(exact, jaccardThreshold, shingleSize, maxDocFreq),
+    // (measured 13-26 s -> ~2 s at sf0.1). Lazy: the first downstream
+    // action persists the blocks, every later branch reuses them.
+    val exact = checkpoint(exactDedup(qualityGate(base, minQuality)))
+    sample(canonicalByNearDup(exact, jaccardThreshold, shingleSize,
+        maxDocFreq, checkpoint),
         samplePerLang)
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy(col("lang"), col("rn"))
@@ -107,13 +123,15 @@ object CurationPipeline {
           jaccardThreshold: Double = 0.8,
           samplePerLang: Int = 100,
           shingleSize: Int = 3,
-          maxDocFreq: Int = 20): (DataFrame, Report) = {
+          maxDocFreq: Int = 20,
+          checkpoint: DataFrame => DataFrame =
+            _.localCheckpoint(eager = false)): (DataFrame, Report) = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"))
     val quality = qualityGate(base, minQuality)
     // see curate(): one materialization serves every downstream branch
-    val exact = exactDedup(quality).localCheckpoint()
+    val exact = checkpoint(exactDedup(quality))
     val canonical = canonicalByNearDup(exact, jaccardThreshold,
-      shingleSize, maxDocFreq)
+      shingleSize, maxDocFreq, checkpoint)
     val sampled = sample(canonical, samplePerLang).drop("rn")
     val report = Report(
       nInput = base.count(),

@@ -99,17 +99,24 @@ object EventAnalysis {
   }
 
   /** Sink the valid rows into the doc store (K6). Control-plane loop:
-    * events are API-scale, not data-scale. Returns ids newly stored.
-    * P15 — each record carries a `stored_at` ISO stamp (app_fs.py:36-37,
-    * 119); `now` is injectable for deterministic tests. */
+    * events are API-scale, not data-scale — and `maxBatch` makes that a
+    * CONTRACT, not a comment: the collect goes through
+    * [[graft.core.Bounded.collect]], so a caller that points this at a
+    * data-scale frame fails loudly (after shipping at most maxBatch + 1
+    * rows) instead of materializing it on the driver. Returns ids newly
+    * stored. P15 — each record carries a `stored_at` ISO stamp
+    * (app_fs.py:36-37, 119); `now` is injectable for deterministic
+    * tests. */
   def store(ingested: DataFrame, store: JsonDocStore,
-      now: () => java.time.Instant = () => java.time.Instant.now()): Seq[String] =
-    ingested.filter(col("valid"))
-      .select(col("event_id"), to_json(struct(
-        col("event_id"), col("metadata_url"), col("metadata"),
-        lit(now().toString).as("stored_at"),
-        lit("lpi-event-v1").as("schema"))).as("doc"))
-      .collect()
+      now: () => java.time.Instant = () => java.time.Instant.now(),
+      maxBatch: Int = 10000): Seq[String] =
+    graft.core.Bounded.collect(
+        ingested.filter(col("valid"))
+          .select(col("event_id"), to_json(struct(
+            col("event_id"), col("metadata_url"), col("metadata"),
+            lit(now().toString).as("stored_at"),
+            lit("lpi-event-v1").as("schema"))).as("doc")),
+        maxBatch, "EventAnalysis.store")
       .flatMap { r =>
         val id = r.getString(0)
         if (store.store(id, r.getString(1))) Some(id) else None

@@ -43,7 +43,9 @@ final class MistAnalysis(
         "minimum as Minimum", "maximum as Maximum"),
       Paths.get(statsDir, s"${stem}_stats.csv"))
 
-    val mapping = stats.collect().flatMap { r =>
+    // one row per numeric channel of ONE file — schema-width-bounded
+    val mapping = graft.core.Bounded.collect(stats, 10000,
+        "MistAnalysis channel stats").flatMap { r =>
       Seq(s"${r.getString(0)}:mean" -> r.getDouble(1).toString,
         s"${r.getString(0)}:min" -> r.getDouble(2).toString,
         s"${r.getString(0)}:max" -> r.getDouble(3).toString)

@@ -37,7 +37,11 @@ import org.apache.spark.sql.functions._
   * cluster; pass `_.checkpoint(eager = false)` where executor loss must
   * be survivable, after setting `sparkContext.setCheckpointDir`).
   *
-  * Driver-synchronization contract: exactly ONE blocking job per round.
+  * Driver-synchronization contract: ONE bootstrap job that both counts
+  * the contracted forest and detects the already-a-fixpoint case (star
+  * forest with min centers ⇔ no node has two parents and no parent is a
+  * child), skipping the star loop outright when contraction alone
+  * resolved the graph; then exactly ONE blocking job per star round.
   * The lazy checkpoint is materialized by the same action that decides
   * the fixpoint — a single left-join aggregate returning (|next|,
   * |next ∩ edges|). Both sides are distinct sets, so `next == edges ⇔
@@ -147,9 +151,34 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v")))
       .distinct())
 
-    // one bootstrap action: materializes the lazy checkpoint and counts
-    var prevCount = edges.count()
-    var converged = prevCount == 0L
+    // One bootstrap action, doing double duty: it materializes the lazy
+    // checkpoint, counts the contracted forest (so the loop needs no
+    // separate count), and tests whether the forest is ALREADY a global
+    // star-loop fixpoint. Contraction emits (node, root) with root <
+    // node, so the distinct output is a star forest with min-id centers
+    // iff (a) every u has exactly one parent (`multi` = 0 — a node
+    // reached from two partitions has two) and (b) no parent is itself
+    // a child (`chains` = 0 — no v appears as a u). When both hold,
+    // largeStar/smallStar are identity on the set (each star's center
+    // is its min), so the loop is skipped outright: graphs whose
+    // components are co-located within partitions — the dense near-dup
+    // clique shape — resolve in ONE cheap driver action instead of a
+    // bootstrap count plus a full star round. The union-then-aggregate
+    // keeps it a single job: per-parent degrees on one branch, child
+    // parents re-keyed as parents on the other, counted together.
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val boot = deg
+      .select(col("deg"), lit(0L).as("chain"))
+      .unionAll(edges.select(col("v")).join(
+          deg.select(col("u").as("v")), Seq("v"))
+        .select(lit(0L).as("deg"), lit(1L).as("chain")))
+      .agg(coalesce(sum(col("deg")), lit(0L)).as("n"),
+        coalesce(sum(when(col("deg") > 1, 1L)), lit(0L)).as("multi"),
+        coalesce(sum(col("chain")), lit(0L)).as("chains"))
+      .head()
+    var prevCount = boot.getLong(0)
+    var converged = prevCount == 0L ||
+      (boot.getLong(1) == 0L && boot.getLong(2) == 0L)
     var i = 0
     while (!converged && i < maxIterations) {
       val next = checkpoint(smallStar(largeStar(edges)))

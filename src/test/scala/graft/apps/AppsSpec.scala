@@ -94,6 +94,17 @@ class AppsSpec extends SparkSpec {
     storedIds.foreach(id => assert(id.matches("[0-9a-f]{16}")))
   }
 
+  test("Event: store enforces its per-batch cardinality contract (Bounded)") {
+    val store = new JsonDocStore(Files.createTempDirectory("events-bounded"))
+    val urls = (1 to 5).map(i => s"https://meta.example/$i").toDF("url")
+    val out = EventAnalysis.ingest(spark, urls, "url", new EventAnalysis.FakeFetcher())
+    val ex = intercept[IllegalStateException] {
+      EventAnalysis.store(out, store, maxBatch = 3)
+    }
+    assert(ex.getMessage.contains("EventAnalysis.store"))
+    assert(store.ids().isEmpty, "a violating batch must store nothing")
+  }
+
   test("Event: missing required metadata fields are rejected with reasons") {
     val noDataUrl = new EventAnalysis.MetadataFetcher {
       override def fetch(url: String): String =

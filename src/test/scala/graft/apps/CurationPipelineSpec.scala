@@ -66,6 +66,29 @@ class CurationPipelineSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("reliable-checkpoint knob: curate survives with checkpoint(eager=false)") {
+    // preemptible-cluster configuration: rounds persist to the reliable
+    // checkpoint dir instead of executor-local blocks; output must be
+    // identical to the default path
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val reliable = CurationPipeline.curate(corpus, samplePerLang = 10,
+          checkpoint = _.checkpoint(eager = false))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val default = CurationPipeline.curate(corpus, samplePerLang = 10)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(reliable == default)
+      // the reliable run actually wrote round state to the checkpoint dir
+      val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+      assert(wrote > 0, "reliable checkpoint dir is empty — knob not wired")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("density knobs bound candidate volume without losing planted near-dups") {
     // a tight doc-frequency cap prunes the candidate space hard...
     val (sampled, report) = CurationPipeline.run(corpus,

@@ -80,6 +80,31 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"$leaked checkpoint RDDs left persisted — rounds must clean up")
   }
 
+  test("co-located graph resolves in the contraction alone: star loop skipped") {
+    // one partition → partition-local union-find resolves the whole
+    // graph; the bootstrap fixpoint test must detect the star forest and
+    // skip the loop, so maxIterations = 0 succeeds
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(500)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val got = ConnectedComponents.resolve(
+        edges.toDF("a", "b").repartition(1), "a", "b", maxIterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = components(edges)
+    assert(got == viaLoop)
+  }
+
+  test("cross-partition graph still needs star rounds (fixpoint test is not lax)") {
+    // a chain split so every partition sees disjoint edges: contraction
+    // cannot connect them, so with maxIterations = 0 resolve must refuse
+    // rather than return wrong components
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val df = edges.toDF("a", "b").repartition(8)
+    intercept[IllegalStateException] {
+      ConnectedComponents.resolve(df, "a", "b", maxIterations = 0).count()
+    }
+  }
+
   test("empty pair graph: every document is its own singleton cluster") {
     val docs = (1L to 5L).toDF("doc_id")
     val noPairs = Seq.empty[(Long, Long)].toDF("left_id", "right_id")
