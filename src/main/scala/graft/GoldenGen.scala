@@ -3,15 +3,19 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Comparator
 
-/** Regenerates the golden expected-output parquet files for the five
+/** Regenerates (a) the golden expected-output parquet files for the
   * queries whose semantics are not DuckDB-expressible (xxhash64
-  * MinHash/SimHash signatures, seeded random-hyperplane LSH, k-means
-  * IVF): t07/t08/t12/t13/t25. Their outputs ARE fully deterministic —
-  * fixed hash primitives, seeded hyperplanes, deterministic training,
-  * explicit ORDER BY with unique tiebreaks — so a reviewed precomputed
-  * parquet is a valid oracle, the same way u01/u02 gate the UDBF reader
-  * with closed-form literals. The driver's DuckDB side reads the golden
-  * via `read_parquet` and hash-compares as usual.
+  * MinHash/SimHash signatures: t07/t08/t13/t28, HMAC gating: u11) and
+  * (b) the TRAINED-MODEL artifacts (t25 k-means centroids, t40 PQ
+  * codebooks, t12 LSH hyperplane signs) from which the ANN queries'
+  * scoring + top-k are replayed as FULL DuckDB SQL — only the
+  * deterministic training step stays golden-gated there. Outputs ARE
+  * fully deterministic — fixed hash primitives, seeded hyperplanes,
+  * deterministic training, explicit ORDER BY with unique tiebreaks — so
+  * a reviewed precomputed parquet is a valid oracle, the same way
+  * u01/u02 gate the UDBF reader with closed-form literals. The driver's
+  * DuckDB side reads these via `read_parquet` and hash-compares as
+  * usual.
   *
   * Goldens are PER SCALE FACTOR (the corpora differ), committed under
   * `golden/<sfTag>/`; the oracle SQL selects the right one at runtime by
@@ -28,8 +32,20 @@ object GoldenGen {
   /** The queries gated by golden files, with their repo-committed paths. */
   val goldenQueries: Seq[String] = Seq(
     "t07_minhash_neardup", "t08_simhash_neardup",
-    "t12_ann_lsh_topk", "t13_embedding_neardup", "t25_ivf_topk",
-    "t28_semdedup", "t40_pq_topk", "u11_webhook_gate")
+    "t13_embedding_neardup", "t28_semdedup", "u11_webhook_gate")
+
+  /** Trained-model artifacts exported per SF so the ANN queries'
+    * SCORING + top-k can be replayed independently in DuckDB
+    * (t12/t25/t40 formerly had engine-generated golden outputs; now
+    * only the deterministic TRAINING result is committed, and the
+    * oracle SQL recomputes assignment/encoding/probing/ranking from it
+    * from first principles). */
+  val modelArtifacts: Seq[String] = Seq("t25_centroids", "t40_codebooks")
+
+  /** The t12 hyperplane sign matrix is a pure function of
+    * (table, bit, dim) — corpus-independent, so ONE file serves every
+    * SF. */
+  val hyperplaneArtifact: String = "t12_hyperplanes"
 
   /** The verify SFs goldens exist for, with the `customer` row count the
     * oracle SQL keys on. */
@@ -45,6 +61,8 @@ object GoldenGen {
   def goldenPath(sfTag: String, name: String): String =
     s"$goldenRoot/$sfTag/$name.parquet"
 
+  def hyperplanePath: String = s"$goldenRoot/models/$hyperplaneArtifact.parquet"
+
   /** Oracle SQL selecting the golden matching the runtime corpus, with a
     * deterministic outer ordering. A final sentinel branch (schema
     * borrowed from the first golden, rows impossible) raises a DuckDB
@@ -53,7 +71,9 @@ object GoldenGen {
     * a baffling zero-row hash mismatch instead of a diagnosable failure.
     * The CASE is what defers `error` evaluation to the no-slot case
     * (AND operand order is not guaranteed; CASE branches are). */
-  def oracleSql(name: String, orderBy: String): String = {
+  /** SF-branched `read_parquet` union over `goldenPath(sf, name)` —
+    * shared by the golden-output oracles and the model-artifact CTEs. */
+  private def branchedRead(name: String): String = {
     val branches = sfTags.map { case (tag, nCust) =>
       s"""SELECT * FROM read_parquet('${goldenPath(tag, name)}')
          |WHERE (SELECT count(*) FROM customer) = $nCust""".stripMargin
@@ -64,37 +84,91 @@ object GoldenGen {
          |WHERE CASE WHEN (SELECT count(*) FROM customer) IN ($counts) THEN FALSE
          |      ELSE error(concat('no golden slot for corpus size ',
          |                 (SELECT count(*) FROM customer)::VARCHAR)) END""".stripMargin
-    (branches :+ sentinel)
-      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", s"\n) ORDER BY $orderBy")
+    (branches :+ sentinel).mkString("\nUNION ALL\n")
   }
 
-  /** args: [sfDir] [outDir] [queryName...] — with no names, regenerates
-    * every golden for that SF (name filtering avoids byte-churn on
-    * untouched files). */
+  def oracleSql(name: String, orderBy: String): String =
+    s"SELECT * FROM (\n${branchedRead(name)}\n) ORDER BY $orderBy"
+
+  /** The per-SF model artifact as a subquery usable inside a WITH
+    * clause: `<cte> AS (SELECT * FROM (...branched...))`. */
+  def artifactSql(name: String): String =
+    s"SELECT * FROM (\n${branchedRead(name)}\n)"
+
+  /** The SF-independent hyperplane artifact as a WITH-clause subquery. */
+  def hyperplaneArtifactSql: String =
+    s"SELECT * FROM read_parquet('$hyperplanePath')"
+
+  /** Write `df` as a single parquet FILE at `<outDir>/<sub>/<name>.parquet`
+    * (coalesce to one part, move it over the target atomically-ish). */
+  private def writeSingle(df: org.apache.spark.sql.DataFrame,
+                          outDir: String, sub: String, name: String): Unit = {
+    Files.createDirectories(Paths.get(outDir, sub))
+    val tmp = Paths.get(outDir, sub, s"__tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = scala.util.Using.resource(Files.list(tmp)) { files =>
+      files.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException(s"no parquet part written for $name"))
+    }
+    Files.move(part, Paths.get(outDir, sub, s"$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+    println(s"[golden] wrote $outDir/$sub/$name.parquet")
+  }
+
+  /** The trained-model artifact frame for `name` at this SF — the exact
+    * training calls the t25/t40 queries make, so the committed artifact
+    * and the live query agree as long as training is unchanged (the
+    * GoldenSpec parity tests pin this). */
+  def modelFrame(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                 name: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    name match {
+      case "t25_centroids" =>
+        graft.operators.IvfIndex.train(
+            graft.core.Tables.embeddings(spark, sfDir),
+            "vec_id", "embedding", dims = 64, k = 16, iters = 3)
+          .zipWithIndex.map { case (c, i) => (i, c) }
+          .toDF("cluster", "centroid")
+      case "t40_codebooks" =>
+        graft.operators.PqIndex.train(
+            graft.core.Tables.embeddings(spark, sfDir),
+            "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 3)
+          .zipWithIndex.flatMap { case (cw, j) =>
+            cw.zipWithIndex.map { case (c, code) => (j, code, c) }
+          }
+          .toDF("j", "code", "cw")
+      case "t12_hyperplanes" =>
+        (0 until 4).flatMap(t => (0 until 6).map(b =>
+            (t, b, (0 until 64).map(d => graft.expr.Hyperplanes.sign(t, b, d)))))
+          .toDF("tbl", "bit", "signs")
+      case other =>
+        throw new IllegalArgumentException(s"unknown model artifact $other")
+    }
+  }
+
+  /** args: [sfDir] [outDir] [name...] — with no names, regenerates every
+    * golden AND model artifact for that SF (name filtering avoids
+    * byte-churn on untouched files). */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "/root/repo/golden"
-    val names = if (args.length > 2) args.drop(2).toSeq else goldenQueries
-    require(names.forall(goldenQueries.contains),
+    val all = goldenQueries ++ modelArtifacts :+ hyperplaneArtifact
+    val names = if (args.length > 2) args.drop(2).toSeq else all
+    require(names.forall(all.contains),
       s"unknown golden query in ${names.mkString(",")}")
     val sfTag = Paths.get(sfDir).getFileName.toString
     require(sfTags.exists(_._1 == sfTag), s"no golden slot for $sfTag")
     val spark = graft.core.Sessions.local("graft-golden")
-    Files.createDirectories(Paths.get(outDir, sfTag))
-    names.foreach { name =>
-      val tmp = Paths.get(outDir, sfTag, s"__tmp_$name")
-      SparkEntry.queries(name)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = scala.util.Using.resource(Files.list(tmp)) { files =>
-        files.filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow(() =>
-            new IllegalStateException(s"no parquet part written for $name"))
-      }
-      Files.move(part, Paths.get(outDir, sfTag, s"$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.walk(tmp).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-      println(s"[golden] wrote $outDir/$sfTag/$name.parquet")
+    names.foreach {
+      case name if goldenQueries.contains(name) =>
+        writeSingle(SparkEntry.queries(name)(spark, sfDir), outDir, sfTag, name)
+      case name if modelArtifacts.contains(name) =>
+        writeSingle(modelFrame(spark, sfDir, name), outDir, sfTag, name)
+      case name => // hyperplaneArtifact: SF-independent, lives in models/
+        writeSingle(modelFrame(spark, sfDir, name), outDir, "models", name)
     }
     spark.stop()
   }

@@ -16,28 +16,38 @@ import graft.functions.TextFunctions
   *
   * Scale shape — the naive formulation is a single global window
   * (`sum(tokens) OVER (ORDER BY quality DESC)`), which Spark plans as
-  * ONE partition holding the whole corpus: a scale-killer. This is the
-  * two-phase distributed prefix sum instead, bucketed by the QUALITY
-  * VALUE itself rather than by sampled range boundaries:
+  * ONE partition holding the whole corpus: a scale-killer. This is a
+  * THREE-level distributed prefix sum instead, bucketed by VALUES the
+  * row itself determines (never sampled range boundaries — the range
+  * sampler's seed includes the RDD id, so a totals pass and a final
+  * pass would draw different boundaries and mis-assign offsets):
   *   1. quality is rounded to 4 dp in [0, 1], so there are ≤ 10 001
   *      distinct levels — the per-level token totals are a BOUNDED
-  *      table by construction;
-  *   2. per-level offsets (tokens in all strictly-better levels) come
-  *      from a running-sum window over that level table — global-order
-  *      but level-table-sized, the same bounded-global-window trade the
-  *      mixture operator documents — and broadcast-join back;
-  *   3. each level's running sum is a window PARTITIONED by the level,
-  *      ordered by id — within-level order and cross-level offsets
-  *      compose into the exact global cumulative count.
-  * Everything is ONE action with no driver collect; because the bucket
-  * is the value, the aggregation and the join agree on every row's
-  * bucket by construction — a sampled `repartitionByRange` would draw
-  * DIFFERENT boundaries for a totals pass and a final pass (the range
-  * sampler's seed includes the RDD id), mis-assigning offsets near
-  * boundaries at corpus scale. Skew note: all docs sharing one level
-  * serialize through one window task; if a corpus concentrates in a
-  * single level, sub-split the level by an id range before the window
-  * (not needed for any test corpus).
+  *      table by construction; cross-level offsets come from a
+  *      running-sum window over that table (global-order but
+  *      level-table-sized) and broadcast back;
+  *   2. WITHIN a level, rows are chunked by `id >> chunkBits`
+  *      (arithmetic shift = floor division, monotone in id), so chunk
+  *      order composes with id order and every chunk holds at most
+  *      2^chunkBits rows — a HARD per-task bound even when the whole
+  *      corpus lands on one quality level (the skew case a real
+  *      classifier produces: mass concentrated at a few scores).
+  *      Within-level chunk offsets are a running sum over the
+  *      (level, chunk) totals table — corpus-size / 2^chunkBits rows,
+  *      partitioned by level;
+  *   3. each row's global cumulative = level offset + chunk offset +
+  *      within-chunk running sum (window partitioned by (level, chunk),
+  *      ordered by id — ≤ 2^chunkBits rows per task). The corpus-side
+  *      join and the final window share the (quality, chunk) key, so
+  *      one shuffle serves both.
+  * Everything is ONE action with no driver collect, and every bucket
+  * key is a pure function of row values, so the aggregation and the
+  * join agree on every row's bucket by construction.
+  *
+  * NULL text classifies deterministically as (quality 0.0, 0 tokens) —
+  * lowest quality, zero budget cost — instead of inheriting
+  * `qualityScore`'s null-skipping `least` arithmetic (which would rank
+  * NULL docs at 0.6667, above real low-quality content).
   */
 object Selection {
 
@@ -46,48 +56,80 @@ object Selection {
     * stays within `budget` (inclusive — a document is kept iff the
     * cumulative count INCLUDING it is ≤ budget).
     *
+    * `chunkBits` bounds every within-level window task at 2^chunkBits
+    * rows; the default (2^20 ≈ 1M rows ≈ low-GB of (id, long, double)
+    * state) keeps any single task comfortably in executor memory while
+    * leaving the chunk-totals table ~10^5 rows per 10^11 documents.
+    *
     * Output: (idCol, quality, n_tokens, cum_tokens) for kept docs only.
     */
   def tokenBudget(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      budget: Long = 20000L): DataFrame = {
+      budget: Long = 20000L,
+      chunkBits: Int = 20): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(chunkBits >= 0 && chunkBits < 63,
+      s"chunkBits must be in [0, 63), got $chunkBits")
     val id = col(idCol)
 
+    // NULL text must classify explicitly: qualityScore's `least` SKIPS
+    // nulls (NULL text scores 0.6667, above genuinely-low-quality real
+    // docs), so the null case is branched, not coalesced
+    val text = col(textCol)
     val scored = docs.select(
       id,
-      TextFunctions.qualityScore(col(textCol)).as("quality"),
-      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      when(text.isNull, lit(0.0))
+        .otherwise(TextFunctions.qualityScore(text)).as("quality"),
+      when(text.isNull, lit(0L))
+        .otherwise(TextFunctions.tokenCount(text)).as("n_tokens"))
+      .withColumn("chunk", shiftright(id, chunkBits))
+
+    // (level, chunk) token totals — corpus-size / 2^chunkBits rows; one
+    // partial-aggregate (map-side combined) shuffle
+    val chunkTot = scored
+      .groupBy(col("quality"), col("chunk"))
+      .agg(sum(col("n_tokens")).as("ctot"))
 
     // ≤ 10 001 rows (4-dp quality levels) — bounded by construction;
     // the partition-less offset window runs over THIS table, not the
     // corpus (the Mixture convention for strata-sized normalizers)
-    val levels = scored
-      .groupBy(col("quality")).agg(sum(col("n_tokens")).as("qtot"))
+    val levels = chunkTot.groupBy(col("quality")).agg(sum(col("ctot")).as("qtot"))
     // in-plan fail-fast on the boundedness invariant (still ONE action):
     // if a caller ever feeds unrounded quality, this aborts with a named
-    // error instead of a late single-task window / broadcast OOM
+    // error instead of a late broadcast OOM
     val guard = levels.agg(count(lit(1)).as("n_levels"))
       .select(assert_true(col("n_levels") <= 20002,
         lit("Selection.tokenBudget: quality level table exceeded its rounded-4dp bound")
       ).as("__guard"))
     val offsetW = Window.orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = levels.select(col("quality"),
-      coalesce(sum(col("qtot")).over(offsetW), lit(0L)).as("offset"))
+    val levelOff = levels.select(col("quality"),
+      coalesce(sum(col("qtot")).over(offsetW), lit(0L)).as("level_off"))
       // the filter REFERENCES the assert column so pruning can't elide
       // it (assert_true is null on success, throws on violation)
       .crossJoin(guard).filter(col("__guard").isNull).drop("__guard")
 
-    // join key = the level value both subtrees computed identically
-    // (same rounded arithmetic, same provenance — never a sampled
-    // boundary); broadcast keeps the corpus side shuffle-free
-    val inLevel = Window.partitionBy(col("quality")).orderBy(id.asc)
+    // within-level chunk offsets: running sum over the chunk-totals
+    // table, partitioned by level — the level-skew window now holds one
+    // row per CHUNK, not per document
+    val chunkW = Window.partitionBy(col("quality")).orderBy(col("chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunkTot.select(col("quality"), col("chunk"),
+      coalesce(sum(col("ctot")).over(chunkW), lit(0L)).as("chunk_off"))
+      .join(broadcast(levelOff), "quality")
+      .select(col("quality"), col("chunk"),
+        (col("chunk_off") + col("level_off")).as("offset"))
+
+    // join key = (level, chunk) both subtrees computed identically from
+    // row values; the final window partitions by the same key, so the
+    // join's shuffle is the window's shuffle — and no task sees more
+    // than 2^chunkBits rows
+    val inChunk = Window.partitionBy(col("quality"), col("chunk")).orderBy(id.asc)
     scored
-      .join(broadcast(offsets), "quality")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(inLevel) + col("offset"))
+      .join(offsets, Seq("quality", "chunk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(inChunk) + col("offset"))
       .filter(col("cum_tokens") <= budget)
       .select(id, col("quality"), col("n_tokens"), col("cum_tokens"))
   }

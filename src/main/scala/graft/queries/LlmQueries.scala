@@ -753,11 +753,36 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // golden-parquet oracles (see t07 comment / graft.GoldenGen): seeded
-    // hyperplane LSH is deterministic, so precomputed expected output is
-    // a valid hash-compare target for the driver.
+    // FULL SQL oracle over the committed hyperplane-sign artifact
+    // (golden/models/t12_hyperplanes.parquet, a pure function of
+    // (table, bit, dim) — graft.GoldenGen.modelFrame): DuckDB recomputes
+    // every vector's 6-bit signature per table (bit b set iff the
+    // Rademacher projection is STRICTLY positive, matching
+    // expr.LshBuckets), joins candidates on the query's exact
+    // (tbl, bucket) pairs, and replays cosine top-k — so bucketing,
+    // candidate selection, scoring, and ranking are all independently
+    // verified; nothing engine-generated remains but the ±1 sign matrix.
     sql("t12_ann_lsh_topk")(
-      graft.GoldenGen.oracleSql("t12_ann_lsh_topk", "cosine_sim DESC, vec_id")) { (s, d) =>
+      s"""WITH planes AS (${graft.GoldenGen.hyperplaneArtifactSql}),
+        |b AS (
+        |  SELECT e.vec_id, p.tbl,
+        |    sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.signs) > 0
+        |             THEN (1::BIGINT << p.bit) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e CROSS JOIN planes p
+        |  GROUP BY e.vec_id, p.tbl),
+        |qb AS (SELECT tbl, bucket FROM b WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+        |  WHERE b.vec_id <> 0),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+        |FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        |ORDER BY cosine_sim DESC, e.vec_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
     },
@@ -773,10 +798,49 @@ object LlmQueries {
 
     // IVF ANN — the k-means-centroid scale path next to t12's LSH one.
     // Training is deterministic by construction (lowest-id init, fixed
-    // iterations, rounded means), so the query is golden-oracle-able
-    // like the other hash/LSH detectors (graft.GoldenGen).
+    // iterations, rounded means) and its result is COMMITTED as the
+    // per-SF centroid artifact (golden/<sf>/t25_centroids.parquet);
+    // everything downstream — nearest-centroid assignment (argmax
+    // cosine, FIRST max on ties, zero denominator → 0, matching
+    // expr.CentroidKernel), the query's nprobe=2 probe ranking, cosine
+    // scoring, and top-k — is replayed from it in FULL DuckDB SQL, so
+    // training drift or scoring bugs both surface as hash mismatches.
     sql("t25_ivf_topk")(
-      graft.GoldenGen.oracleSql("t25_ivf_topk", "cosine_sim DESC, vec_id")) { (s, d) =>
+      s"""WITH cents AS (${graft.GoldenGen.artifactSql("t25_centroids")}),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |csim AS (
+        |  SELECT c.cluster,
+        |    CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+        |              * sqrt(list_dot_product(c.centroid, c.centroid)) = 0 THEN 0.0
+        |         ELSE list_dot_product(q.qv, c.centroid)
+        |              / (sqrt(list_dot_product(q.qv, q.qv))
+        |                 * sqrt(list_dot_product(c.centroid, c.centroid))) END AS sim
+        |  FROM cents c, q),
+        |probes AS (
+        |  SELECT cluster FROM (
+        |    SELECT cluster, row_number() OVER (ORDER BY sim DESC, cluster) AS rn
+        |    FROM csim) t
+        |  WHERE rn <= 2),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                  * sqrt(list_dot_product(c.centroid, c.centroid)) = 0 THEN 0.0
+        |             ELSE list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                     * sqrt(list_dot_product(c.centroid, c.centroid))) END DESC,
+        |        c.cluster) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+        |        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |           * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+        |FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+        |WHERE a.cluster IN (SELECT cluster FROM probes) AND e.vec_id <> 0
+        |ORDER BY cosine_sim DESC, e.vec_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
       graft.operators.IvfIndex.scanTopK(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
         kClusters = 16, iters = 3, nprobe = 2)
@@ -785,9 +849,42 @@ object LlmQueries {
     // product-quantization ANN (operators/PqIndex): corpus stored as m=8
     // codeword ids, query scored with 8 table lookups per row
     // (graft_pq_adc in the scan stage), exact re-rank of k·refine
-    // candidates. Deterministic training → golden oracle, like t25.
+    // candidates. Deterministic training → committed per-SF codebook
+    // artifact (golden/<sf>/t40_codebooks.parquet); the oracle replays
+    // ENCODING (per-subspace argmin L2, FIRST min on ties, matching
+    // expr.PqKernel), the query's ADC table, the rounded
+    // approx-distance k·refine=80 candidate cut, and the exact-L2
+    // re-rank — all in FULL DuckDB SQL.
     sql("t40_pq_topk")(
-      graft.GoldenGen.oracleSql("t40_pq_topk", "l2_sq, vec_id")) { (s, d) =>
+      s"""WITH cbs AS (${graft.GoldenGen.artifactSql("t40_codebooks")}),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT e.vec_id, cb.j, cb.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+        |        list_sum(list_transform(range(8), d ->
+        |          (e.embedding[cb.j*8 + d + 1]::DOUBLE - cb.cw[d + 1])^2)),
+        |        cb.code) AS rn
+        |    FROM embeddings e CROSS JOIN cbs cb) t
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT cb.j, cb.code,
+        |    list_sum(list_transform(range(8), d ->
+        |      (q.qv[cb.j*8 + d + 1] - cb.cw[d + 1])^2)) AS dist
+        |  FROM cbs cb, q),
+        |approx AS (
+        |  SELECT en.vec_id, round(sum(a.dist), 4) AS approx_l2sq
+        |  FROM enc en JOIN adc a ON en.j = a.j AND en.code = a.code
+        |  GROUP BY en.vec_id),
+        |cand AS (
+        |  SELECT vec_id, approx_l2sq FROM approx WHERE vec_id <> 0
+        |  ORDER BY approx_l2sq, vec_id LIMIT 80)
+        |SELECT c.vec_id, c.approx_l2sq,
+        |  round(list_sum(list_transform(range(64), d ->
+        |    (e.embedding[d + 1]::DOUBLE - q.qv[d + 1])^2)), 4) AS l2_sq
+        |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+        |ORDER BY l2_sq, c.vec_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
       graft.operators.PqIndex.scanTopK(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
         m = 8, kCodes = 16, iters = 3, refine = 4)

@@ -28,6 +28,65 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  // trained-model artifacts: the committed parquet must equal a LIVE
+  // retraining exactly — this is the training-drift gate now that
+  // t12/t25/t40's scoring is replayed by FULL DuckDB SQL from these
+  // artifacts (a drifted artifact would also surface as a driver hash
+  // mismatch, but this fails earlier and names the cause)
+  GoldenGen.sfTags.foreach { case (sfTag, _) =>
+    GoldenGen.modelArtifacts.foreach { name =>
+      test(s"$name artifact matches live training at $sfTag") {
+        val path = GoldenGen.goldenPath(sfTag, name)
+        assert(new java.io.File(path).isFile, s"missing artifact $path")
+        val live = GoldenGen.modelFrame(spark, s"/root/testdata/$sfTag", name)
+        val expected = spark.read.parquet(path)
+        assert(live.exceptAll(expected).isEmpty &&
+          expected.exceptAll(live).isEmpty,
+          s"$name drifted from $path — retraining changed; regenerate " +
+            "via `runMain graft.GoldenGen` if intentional")
+      }
+    }
+  }
+
+  test("t12 hyperplane artifact matches Hyperplanes.sign exactly") {
+    val path = GoldenGen.hyperplanePath
+    assert(new java.io.File(path).isFile, s"missing artifact $path")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Double]](2).toSeq).toMap
+    assert(got.size == 4 * 6)
+    for (t <- 0 until 4; b <- 0 until 6)
+      assert(got((t, b)) ==
+        (0 until 64).map(d => graft.expr.Hyperplanes.sign(t, b, d)),
+        s"sign row ($t, $b) drifted")
+  }
+
+  test("u11 golden spot-check: statuses recomputed from the fault-injection rules") {
+    // independent of WebhookGate.admit: re-derive the expected status of
+    // a sample of event ids straight from the modulus rules and the
+    // reference's check order (415 → 401 token → 401 sig → 400 parse →
+    // 200), and compare against the committed golden rows
+    def expectedStatus(id: Long): Int =
+      if (id % 11 == 0) 415
+      else if (id % 7 == 0) 401
+      else if (id % 5 == 0) 401
+      else if (id % 3 == 0) 400
+      else 200
+    val golden = spark.read.parquet(GoldenGen.goldenPath("sf0.001", "u11_webhook_gate"))
+      .select("event_id", "status", "admitted").collect()
+    assert(golden.nonEmpty)
+    // cover every branch: the first 3 ids of each modulus class + 200s
+    val byClass = golden.groupBy(r => expectedStatus(r.getLong(0)))
+    assert(byClass.keySet == Set(200, 400, 401, 415), "a branch is unexercised")
+    byClass.values.flatMap(_.take(3)).foreach { r =>
+      val (id, status, admitted) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(status == expectedStatus(id),
+        s"golden status for event $id disagrees with the modulus rules")
+      assert(admitted == (if (status == 200) 1 else 0),
+        s"admitted flag inconsistent for event $id")
+    }
+  }
+
   test("golden oracle SQL selects per-SF goldens by corpus size") {
     GoldenGen.goldenQueries.foreach { name =>
       val sql = SparkEntry.oracleSql.getOrElse(name,

@@ -180,4 +180,44 @@ class SelectionOpsSpec extends SparkSpec {
     val b = Selection.tokenBudget(d.repartition(13), budget = 150L).collect().toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("budget: a single-quality-level corpus splits across chunks, prefix stays exact") {
+    // every doc identical text → ONE quality level: the skew case a real
+    // classifier produces. chunkBits=3 → id chunks of 8, so the level
+    // must fan out across >1 window task while the id-ordered prefix
+    // sum stays exact (chunk order composes with id order).
+    val d = docs((1L to 100L).map(i => (i, "the same boilerplate text repeated here")): _*)
+    val out = Selection.tokenBudget(d, budget = Long.MaxValue / 2, chunkBits = 3)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 100)
+    assert(out.map(_.getDouble(1)).distinct.length === 1, "corpus must be one level")
+    var acc = 0L
+    out.foreach { r =>
+      acc += r.getLong(2)
+      assert(r.getLong(3) === acc, s"prefix sum broken at doc ${r.getLong(0)}")
+    }
+    // the plan's final window partitions by (quality, chunk) — 13 chunk
+    // groups for ids 1..100 at width 8, i.e. no single-task level window
+    val plan = Selection.tokenBudget(d, chunkBits = 3).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("chunk"), "chunk key missing from the executed plan")
+    val nChunks = Selection.tokenBudget(d, budget = Long.MaxValue / 2, chunkBits = 3)
+      .select((col("doc_id") / 8).cast("long")).distinct().count()
+    assert(nChunks > 1)
+  }
+
+  test("budget: NULL-text docs classify as quality 0.0 with 0 tokens, not dropped") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "a real document with several proper words"),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, "another real document with words to count"))
+    val d = spark.createDataFrame(rows, schema)
+    val out = Selection.tokenBudget(d, budget = 1000000L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "NULL-text doc must not vanish")
+    assert(out(2L) === ((0.0, 0L)), "NULL text → lowest quality, zero tokens")
+  }
 }
