@@ -40,7 +40,8 @@ object GoldenGen {
     * only the deterministic TRAINING result is committed, and the
     * oracle SQL recomputes assignment/encoding/probing/ranking from it
     * from first principles). */
-  val modelArtifacts: Seq[String] = Seq("t25_centroids", "t40_codebooks")
+  val modelArtifacts: Seq[String] =
+    Seq("t25_centroids", "t40_codebooks", "t52_merges")
 
   /** The t12 hyperplane sign matrix is a pure function of
     * (table, bit, dim) — corpus-independent, so ONE file serves every
@@ -140,6 +141,15 @@ object GoldenGen {
             cw.zipWithIndex.map { case (c, code) => (j, code, c) }
           }
           .toDF("j", "code", "cw")
+      case "t52_merges" =>
+        graft.operators.BpeTrain.train(
+            graft.core.Tables.documents(spark, sfDir), "text",
+            numMerges = 100, maxVocab = 4096)
+          .zipWithIndex.map { case (m, rank) =>
+            val Array(l, r) = m.split(" ", 2)
+            (rank, l, r)
+          }
+          .toDF("rank", "lhs", "rhs")
       case "t12_hyperplanes" =>
         (0 until 4).flatMap(t => (0 until 6).map(b =>
             (t, b, (0 until 64).map(d => graft.expr.Hyperplanes.sign(t, b, d)))))

@@ -137,6 +137,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_bpe_count expects (text, merges)")
+        BpeCount(children(0), children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_json_strict"),
       new ExpressionInfo(classOf[GraftJsonStrict].getName, "graft_json_strict"),
       (children: Seq[Expression]) => {

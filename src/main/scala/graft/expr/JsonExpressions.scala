@@ -46,6 +46,13 @@ object JsonStrict {
             case START_OBJECT | START_ARRAY => depth += 1
             case END_OBJECT | END_ARRAY => depth -= 1
             case _ =>
+              // json.loads parity for numeric overflow ('1e999' accepted)
+              // leans on Jackson's LAZY number decoding: isNaN() is false
+              // for a textual numeral whose double value was never
+              // materialized, so only explicit NaN/Infinity literals
+              // reach the PyNonFinite spelling check. A Jackson upgrade
+              // that eagerly materializes doubles would flip '1e999' to
+              // rejected — WebhookGateSpec's truth table pins the case.
               if (p.isNaN && !PyNonFinite.contains(p.getText)) return false
           }
           if (depth > 0) {

@@ -61,6 +61,11 @@ object Selection {
     * state) keeps any single task comfortably in executor memory while
     * leaving the chunk-totals table ~10^5 rows per 10^11 documents.
     *
+    * `tokensOf` is the budget's unit: the default whitespace count is
+    * the cheap scan-stage estimate; pass a learned-tokenizer counter
+    * (e.g. `graft_bpe_count` with a [[BpeTrain]] merges literal) to
+    * budget in the tokens the training run will actually consume.
+    *
     * Output: (idCol, quality, n_tokens, cum_tokens) for kept docs only.
     */
   def tokenBudget(
@@ -68,7 +73,9 @@ object Selection {
       idCol: String = "doc_id",
       textCol: String = "text",
       budget: Long = 20000L,
-      chunkBits: Int = 20): DataFrame = {
+      chunkBits: Int = 20,
+      tokensOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextFunctions.tokenCount): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(chunkBits >= 0 && chunkBits < 63,
       s"chunkBits must be in [0, 63), got $chunkBits")
@@ -83,7 +90,7 @@ object Selection {
       when(text.isNull, lit(0.0))
         .otherwise(TextFunctions.qualityScore(text)).as("quality"),
       when(text.isNull, lit(0L))
-        .otherwise(TextFunctions.tokenCount(text)).as("n_tokens"))
+        .otherwise(tokensOf(text).cast("long")).as("n_tokens"))
       .withColumn("chunk", shiftright(id, chunkBits))
 
     // (level, chunk) token totals — corpus-size / 2^chunkBits rows; one

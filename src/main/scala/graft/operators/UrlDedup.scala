@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-exact dedup — the standard crawl-curation
+  * PRE-pass every large-scale pipeline runs before content dedup (the
+  * reference's data plane has no URLs — F9 gates their shape only — so
+  * this is extension surface, like the rest of the LLM-pipeline
+  * family).
+  *
+  * Canonicalization rules (RFC 3986 normalization plus the tracking
+  * strip; each mirrored verbatim by the t53 oracle SQL and pinned by
+  * the UrlDedupSpec truth table):
+  *   1. scheme and host lowercase;
+  *   2. default port stripped (:80 for http, :443 for https; other
+  *      ports kept, compared numerically);
+  *   3. fragment dropped;
+  *   4. `utm_*` query parameters removed (case-sensitive prefix, the
+  *      conventional spelling); an emptied query drops its '?'; other
+  *      parameters keep their original order;
+  *   5. trailing '/' runs stripped from the path; an empty path
+  *      becomes '/'.
+  *
+  * Everything is built from codegen'd string/regex/array built-ins — no
+  * UDF — so canonicalization runs in the scan stage with zero shuffle.
+  * [[resolve]] then shuffles (id, canon_url) ONCE on the canonical key
+  * for the min-id group aggregate, and the join back reuses that same
+  * key — the t06 exact-dedup contract applied to URLs. */
+object UrlDedup {
+
+  private val SchemeHostRe = "^(?i)(https?)://([^/:?#]+)"
+
+  /** The canonical form of an http(s) URL per the rules above. A value
+    * that does not parse as http(s)://host... canonicalizes to itself
+    * lowercased-scheme-free, i.e. garbage stays unique — a dedup pass
+    * must never CONFLATE unparseable keys. */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, SchemeHostRe, 1))
+    val host = lower(regexp_extract(url, SchemeHostRe, 2))
+    val port = regexp_extract(url, "^(?i)https?://[^/:?#]+:(\\d+)", 1)
+    val rawPath = regexp_extract(url, "^(?i)https?://[^/?#]+([^?#]*)", 1)
+    val rawQuery = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
+
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port.cast("int") === 80) &&
+      !(scheme === "https" && port.cast("int") === 443)
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise("")
+
+    val trimmedPath = regexp_replace(rawPath, "/+$", "")
+    val pathPart = when(trimmedPath === "", "/").otherwise(trimmedPath)
+
+    val params = filter(split(rawQuery, "&"),
+      p => length(p) > 0 && !p.startsWith("utm_"))
+    val cleanQuery = array_join(params, "&")
+    val queryPart = when(cleanQuery === "", "")
+      .otherwise(concat(lit("?"), cleanQuery))
+
+    when(scheme === "", url) // unparseable: identity, never conflated
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
+  /** Per-row canonical URL and its group's minimum id: (idCol,
+    * canon_url, keep_id). "Keep one page per canonical URL" is then the
+    * `idCol = keep_id` filter, exactly the t06 exact-dedup shape. */
+  def resolve(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = df.select(col(idCol), canonicalize(col(urlCol)).as("canon_url"))
+    val keep = canon.groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"))
+    // join key = the aggregation key: one shuffle partitioning serves both
+    canon.join(keep, Seq("canon_url"))
+      .select(col(idCol), col("canon_url"), col("keep_id"))
+  }
+}

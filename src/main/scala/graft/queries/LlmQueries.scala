@@ -1875,6 +1875,138 @@ object LlmQueries {
         |ORDER BY quality DESC, doc_id""") { (s, d) =>
       graft.operators.Selection.tokenBudget(Tables.documents(s, d))
         .orderBy(col("quality").desc, col("doc_id"))
+    },
+
+    // BPE subword fertility — the token-accurate upgrade over t41's
+    // character-class regex estimate: tokens per word under a LEARNED
+    // merge table (operators/BpeTrain, deterministic training; committed
+    // per-SF artifact golden/<sf>/t52_merges.parquet). The engine counts
+    // in the scan stage via the codegen'd graft_bpe_count expression
+    // (zero shuffle — the merges ride as a plan literal); the oracle
+    // replays SEGMENTATION from the artifact with a recursive CTE over
+    // the corpus's DISTINCT words (fuse the lowest-rank pair's leftmost
+    // occurrence until none applies — exactly expr.BpeKernel), then
+    // joins counts back per document. Training drift and kernel bugs
+    // both surface as hash mismatches.
+    sql("t52_bpe_fertility")(
+      s"""WITH RECURSIVE merges AS (${graft.GoldenGen.artifactSql("t52_merges")}),
+        |mk AS (SELECT list(lhs || ' ' || rhs ORDER BY rank) AS keys FROM merges),
+        |words AS (
+        |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bpe AS (
+        |  SELECT w, list_transform(range(length(w)), i -> w[i+1]) AS syms
+        |  FROM words WHERE w <> ''
+        |  UNION ALL
+        |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+        |  FROM (
+        |    SELECT w, syms,
+        |      list_position(ranks, list_min(list_filter(ranks, r -> r IS NOT NULL))) AS bi
+        |    FROM (
+        |      SELECT w, syms,
+        |        list_transform(range(len(syms)-1), i ->
+        |          nullif(list_position(mk.keys, syms[i+1] || ' ' || syms[i+2]), 0)) AS ranks
+        |      FROM bpe, mk) a) b
+        |  WHERE bi IS NOT NULL AND bi > 0),
+        |wcount AS (SELECT w, min(len(syms))::BIGINT AS n FROM bpe GROUP BY w),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |per_doc AS (
+        |  SELECT dw.doc_id, sum(wc.n)::BIGINT AS n_bpe
+        |  FROM dw JOIN wcount wc ON dw.w = wc.w GROUP BY dw.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |       ELSE cast(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+        |  END AS n_tokens,
+        |  coalesce(p.n_bpe, 0)::BIGINT AS n_bpe,
+        |  CASE WHEN (CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(d.text), '\\s+')) END) = 0 THEN 0.0
+        |       ELSE round(coalesce(p.n_bpe, 0)
+        |              / (CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |                 ELSE len(string_split_regex(trim(d.text), '\\s+')) END)::DOUBLE, 4)
+        |  END AS bpe_fertility
+        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.BpeTrain.train(docs, "text",
+        numMerges = 100, maxVocab = 4096)
+      docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          call_function("graft_bpe_count", col("text"), typedLit(merges))
+            .as("n_bpe"))
+        .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(round(col("n_bpe") / col("n_tokens"), 4))
+            .as("bpe_fertility"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization + URL-exact dedup (operators/UrlDedup) — the
+    // crawl-curation pre-pass before content dedup. URL fixture derived
+    // from doc_id by modulus fault-injection (the u11 convention) so
+    // every rule fires: scheme/host case (%2/%3), default :443 (%5),
+    // fragment (%7), utm strip (%11) vs kept params (%13), trailing
+    // slash (%17); host/path keys repeat mod 50/20, so canonical
+    // collisions form real multi-document groups. FULL SQL oracle
+    // mirrors fixture + every canonicalization rule + keep-min.
+    sql("t53_url_dedup")(
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        |     CASE WHEN doc_id % 3 = 0 THEN upper('example-' || (doc_id % 50)::VARCHAR || '.com')
+        |          ELSE 'example-' || (doc_id % 50)::VARCHAR || '.com' END ||
+        |     CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |     '/p/' || (doc_id % 20)::VARCHAR ||
+        |     CASE WHEN doc_id % 17 = 0 THEN '/' ELSE '' END ||
+        |     CASE WHEN doc_id % 11 = 0 THEN '?utm_source=feed&utm_campaign=w'
+        |          WHEN doc_id % 13 = 0 THEN '?page=' || (doc_id % 4)::VARCHAR
+        |          ELSE '' END ||
+        |     CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = '' THEN url
+        |    ELSE
+        |      lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) || '://' ||
+        |      lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 2)) ||
+        |      CASE WHEN regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) <> ''
+        |                AND NOT (lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = 'http'
+        |                         AND try_cast(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) AS INT) = 80)
+        |                AND NOT (lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = 'https'
+        |                         AND try_cast(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) AS INT) = 443)
+        |           THEN ':' || regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) ELSE '' END ||
+        |      CASE WHEN regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$', '') = ''
+        |           THEN '/'
+        |           ELSE regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$', '') END ||
+        |      CASE WHEN coalesce(array_to_string(list_filter(
+        |                   string_split(regexp_extract(url, '^[^?#]*\?([^#]*)', 1), '&'),
+        |                   p -> len(p) > 0 AND NOT starts_with(p, 'utm_')), '&'), '') = ''
+        |           THEN ''
+        |           ELSE '?' || array_to_string(list_filter(
+        |                   string_split(regexp_extract(url, '^[^?#]*\?([^#]*)', 1), '&'),
+        |                   p -> len(p) > 0 AND NOT starts_with(p, 'utm_')), '&') END
+        |    END AS canon_url
+        |  FROM urls)
+        |SELECT doc_id, canon_url,
+        |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id
+        |FROM canon
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val hostBase = concat(lit("example-"), id % 50, lit(".com"))
+      val url = concat(
+        when(id % 2 === 0, "HTTPS://").otherwise("https://"),
+        when(id % 3 === 0, upper(hostBase)).otherwise(hostBase),
+        when(id % 5 === 0, ":443").otherwise(""),
+        lit("/p/"), id % 20,
+        when(id % 17 === 0, "/").otherwise(""),
+        when(id % 11 === 0, "?utm_source=feed&utm_campaign=w")
+          .otherwise(when(id % 13 === 0, concat(lit("?page="), id % 4))
+            .otherwise("")),
+        when(id % 7 === 0, "#frag").otherwise(""))
+      graft.operators.UrlDedup.resolve(
+          Tables.documents(s, d).select(id, url.as("url")), "doc_id", "url")
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -37,10 +37,14 @@ def main(sf_dir: str, out_dir: str, skip: str = "") -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     skipped = {s for s in skip.split(",") if s}
-    ok = bad = 0
+    for miss in sorted(skipped - oracle.keys()):
+        print(f"WARN skip entry '{miss}' matches no oracle query "
+              "(typo or stale name after a rename?)")
+    ok = bad = n_skipped = 0
     for name, sql in sorted(oracle.items()):
         if name in skipped:
             print(f"skip {name}")
+            n_skipped += 1
             continue
         try:
             expect = canon(con.execute(sql).df())
@@ -70,7 +74,8 @@ def main(sf_dir: str, out_dir: str, skip: str = "") -> None:
             continue
         ok += 1
         print(f"ok   {name} ({len(got)} rows)")
-    print(f"\n{ok} ok, {bad} failed")
+    tail = f", {n_skipped} skipped" if n_skipped else ""
+    print(f"\n{ok} ok, {bad} failed{tail}")
     sys.exit(1 if bad else 0)
 
 
