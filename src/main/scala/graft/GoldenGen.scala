@@ -48,6 +48,20 @@ object GoldenGen {
     * SF. */
   val hyperplaneArtifact: String = "t12_hyperplanes"
 
+  /** SINGLE source of truth for the model hyperparameters shared by
+    * the artifact generators ([[modelFrame]]) and the t12/t25/t40/t52
+    * query definitions. Duplicating these would let a query-side change
+    * leave the GoldenSpec artifact-parity gate green (it compares the
+    * artifact against modelFrame's own stale values) and surface only
+    * as an unexplained driver hash mismatch. */
+  object ModelParams {
+    val Dims = 64
+    val IvfClusters = 16; val IvfIters = 3; val IvfProbe = 2
+    val PqM = 8; val PqCodes = 16; val PqIters = 3; val PqRefine = 4
+    val LshBits = 6; val LshTables = 4
+    val BpeMerges = 100; val BpeVocab = 4096
+  }
+
   /** The verify SFs goldens exist for, with the `customer` row count the
     * oracle SQL keys on. */
   val sfTags: Seq[(String, Long)] = Seq(
@@ -126,17 +140,20 @@ object GoldenGen {
   def modelFrame(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                  name: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    import ModelParams._
     name match {
       case "t25_centroids" =>
         graft.operators.IvfIndex.train(
             graft.core.Tables.embeddings(spark, sfDir),
-            "vec_id", "embedding", dims = 64, k = 16, iters = 3)
+            "vec_id", "embedding", dims = Dims, k = IvfClusters,
+            iters = IvfIters)
           .zipWithIndex.map { case (c, i) => (i, c) }
           .toDF("cluster", "centroid")
       case "t40_codebooks" =>
         graft.operators.PqIndex.train(
             graft.core.Tables.embeddings(spark, sfDir),
-            "vec_id", "embedding", dims = 64, m = 8, k = 16, iters = 3)
+            "vec_id", "embedding", dims = Dims, m = PqM, k = PqCodes,
+            iters = PqIters)
           .zipWithIndex.flatMap { case (cw, j) =>
             cw.zipWithIndex.map { case (c, code) => (j, code, c) }
           }
@@ -144,15 +161,15 @@ object GoldenGen {
       case "t52_merges" =>
         graft.operators.BpeTrain.train(
             graft.core.Tables.documents(spark, sfDir), "text",
-            numMerges = 100, maxVocab = 4096)
+            numMerges = BpeMerges, maxVocab = BpeVocab)
           .zipWithIndex.map { case (m, rank) =>
             val Array(l, r) = m.split(" ", 2)
             (rank, l, r)
           }
           .toDF("rank", "lhs", "rhs")
       case "t12_hyperplanes" =>
-        (0 until 4).flatMap(t => (0 until 6).map(b =>
-            (t, b, (0 until 64).map(d => graft.expr.Hyperplanes.sign(t, b, d)))))
+        (0 until LshTables).flatMap(t => (0 until LshBits).map(b =>
+            (t, b, (0 until Dims).map(d => graft.expr.Hyperplanes.sign(t, b, d)))))
           .toDF("tbl", "bit", "signs")
       case other =>
         throw new IllegalArgumentException(s"unknown model artifact $other")

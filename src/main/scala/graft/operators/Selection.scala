@@ -91,7 +91,12 @@ object Selection {
         .otherwise(TextFunctions.qualityScore(text)).as("quality"),
       when(text.isNull, lit(0L))
         .otherwise(tokensOf(text).cast("long")).as("n_tokens"))
-      .withColumn("chunk", shiftright(id, chunkBits))
+      // ids must be integral (shiftright is the chunk key); a NULL id
+      // must not vanish in the (quality, chunk) join — it chunks below
+      // every real id and sorts first in the window (asc = nulls first),
+      // consistent with the ordering the cumulative sum uses
+      .withColumn("chunk",
+        coalesce(shiftright(id, chunkBits), lit(Long.MinValue)))
 
     // (level, chunk) token totals — corpus-size / 2^chunkBits rows; one
     // partial-aggregate (map-side combined) shuffle

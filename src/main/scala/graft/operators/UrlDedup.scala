@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * strip; each mirrored verbatim by the t53 oracle SQL and pinned by
   * the UrlDedupSpec truth table):
   *   1. scheme and host lowercase;
-  *   2. default port stripped (:80 for http, :443 for https; other
-  *      ports kept, compared numerically);
+  *   2. default port stripped (:80 for http, :443 for https; the
+  *      comparison is on the zero-stripped digit string, so ':0080'
+  *      drops too and overflowing ports never mis-classify; other
+  *      ports are kept verbatim);
   *   3. fragment dropped;
   *   4. `utm_*` query parameters removed (case-sensitive prefix, the
   *      conventional spelling); an emptied query drops its '?'; other
@@ -31,9 +33,18 @@ object UrlDedup {
 
   private val SchemeHostRe = "^(?i)(https?)://([^/:?#]+)"
 
+  /** Strict whole-URL shape: scheme://host, optional :digits port,
+    * optional /path (no '?'/'#' inside), optional ?query (no '#'),
+    * optional #fragment — and NOTHING else. A URL failing this (e.g. a
+    * non-numeric port 'http://a.com:abc/x') must canonicalize to
+    * ITSELF, never to a cleaned-up lookalike: silently dropping the
+    * malformed port would CONFLATE it with 'http://a.com/x'. */
+  private val StrictUrlRe =
+    "^(?i)https?://[^/:?#]+(:[0-9]+)?(/[^?#]*)?(\\?[^#]*)?(#.*)?$"
+
   /** The canonical form of an http(s) URL per the rules above. A value
-    * that does not parse as http(s)://host... canonicalizes to itself
-    * lowercased-scheme-free, i.e. garbage stays unique — a dedup pass
+    * that does not FULLY parse as http(s)://host[:port][/path][?q][#f]
+    * canonicalizes to itself, i.e. garbage stays unique — a dedup pass
     * must never CONFLATE unparseable keys. */
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, SchemeHostRe, 1))
@@ -42,9 +53,13 @@ object UrlDedup {
     val rawPath = regexp_extract(url, "^(?i)https?://[^/?#]+([^?#]*)", 1)
     val rawQuery = regexp_extract(url, "^[^?#]*\\?([^#]*)", 1)
 
+    // default-port compare on the zero-stripped DIGIT STRING — an
+    // int cast would null out on overflow (':99999999999') and send the
+    // port down the drop branch, another conflation channel
+    val portNorm = regexp_replace(port, "^0+", "")
     val keepPort = port =!= "" &&
-      !(scheme === "http" && port.cast("int") === 80) &&
-      !(scheme === "https" && port.cast("int") === 443)
+      !(scheme === "http" && portNorm === "80") &&
+      !(scheme === "https" && portNorm === "443")
     val portPart = when(keepPort, concat(lit(":"), port)).otherwise("")
 
     val trimmedPath = regexp_replace(rawPath, "/+$", "")
@@ -56,7 +71,7 @@ object UrlDedup {
     val queryPart = when(cleanQuery === "", "")
       .otherwise(concat(lit("?"), cleanQuery))
 
-    when(scheme === "", url) // unparseable: identity, never conflated
+    when(!url.rlike(StrictUrlRe), url) // unparseable: identity, never conflated
       .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
   }
 

@@ -783,8 +783,9 @@ object LlmQueries {
         |FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
         |ORDER BY cosine_sim DESC, e.vec_id
         |LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.GoldenGen.ModelParams._
       Similarity.annTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        dims = 64, queryId = 0L, k = 20, bits = 6, tables = 4)
+        dims = Dims, queryId = 0L, k = 20, bits = LshBits, tables = LshTables)
     },
 
     sql("t13_embedding_neardup")(
@@ -841,9 +842,10 @@ object LlmQueries {
         |WHERE a.cluster IN (SELECT cluster FROM probes) AND e.vec_id <> 0
         |ORDER BY cosine_sim DESC, e.vec_id
         |LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.GoldenGen.ModelParams._
       graft.operators.IvfIndex.scanTopK(Tables.embeddings(s, d),
-        "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
-        kClusters = 16, iters = 3, nprobe = 2)
+        "vec_id", "embedding", dims = Dims, queryId = 0L, k = 20,
+        kClusters = IvfClusters, iters = IvfIters, nprobe = IvfProbe)
     },
 
     // product-quantization ANN (operators/PqIndex): corpus stored as m=8
@@ -885,9 +887,10 @@ object LlmQueries {
         |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
         |ORDER BY l2_sq, c.vec_id
         |LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.GoldenGen.ModelParams._
       graft.operators.PqIndex.scanTopK(Tables.embeddings(s, d),
-        "vec_id", "embedding", dims = 64, queryId = 0L, k = 20,
-        m = 8, kCodes = 16, iters = 3, refine = 4)
+        "vec_id", "embedding", dims = Dims, queryId = 0L, k = 20,
+        m = PqM, kCodes = PqCodes, iters = PqIters, refine = PqRefine)
     },
 
     // substring-containment dedup (exact-inclusion stage): planted
@@ -1930,10 +1933,15 @@ object LlmQueries {
         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val merges = graft.operators.BpeTrain.train(docs, "text",
-        numMerges = 100, maxVocab = 4096)
+        numMerges = graft.GoldenGen.ModelParams.BpeMerges,
+        maxVocab = graft.GoldenGen.ModelParams.BpeVocab)
+      // NULL text counts as 0 tokens on BOTH sides (the oracle's
+      // coalesce(n_bpe, 0)); without this the null-safe expression
+      // would emit NULL and silently diverge on a corpus with null rows
+      val text = coalesce(col("text"), lit(""))
       docs.select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          call_function("graft_bpe_count", col("text"), typedLit(merges))
+          TextFunctions.tokenCount(text).as("n_tokens"),
+          call_function("graft_bpe_count", text, typedLit(merges))
             .as("n_bpe"))
         .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
           when(col("n_tokens") === 0, 0.0)
@@ -1966,15 +1974,15 @@ object LlmQueries {
         |  FROM documents),
         |canon AS (
         |  SELECT doc_id,
-        |    CASE WHEN lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = '' THEN url
+        |    CASE WHEN NOT regexp_matches(url, '^(?i)https?://[^/:?#]+(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?(#.*)?$') THEN url
         |    ELSE
         |      lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) || '://' ||
         |      lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 2)) ||
         |      CASE WHEN regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) <> ''
         |                AND NOT (lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = 'http'
-        |                         AND try_cast(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) AS INT) = 80)
+        |                         AND regexp_replace(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1), '^0+', '') = '80')
         |                AND NOT (lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = 'https'
-        |                         AND try_cast(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) AS INT) = 443)
+        |                         AND regexp_replace(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1), '^0+', '') = '443')
         |           THEN ':' || regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) ELSE '' END ||
         |      CASE WHEN regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$', '') = ''
         |           THEN '/'

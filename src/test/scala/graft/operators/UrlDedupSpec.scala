@@ -33,7 +33,13 @@ class UrlDedupSpec extends SparkSpec {
       // combined: host case + kept param + stripped utm + fragment
       "https://EX.com/p?page=2&utm_x=1#z" -> "https://ex.com/p?page=2",
       // utm_ must be a PREFIX match on the parameter, not a substring
-      "https://example.com/p?xutm_a=1" -> "https://example.com/p?xutm_a=1")
+      "https://example.com/p?xutm_a=1" -> "https://example.com/p?xutm_a=1",
+      // malformed port: identity — MUST NOT conflate with http://a.com/x
+      "http://a.com:abc/x" -> "http://a.com:abc/x",
+      // int-overflowing port is a real distinct port: kept verbatim
+      "http://a.com:99999999999/x" -> "http://a.com:99999999999/x",
+      // zero-padded default port still recognized as default
+      "http://a.com:0080/x" -> "http://a.com/x")
     canon(vectors.map(_._1): _*).zip(vectors).foreach {
       case (got, (in, want)) => assert(got == want, s"canon($in)")
     }
