@@ -22,10 +22,9 @@ import graft.functions.TextFunctions
   * sampler's seed includes the RDD id, so a totals pass and a final
   * pass would draw different boundaries and mis-assign offsets):
   *   1. quality is rounded to 4 dp in [0, 1], so there are ≤ 10 001
-  *      distinct levels — the per-level token totals are a BOUNDED
-  *      table by construction; cross-level offsets come from a
-  *      running-sum window over that table (global-order but
-  *      level-table-sized) and broadcast back;
+  *      distinct levels — cross-level offsets come from a global
+  *      running-sum window that is partition-less but runs over the
+  *      BOUNDED (level, chunk) totals table, never the corpus;
   *   2. WITHIN a level, rows are chunked by `id >> chunkBits`
   *      (arithmetic shift = floor division, monotone in id), so chunk
   *      order composes with id order and every chunk holds at most
@@ -104,35 +103,34 @@ object Selection {
       .groupBy(col("quality"), col("chunk"))
       .agg(sum(col("n_tokens")).as("ctot"))
 
-    // ≤ 10 001 rows (4-dp quality levels) — bounded by construction;
-    // the partition-less offset window runs over THIS table, not the
-    // corpus (the Mixture convention for strata-sized normalizers)
-    val levels = chunkTot.groupBy(col("quality")).agg(sum(col("ctot")).as("qtot"))
-    // in-plan fail-fast on the boundedness invariant (still ONE action):
-    // if a caller ever feeds unrounded quality, this aborts with a named
-    // error instead of a late broadcast OOM
-    val guard = levels.agg(count(lit(1)).as("n_levels"))
-      .select(assert_true(col("n_levels") <= 20002,
-        lit("Selection.tokenBudget: quality level table exceeded its rounded-4dp bound")
-      ).as("__guard"))
-    val offsetW = Window.orderBy(col("quality").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val levelOff = levels.select(col("quality"),
-      coalesce(sum(col("qtot")).over(offsetW), lit(0L)).as("level_off"))
-      // the filter REFERENCES the assert column so pruning can't elide
-      // it (assert_true is null on success, throws on violation)
-      .crossJoin(guard).filter(col("__guard").isNull).drop("__guard")
-
-    // within-level chunk offsets: running sum over the chunk-totals
-    // table, partitioned by level — the level-skew window now holds one
-    // row per CHUNK, not per document
+    // EVERY offset term as a window over this ONE bounded table, so the
+    // corpus is scanned once for the totals and once for the final pass
+    // (a split levels/chunk-offsets formulation re-derived the corpus
+    // subtree per consumer — measured 4 parquet scans, none reused):
+    //   - chunk_off: tokens in earlier chunks of the same level;
+    //   - level_off: tokens in strictly better levels = (global running
+    //     sum ordered by quality DESC, RANGE frame so all of the
+    //     current level's chunks ride along as peers) minus the current
+    //     level's total. The partition-less windows run over the CHUNK
+    //     table (corpus/2^chunkBits rows), not the corpus;
+    //   - the boundedness guard is dense_rank on the same global
+    //     ordering: any level index past the rounded-4dp bound aborts
+    //     with a named error instead of a late broadcast OOM (the
+    //     filter REFERENCES the assert column so pruning can't elide
+    //     it; assert_true is null on success, throws on violation).
     val chunkW = Window.partitionBy(col("quality")).orderBy(col("chunk").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
+    val levelTotW = Window.partitionBy(col("quality"))
+    val globalW = Window.orderBy(col("quality").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = chunkTot.select(col("quality"), col("chunk"),
-      coalesce(sum(col("ctot")).over(chunkW), lit(0L)).as("chunk_off"))
-      .join(broadcast(levelOff), "quality")
-      .select(col("quality"), col("chunk"),
-        (col("chunk_off") + col("level_off")).as("offset"))
+        (coalesce(sum(col("ctot")).over(chunkW), lit(0L))
+          + sum(col("ctot")).over(globalW)
+          - sum(col("ctot")).over(levelTotW)).as("offset"),
+        assert_true(dense_rank().over(Window.orderBy(col("quality").desc)) <= 20002,
+          lit("Selection.tokenBudget: quality level table exceeded its rounded-4dp bound")
+        ).as("__guard"))
+      .filter(col("__guard").isNull).drop("__guard")
 
     // join key = (level, chunk) both subtrees computed identically from
     // row values; the final window partitions by the same key, so the
