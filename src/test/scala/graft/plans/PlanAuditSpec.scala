@@ -209,31 +209,34 @@ class PlanAuditSpec extends SparkSpec {
       "window counts must combine map-side")
   }
 
-  test("t44 token budget: the CORPUS window is level-partitioned; only the bounded level table runs partition-less") {
+  test("t44 token budget: the CORPUS window is (level, chunk)-partitioned; partition-less windows touch only the chunk-totals table") {
     val plan = executedPlan(namedQuery("t44_token_budget"))
-    // a physical Window node prints `Window [exprs], [partitionSpec],
-    // [orderSpec]` when partitioned and `Window [exprs], [orderSpec]`
-    // when global — the bracket-group count distinguishes them (the
-    // windowspecdefinition STRING cannot: order keys match too)
     val winLines = plan.linesIterator.map(_.trim)
       .filter(_.contains("Window [")).toSeq
-    def bracketGroups(l: String): Seq[String] =
-      l.substring(l.indexOf("Window [") + 7).split("\\], \\[").toSeq
     assert(winLines.nonEmpty, "expected the running-sum windows")
-    val (partitioned, global) = winLines.partition(bracketGroups(_).length >= 3)
     // the corpus-side cumulative sum (over n_tokens) MUST be partitioned
-    // by the quality level
-    assert(partitioned.exists(l =>
-        bracketGroups(l).head.contains("n_tokens") &&
-          bracketGroups(l)(1).contains("quality")),
-      s"corpus running sum must partition by quality level:\n${winLines.mkString("\n")}")
-    // any partition-less window may only aggregate the LEVEL table
-    // (qtot), never corpus columns — a global corpus sort is the
-    // scale-killer this pin exists to catch
-    assert(global.forall(_.contains("qtot")),
-      s"partition-less window over corpus columns:\n${global.mkString("\n")}")
+    // by (quality level, id chunk) — the hard per-task row bound
+    val corpusWins = winLines.filter(_.contains("n_tokens"))
+    assert(corpusWins.nonEmpty, "expected the corpus running-sum window")
+    corpusWins.foreach { l =>
+      assert(l.contains("quality") && l.contains("chunk"),
+        s"corpus running sum must partition by (quality, chunk): $l")
+    }
+    // every other window (level/global offsets, the dense_rank guard)
+    // may only aggregate the bounded chunk-totals table (ctot) — a
+    // global corpus sort is the scale-killer this pin exists to catch
+    winLines.filterNot(corpusWins.contains).foreach { l =>
+      assert(l.contains("ctot#") || l.contains("dense_rank"),
+        s"window over unexpected columns (corpus leak?): $l")
+      assert(!l.contains("n_tokens") && !l.contains("text"),
+        s"partition-less window over corpus columns: $l")
+    }
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      "level offsets must broadcast")
+      "chunk offsets must broadcast at this scale")
+    // two corpus scans only: the totals pass and the final pass (the
+    // split-subtree formulation measured FOUR un-reused parquet scans)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected <= 2 corpus scans, plan holds $scans")
   }
 
   test("t45 ccnet buckets: rank window partitions by language") {
