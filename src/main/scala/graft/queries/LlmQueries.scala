@@ -17,13 +17,24 @@ import QueryDef.sql
   */
 object LlmQueries {
 
+  /** Materialize a projection that the downstream operator references
+    * MANY times (blocking, length prefilter, verify joins, …): a lazy
+    * local checkpoint turns N parquet re-scans of the corpus into one
+    * scan plus N block reads — the t23 `curate()` pattern applied at
+    * the query layer (measured: t26 executed 12 un-reused FileScans,
+    * t09 ten, before this). Blocks are session-scoped (MEMORY_AND_DISK,
+    * spill not drop); a production pipeline materializes its survivors
+    * explicitly and releases them, as `CurationPipeline` documents. */
+  private def shared(df: org.apache.spark.sql.DataFrame) =
+    df.localCheckpoint(eager = false)
+
   /** Corpus with planted near-duplicates: every document unioned with a
     * copy (id + 1,000,000) that has one token appended — guarantees the
     * near-dup detectors have real positives to find at any SF. */
   private def plantedCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" graftdup")).as("text")))
+    shared(docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" graftdup")).as("text"))))
   }
 
   /** Embedding corpus with planted near-duplicates: every vector unioned
@@ -32,9 +43,9 @@ object LlmQueries {
     * positives at any SF (mirrors plantedCorpus for text). */
   private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) = {
     val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
+    shared(embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"),
-        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
+        (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding"))))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -945,9 +956,9 @@ object LlmQueries {
         |SELECT contained_id, container_id FROM pairs
         |ORDER BY contained_id, container_id""") { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val corpus = docs.unionAll(docs.select(
+      val corpus = shared(docs.unionAll(docs.select(
         (col("doc_id") + 2000000L).as("doc_id"),
-        concat(lit("pre "), col("text"), lit(" post")).as("text")))
+        concat(lit("pre "), col("text"), lit(" post")).as("text"))))
       Dedup.containmentPairs(corpus, "text", "doc_id")
         .orderBy(col("contained_id"), col("container_id"))
     },
@@ -1602,7 +1613,9 @@ object LlmQueries {
         |FROM ranked
         |ORDER BY doc_id""") { (s, d) =>
       graft.operators.LmScore.perplexityBuckets(
-          Tables.documents(s, d), "text", "doc_id", "lang")
+          shared(Tables.documents(s, d).select(
+            col("doc_id"), col("text"), col("lang"))),
+          "text", "doc_id", "lang")
         .orderBy(col("doc_id"))
     },
 
@@ -1646,7 +1659,8 @@ object LlmQueries {
         |LEFT JOIN nrem n USING (doc_id)
         |LEFT JOIN kept k USING (doc_id)
         |ORDER BY d.doc_id""") { (s, d) =>
-      graft.operators.SpanDedup.removeDuplicateSpans(Tables.documents(s, d))
+      graft.operators.SpanDedup.removeDuplicateSpans(
+          shared(Tables.documents(s, d).select(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))
     },
 
@@ -1784,7 +1798,8 @@ object LlmQueries {
         |QUALIFY rerank <= 10
         |ORDER BY rerank""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val cands = graft.operators.Ranking.bm25(Tables.documents(s, d),
+      val cands = graft.operators.Ranking.bm25(
+          shared(Tables.documents(s, d).select(col("doc_id"), col("text"))),
           idCol = "doc_id", textCol = "text",
           queryTerms = Seq("spark", "join", "window"), topK = 50)
         .select(col("doc_id"), col("score").as("bm25_score"),
