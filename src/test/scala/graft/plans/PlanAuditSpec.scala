@@ -211,28 +211,43 @@ class PlanAuditSpec extends SparkSpec {
 
   test("t44 token budget: the CORPUS window is (level, chunk)-partitioned; partition-less windows touch only the chunk-totals table") {
     val plan = executedPlan(namedQuery("t44_token_budget"))
+    // a physical Window node prints `Window [exprs], [partitionSpec],
+    // [orderSpec]` when partitioned and `Window [exprs], [orderSpec]`
+    // when global — the bracket-group count distinguishes them (the
+    // windowspecdefinition STRING cannot: order keys match too)
     val winLines = plan.linesIterator.map(_.trim)
       .filter(_.contains("Window [")).toSeq
+    def bracketGroups(l: String): Seq[String] =
+      l.substring(l.indexOf("Window [") + 7).split("\\], \\[").toSeq
     assert(winLines.nonEmpty, "expected the running-sum windows")
-    // the corpus-side cumulative sum (over n_tokens) MUST be partitioned
-    // by (quality level, id chunk) — the hard per-task row bound
+    // the corpus-side cumulative sum (over n_tokens) MUST have a
+    // PARTITION spec containing both the quality level and the id
+    // chunk — the hard 2^chunkBits per-task row bound; a window that
+    // merely ORDERS by them would re-create the level-skew killer
     val corpusWins = winLines.filter(_.contains("n_tokens"))
     assert(corpusWins.nonEmpty, "expected the corpus running-sum window")
     corpusWins.foreach { l =>
-      assert(l.contains("quality") && l.contains("chunk"),
-        s"corpus running sum must partition by (quality, chunk): $l")
+      val groups = bracketGroups(l)
+      assert(groups.length >= 3,
+        s"corpus running sum lost its partition spec (global window!): $l")
+      assert(groups(1).contains("quality") && groups(1).contains("chunk"),
+        s"corpus running sum must PARTITION by (quality, chunk): $l")
     }
     // every other window (level/global offsets, the dense_rank guard)
-    // may only aggregate the bounded chunk-totals table (ctot) — a
-    // global corpus sort is the scale-killer this pin exists to catch
+    // may only aggregate the bounded chunk-totals table — neither
+    // corpus text nor per-doc token counts may appear in them
     winLines.filterNot(corpusWins.contains).foreach { l =>
       assert(l.contains("ctot#") || l.contains("dense_rank"),
         s"window over unexpected columns (corpus leak?): $l")
-      assert(!l.contains("n_tokens") && !l.contains("text"),
-        s"partition-less window over corpus columns: $l")
+      assert(!l.contains("text"),
+        s"window over corpus text: $l")
     }
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-      "chunk offsets must broadcast at this scale")
+    // the offsets join must be a keyed join, never a cartesian (the
+    // join STRATEGY is AQE's choice — broadcast at this scale, SMJ
+    // reusing the window partitioning at larger ones; both are fine)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "offsets must join on (quality, chunk), not cross-join")
     // two corpus scans only: the totals pass and the final pass (the
     // split-subtree formulation measured FOUR un-reused parquet scans)
     val scans = "FileScan parquet".r.findAllIn(plan).length
