@@ -75,6 +75,27 @@ object UrlDedup {
       .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
   }
 
+  /** Lowercased host of an http(s) URL ('' when unparseable). */
+  def host(url: Column): Column = lower(regexp_extract(url, SchemeHostRe, 2))
+
+  /** Domain-blocklist admission — the crawl-curation companion to the
+    * canonicalization pass: drop every page whose (lowercased) host is
+    * on the blocklist. The blocklist is vocabulary-sized at any corpus
+    * scale, so it broadcasts and the corpus side never shuffles
+    * (left_anti broadcast join on the extracted host). Unparseable
+    * URLs have host '' and are kept unless '' is blocked — a filter
+    * must not silently eat malformed records. */
+  def domainFilter(df: DataFrame, urlCol: String,
+                   blockedHosts: DataFrame): DataFrame = {
+    val blocked = blockedHosts.select(
+      lower(blockedHosts.columns.headOption.map(col)
+        .getOrElse(col("host"))).as("__blocked_host"))
+    df.withColumn("__host", host(col(urlCol)))
+      .join(broadcast(blocked), col("__host") === col("__blocked_host"),
+        "left_anti")
+      .drop("__host")
+  }
+
   /** Per-row canonical URL and its group's minimum id: (idCol,
     * canon_url, keep_id). "Keep one page per canonical URL" is then the
     * `idCol = keep_id` filter, exactly the t06 exact-dedup shape. */

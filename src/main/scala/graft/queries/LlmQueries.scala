@@ -41,6 +41,39 @@ object LlmQueries {
       build: => org.apache.spark.sql.DataFrame) =
     sharedCache.getOrElseUpdate((s, key), shared(build))
 
+  /** The t53/t55 URL fixture (modulus fault-injection, u11 convention)
+    * as one SQL expression — single-sourced so the dedup and blocklist
+    * queries cannot drift apart. One line on purpose: it interpolates
+    * into |-margin oracle strings whose stripMargin only trims prefixed
+    * lines. */
+  private val UrlFixtureSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN upper('example-' || (doc_id % 50)::VARCHAR || '.com') " +
+      "ELSE 'example-' || (doc_id % 50)::VARCHAR || '.com' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END || " +
+      "'/p/' || (doc_id % 20)::VARCHAR || " +
+      "CASE WHEN doc_id % 17 = 0 THEN '/' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN '?utm_source=feed&utm_campaign=w' " +
+      "WHEN doc_id % 13 = 0 THEN '?page=' || (doc_id % 4)::VARCHAR ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END"
+
+  /** The same fixture as a Spark Column (value-identical to
+    * [[UrlFixtureSql]] — the t53/t55 oracles pin it). */
+  private def urlFixture: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val hostBase = concat(lit("example-"), id % 50, lit(".com"))
+    concat(
+      when(id % 2 === 0, "HTTPS://").otherwise("https://"),
+      when(id % 3 === 0, upper(hostBase)).otherwise(hostBase),
+      when(id % 5 === 0, ":443").otherwise(""),
+      lit("/p/"), id % 20,
+      when(id % 17 === 0, "/").otherwise(""),
+      when(id % 11 === 0, "?utm_source=feed&utm_campaign=w")
+        .otherwise(when(id % 13 === 0, concat(lit("?page="), id % 4))
+          .otherwise("")),
+      when(id % 7 === 0, "#frag").otherwise(""))
+  }
+
   /** Corpus with planted near-duplicates: every document unioned with a
     * copy (id + 1,000,000) that has one token appended — guarantees the
     * near-dup detectors have real positives to find at any SF. */
@@ -1989,22 +2022,12 @@ object LlmQueries {
     // collisions form real multi-document groups. FULL SQL oracle
     // mirrors fixture + every canonicalization rule + keep-min.
     sql("t53_url_dedup")(
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
-        |     CASE WHEN doc_id % 3 = 0 THEN upper('example-' || (doc_id % 50)::VARCHAR || '.com')
-        |          ELSE 'example-' || (doc_id % 50)::VARCHAR || '.com' END ||
-        |     CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
-        |     '/p/' || (doc_id % 20)::VARCHAR ||
-        |     CASE WHEN doc_id % 17 = 0 THEN '/' ELSE '' END ||
-        |     CASE WHEN doc_id % 11 = 0 THEN '?utm_source=feed&utm_campaign=w'
-        |          WHEN doc_id % 13 = 0 THEN '?page=' || (doc_id % 4)::VARCHAR
-        |          ELSE '' END ||
-        |     CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+      raw"""WITH urls AS (
+        |  SELECT doc_id, ($UrlFixtureSql) AS url
         |  FROM documents),
         |canon AS (
         |  SELECT doc_id,
-        |    CASE WHEN NOT regexp_matches(url, '^(?i)https?://[^/:?#]+(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?(#.*)?$') THEN url
+        |    CASE WHEN NOT regexp_matches(url, '^(?i)https?://[^/:?#]+(:[0-9]+)?(/[^?#]*)?(\?[^#]*)?(#.*)?$$') THEN url
         |    ELSE
         |      lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) || '://' ||
         |      lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 2)) ||
@@ -2014,9 +2037,9 @@ object LlmQueries {
         |                AND NOT (lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 1)) = 'https'
         |                         AND regexp_replace(regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1), '^0+', '') = '443')
         |           THEN ':' || regexp_extract(url, '^(?i)https?://[^/:?#]+:(\d+)', 1) ELSE '' END ||
-        |      CASE WHEN regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$', '') = ''
+        |      CASE WHEN regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$$', '') = ''
         |           THEN '/'
-        |           ELSE regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$', '') END ||
+        |           ELSE regexp_replace(regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1), '/+$$', '') END ||
         |      CASE WHEN coalesce(array_to_string(list_filter(
         |                   string_split(regexp_extract(url, '^[^?#]*\?([^#]*)', 1), '&'),
         |                   p -> len(p) > 0 AND NOT starts_with(p, 'utm_')), '&'), '') = ''
@@ -2030,20 +2053,79 @@ object LlmQueries {
         |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id
         |FROM canon
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val id = col("doc_id")
-      val hostBase = concat(lit("example-"), id % 50, lit(".com"))
-      val url = concat(
-        when(id % 2 === 0, "HTTPS://").otherwise("https://"),
-        when(id % 3 === 0, upper(hostBase)).otherwise(hostBase),
-        when(id % 5 === 0, ":443").otherwise(""),
-        lit("/p/"), id % 20,
-        when(id % 17 === 0, "/").otherwise(""),
-        when(id % 11 === 0, "?utm_source=feed&utm_campaign=w")
-          .otherwise(when(id % 13 === 0, concat(lit("?page="), id % 4))
-            .otherwise("")),
-        when(id % 7 === 0, "#frag").otherwise(""))
       graft.operators.UrlDedup.resolve(
-          Tables.documents(s, d).select(id, url.as("url")), "doc_id", "url")
+          Tables.documents(s, d).select(col("doc_id"),
+            urlFixture.as("url")),
+          "doc_id", "url")
+        .orderBy(col("doc_id"))
+    },
+
+    // PII detection + redaction (operators/PiiRedact) — the privacy
+    // pass before any corpus release. Planted PII by modulus (emails
+    // %7, IPv4 %11, phones %13, ids repeating mod 50/200/250/9000 so
+    // values vary); category counts are measured on the ORIGINAL text,
+    // then redaction applies email → IP → phone sequentially. The
+    // patterns avoid lookaround/backrefs so Java regex (engine) and
+    // RE2 (oracle) agree by construction; FULL SQL oracle.
+    sql("t54_pii_redaction")(
+      raw"""WITH fixture AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' mail user' || (doc_id % 50)::VARCHAR || '@example.org'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' call +49 555-' || (1000 + doc_id % 9000)::VARCHAR
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
+        |  len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{4}'))::BIGINT AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted_text
+        |FROM fixture
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val fixture = concat(col("text"),
+        when(id % 7 === 0,
+          concat(lit(" mail user"), id % 50, lit("@example.org"))).otherwise(""),
+        when(id % 11 === 0,
+          concat(lit(" from 10."), id % 200, lit(".0."), id % 250)).otherwise(""),
+        when(id % 13 === 0,
+          concat(lit(" call +49 555-"), lit(1000) + id % 9000)).otherwise(""))
+      graft.operators.PiiRedact.redact(
+          Tables.documents(s, d).select(id, fixture.as("text")))
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain-blocklist admission (operators/UrlDedup.domainFilter) —
+    // the other half of the crawl pre-pass: drop pages on blocked
+    // hosts. Same single-sourced URL fixture as t53; the blocklist is
+    // broadcast (vocabulary-sized at any scale) and the corpus side
+    // never shuffles. Unparseable hosts ('') are kept — a filter must
+    // not silently eat malformed records. FULL SQL oracle.
+    sql("t55_domain_filter")(
+      raw"""WITH urls AS (
+        |  SELECT doc_id, ($UrlFixtureSql) AS url
+        |  FROM documents)
+        |SELECT doc_id, url FROM urls
+        |WHERE lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 2))
+        |      NOT IN ('example-3.com', 'example-17.com', 'example-29.com')
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val blocked = Seq("example-3.com", "example-17.com", "example-29.com")
+        .toDF("host")
+      graft.operators.UrlDedup.domainFilter(
+          Tables.documents(s, d).select(col("doc_id"),
+            urlFixture.as("url")),
+          "url", blocked)
         .orderBy(col("doc_id"))
     }
   )

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PII truth table (each category, multiples, cross-category order) and
+  * the domain-blocklist admission semantics. */
+class PiiRedactSpec extends SparkSpec {
+  import testImplicits._
+
+  private def run(texts: String*): Seq[(Long, Long, Long, Long, String)] =
+    PiiRedact.redact(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+
+  test("redaction truth table") {
+    val got = run(
+      "write to alice.b+tag@sub.example.co today",
+      "server at 192.168.1.77 responded",
+      "call +1 555-0134 now",
+      "none of the above here",
+      "two mails a@b.io and c@d.org plus 10.0.0.1",
+      // an IP must be consumed by the IP pass, NOT the phone pattern
+      "+49 555-1234 vs 12.34.56.78",
+      "")
+    assert(got(0) == ((0L, 1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(got(1) == ((1L, 0L, 1L, 0L, "server at <IP> responded")))
+    assert(got(2) == ((2L, 0L, 0L, 1L, "call <PHONE> now")))
+    assert(got(3) == ((3L, 0L, 0L, 0L, "none of the above here")))
+    assert(got(4) == ((4L, 2L, 1L, 0L, "two mails <EMAIL> and <EMAIL> plus <IP>")))
+    assert(got(5) == ((5L, 0L, 1L, 1L, "<PHONE> vs <IP>")))
+    assert(got(6) == ((6L, 0L, 0L, 0L, "")))
+  }
+
+  test("NULL text: zero counts, empty redaction") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val rows = java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null))
+    val got = PiiRedact.redact(spark.createDataFrame(rows, schema)).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getString(4))
+      == ((0L, 0L, 0L, "")))
+  }
+
+  test("domain filter drops blocked hosts, keeps unparseable URLs") {
+    val rows = Seq(
+      (1L, "https://Bad.example.com/x"),   // blocked (case-insensitive)
+      (2L, "https://good.example.com/x"),  // kept
+      (3L, "HTTP://BAD.EXAMPLE.COM:8080/y?z=1"), // blocked, port/query noise
+      (4L, "not a url"),                   // kept: host '' not blocked
+      (5L, "https://bad.example.com.evil.org/") // kept: different host
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.example.com").toDF("host")
+    val kept = UrlDedup.domainFilter(rows, "url", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+}
