@@ -106,6 +106,35 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PII redaction: stateless scan-stage transform composes into the stream") {
+    // PiiRedact is pure column arithmetic, so it rides the streaming
+    // plan unchanged — redaction before admission means PII never
+    // reaches dedup state or the sink
+    val dir = Files.createTempDirectory("spii_src").toString
+    val ckpt = Files.createTempDirectory("spii_ckpt").toString
+    writeDocs(dir, 1, Seq(
+      ("2024-03-15 12:00:00", 1L, "contact me at alice@example.com or 10.1.2.3"),
+      ("2024-03-15 12:00:05", 2L, "nothing sensitive in this one")))
+
+    val stream = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val redacted = graft.operators.PiiRedact.redact(
+      stream, idCol = "doc_id", textCol = "text")
+
+    val q = redacted.writeStream.format("memory").queryName("spii_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("spii_out")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+      assert(rows(1L) == ((1L, 1L, "contact me at <EMAIL> or <IP>")))
+      assert(rows(2L) == ((0L, 0L, "nothing sensitive in this one")))
+    } finally q.stop()
+  }
+
   test("streaming curation: scan-stage quality gate composes ahead of near-dup admission") {
     val dir = Files.createTempDirectory("scur_src").toString
     val ckpt = Files.createTempDirectory("scur_ckpt").toString
