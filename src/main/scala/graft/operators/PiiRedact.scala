@@ -30,23 +30,60 @@ object PiiRedact {
   val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val PhoneRe = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4}"
 
+  /** Maximal contiguous 13-19-digit runs — card-number SHAPE; only
+    * runs passing [[luhnValid]] count as cards (the standard checksum
+    * cuts false positives on ids/timestamps by 10×). A >19-digit run
+    * has no interior word boundary, so it yields NO candidate —
+    * maximal-run semantics, identical in Java regex and RE2. */
+  val CardRe = "\\b\\d{13,19}\\b"
+
+  /** Luhn checksum (public ISO/IEC 7812 algorithm) as pure column
+    * arithmetic: from the RIGHT, double every second digit, subtract 9
+    * from two-digit doubles, total % 10 == 0. Runs only on regex-
+    * matched candidates (the common no-digit-run path never evaluates
+    * it), so the interpreted higher-order fold is off the hot path. */
+  def luhnValid(s: Column): Column = {
+    val n = length(s)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0),
+      (acc, i) => {
+        val d = ascii(s.substr(i, lit(1))) - lit(48)
+        val doubled = d * 2
+        acc + when((n - i) % 2 === 1,
+          when(doubled > 9, doubled - 9).otherwise(doubled)).otherwise(d)
+      })
+    total % 10 === 0
+  }
+
   private def countOf(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 
-  /** (idCol, n_emails, n_ips, n_phones, redacted_text). NULL text
-    * counts zero everywhere and redacts to the empty string —
-    * deterministic, like the sibling operators. */
+  private def validCards(text: Column): Column =
+    filter(regexp_extract_all(text, lit(CardRe), lit(0)), s => luhnValid(s))
+
+  /** (idCol, n_emails, n_cards, n_ips, n_phones, redacted_text). Counts
+    * are measured on the ORIGINAL text; redaction applies email → card
+    * → IP → phone (cards are contiguous digits, so neither the IP nor
+    * the phone pass can eat a card first; a Luhn-INVALID digit run is
+    * deliberately left in place — shape alone is not PII). NULL text
+    * counts zero everywhere and redacts to the empty string. */
   def redact(df: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
+    val cards = validCards(text)
+    // fold the Luhn-valid candidates into literal replaces — regexp
+    // alone cannot redact conditionally on the checksum
+    val cardRedacted = aggregate(cards,
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      (acc, c) => replace(acc, c, lit("<CARD>")))
     val redacted =
       regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailRe, "<EMAIL>"),
-          Ipv4Re, "<IP>"),
+        regexp_replace(cardRedacted, Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>")
     df.select(col(idCol),
       countOf(text, EmailRe).as("n_emails"),
+      size(cards).cast("long").as("n_cards"),
       countOf(text, Ipv4Re).as("n_ips"),
       countOf(text, PhoneRe).as("n_phones"),
       redacted.as("redacted_text"))

@@ -2079,18 +2079,35 @@ object LlmQueries {
         |         ELSE '' END ||
         |    CASE WHEN doc_id % 13 = 0
         |         THEN ' call +49 555-' || (1000 + doc_id % 9000)::VARCHAR
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' card 4111111111111111'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 19 = 0 THEN ' acct 4111111111111112'
         |         ELSE '' END AS text
-        |  FROM documents)
+        |  FROM documents),
+        |cards AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_extract_all(text, '\b\d{13,19}\b'), s ->
+        |      list_sum(list_transform(range(length(s)), i ->
+        |        CASE WHEN (length(s) - i - 1) % 2 = 1
+        |             THEN CASE WHEN (ascii(s[i+1]) - 48) * 2 > 9
+        |                       THEN (ascii(s[i+1]) - 48) * 2 - 9
+        |                       ELSE (ascii(s[i+1]) - 48) * 2 END
+        |             ELSE ascii(s[i+1]) - 48 END)) % 10 = 0) AS luhn_ok
+        |  FROM fixture)
         |SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(luhn_ok)::BIGINT AS n_cards,
         |  len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ips,
         |  len(regexp_extract_all(text, '\+\d{1,3}[- ]\d{3}[- ]\d{4}'))::BIGINT AS n_phones,
         |  regexp_replace(
         |    regexp_replace(
-        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      list_reduce(list_prepend(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        luhn_ok), (acc, c2) -> replace(acc, c2, '<CARD>')),
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted_text
-        |FROM fixture
+        |FROM cards
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val id = col("doc_id")
       val fixture = concat(col("text"),
@@ -2099,7 +2116,11 @@ object LlmQueries {
         when(id % 11 === 0,
           concat(lit(" from 10."), id % 200, lit(".0."), id % 250)).otherwise(""),
         when(id % 13 === 0,
-          concat(lit(" call +49 555-"), lit(1000) + id % 9000)).otherwise(""))
+          concat(lit(" call +49 555-"), lit(1000) + id % 9000)).otherwise(""),
+        // classic public test numbers: Luhn-valid, and its +1 neighbor
+        // (checksum fails) — pins that shape alone is not redacted
+        when(id % 17 === 0, " card 4111111111111111").otherwise(""),
+        when(id % 19 === 0, " acct 4111111111111112").otherwise(""))
       graft.operators.PiiRedact.redact(
           Tables.documents(s, d).select(id, fixture.as("text")))
         .orderBy(col("doc_id"))

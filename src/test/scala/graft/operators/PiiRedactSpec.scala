@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
 class PiiRedactSpec extends SparkSpec {
   import testImplicits._
 
-  private def run(texts: String*): Seq[(Long, Long, Long, Long, String)] =
+  private def run(texts: String*): Seq[(Long, Long, Long, Long, Long, String)] =
     PiiRedact.redact(
         texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
       .orderBy(col("doc_id"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
       .toSeq
 
   test("redaction truth table") {
@@ -26,13 +27,29 @@ class PiiRedactSpec extends SparkSpec {
       // an IP must be consumed by the IP pass, NOT the phone pattern
       "+49 555-1234 vs 12.34.56.78",
       "")
-    assert(got(0) == ((0L, 1L, 0L, 0L, "write to <EMAIL> today")))
-    assert(got(1) == ((1L, 0L, 1L, 0L, "server at <IP> responded")))
-    assert(got(2) == ((2L, 0L, 0L, 1L, "call <PHONE> now")))
-    assert(got(3) == ((3L, 0L, 0L, 0L, "none of the above here")))
-    assert(got(4) == ((4L, 2L, 1L, 0L, "two mails <EMAIL> and <EMAIL> plus <IP>")))
-    assert(got(5) == ((5L, 0L, 1L, 1L, "<PHONE> vs <IP>")))
-    assert(got(6) == ((6L, 0L, 0L, 0L, "")))
+    assert(got(0) == ((0L, 1L, 0L, 0L, 0L, "write to <EMAIL> today")))
+    assert(got(1) == ((1L, 0L, 0L, 1L, 0L, "server at <IP> responded")))
+    assert(got(2) == ((2L, 0L, 0L, 0L, 1L, "call <PHONE> now")))
+    assert(got(3) == ((3L, 0L, 0L, 0L, 0L, "none of the above here")))
+    assert(got(4) == ((4L, 2L, 0L, 1L, 0L, "two mails <EMAIL> and <EMAIL> plus <IP>")))
+    assert(got(5) == ((5L, 0L, 0L, 1L, 1L, "<PHONE> vs <IP>")))
+    assert(got(6) == ((6L, 0L, 0L, 0L, 0L, "")))
+  }
+
+  test("card redaction: Luhn gate, not shape alone") {
+    val got = run(
+      "pay 4111111111111111 now",            // classic Luhn-valid test number
+      "acct 4111111111111112 here",          // checksum fails → kept
+      "id 123456789012 short",               // 12 digits: below card shape
+      "two 4111111111111111 and 5500005555555559 cards",
+      "a@b.io then 4111111111111111 from 10.0.0.1",
+      "run 12345678901234567890 too long")   // 20 digits: no interior boundary
+    assert(got(0) == ((0L, 0L, 1L, 0L, 0L, "pay <CARD> now")))
+    assert(got(1) == ((1L, 0L, 0L, 0L, 0L, "acct 4111111111111112 here")))
+    assert(got(2) == ((2L, 0L, 0L, 0L, 0L, "id 123456789012 short")))
+    assert(got(3) == ((3L, 0L, 2L, 0L, 0L, "two <CARD> and <CARD> cards")))
+    assert(got(4) == ((4L, 1L, 1L, 1L, 0L, "<EMAIL> then <CARD> from <IP>")))
+    assert(got(5) == ((5L, 0L, 0L, 0L, 0L, "run 12345678901234567890 too long")))
   }
 
   test("NULL text: zero counts, empty redaction") {
@@ -41,8 +58,8 @@ class PiiRedactSpec extends SparkSpec {
       StructField("text", StringType)))
     val rows = java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null))
     val got = PiiRedact.redact(spark.createDataFrame(rows, schema)).collect().head
-    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getString(4))
-      == ((0L, 0L, 0L, "")))
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getString(5)) == ((0L, 0L, 0L, 0L, "")))
   }
 
   test("domain filter drops blocked hosts, keeps unparseable URLs") {

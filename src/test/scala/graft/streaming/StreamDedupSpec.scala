@@ -129,7 +129,7 @@ class StreamDedupSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.table("spii_out")
         .collect().map(r => r.getLong(0) ->
-          (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+          (r.getLong(1), r.getLong(3), r.getString(5))).toMap
       assert(rows(1L) == ((1L, 1L, "contact me at <EMAIL> or <IP>")))
       assert(rows(2L) == ((0L, 0L, "nothing sensitive in this one")))
     } finally q.stop()
