@@ -77,7 +77,7 @@ object LlmQueries {
   /** Corpus with planted near-duplicates: every document unioned with a
     * copy (id + 1,000,000) that has one token appended — guarantees the
     * near-dup detectors have real positives to find at any SF. */
-  private def plantedCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def plantedCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
     sharedCached(s, s"planted-docs:$d") {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       docs.unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -88,7 +88,7 @@ object LlmQueries {
     * with a copy (id + 1,000,000) whose first component is nudged by
     * +0.05 — cosine ≈ 0.999, so the near-dup detectors have guaranteed
     * positives at any SF (mirrors plantedCorpus for text). */
-  private def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[graft] def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
     sharedCached(s, s"planted-embs:$d") {
       val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -226,11 +226,23 @@ object LlmQueries {
         .orderBy(col("left_id"), col("right_id"))
     },
 
+    // blocks = maxHamming + 1 → pigeonhole-COMPLETE recall, so the
+    // blocked self-join's output is EXACTLY "all pairs within Hamming
+    // radius" — which the oracle replays brute-force from the committed
+    // per-doc signature artifact (golden/<sf>/t08_sigs.parquet) with
+    // bit_count(xor(...)); only the xxhash64-based signature itself
+    // stays artifact-gated (parity-pinned by GoldenSpec + the native
+    // expression specs).
     sql("t08_simhash_neardup")(
-      graft.GoldenGen.oracleSql("t08_simhash_neardup", "left_id, right_id")) { (s, d) =>
-      // blocks = maxHamming + 1 → pigeonhole-complete recall
+      s"""WITH sigs AS (${graft.GoldenGen.artifactSql("t08_sigs")})
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.GoldenGen.ModelParams.SimHamming}
+        |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
       Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id",
-        maxHamming = 6, blocks = 7)
+        maxHamming = graft.GoldenGen.ModelParams.SimHamming,
+        blocks = graft.GoldenGen.ModelParams.SimBlocks)
         .orderBy(col("left_id"), col("right_id"))
     },
 
@@ -847,12 +859,40 @@ object LlmQueries {
         dims = Dims, queryId = 0L, k = 20, bits = LshBits, tables = LshTables)
     },
 
+    // bits=10: 1024 buckets/table keeps candidate volume subquadratic
+    // as the corpus grows; 4 tables hold planted recall >= 0.95. The
+    // oracle reconstructs the planted corpus in SQL (the float nudge is
+    // bit-exact: FLOAT + FLOAT), reads the committed per-(vec, table)
+    // bucket artifact, and replays candidate selection + the cosine
+    // verify — only the hyperplane bucketing stays artifact-gated.
     sql("t13_embedding_neardup")(
-      graft.GoldenGen.oracleSql("t13_embedding_neardup", "left_id, right_id")) { (s, d) =>
-      // bits=10: 1024 buckets/table keeps candidate volume subquadratic
-      // as the corpus grows; 4 tables hold planted recall >= 0.95
+      s"""WITH buckets AS (${graft.GoldenGen.artifactSql("t13_buckets")}),
+        |emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    ([ (embedding[1]::FLOAT + 0.05::FLOAT) ] || embedding[2:])::DOUBLE[] AS v
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+        |  FROM buckets l JOIN buckets r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        |  WHERE l.vec_id < r.vec_id)
+        |SELECT c.left_id, c.right_id,
+        |  round(list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v))
+        |           * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+        |FROM cand c JOIN emb a ON a.vec_id = c.left_id
+        |            JOIN emb b ON b.vec_id = c.right_id
+        |WHERE round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v))
+        |         * sqrt(list_dot_product(b.v, b.v))), 4)
+        |      >= ${graft.GoldenGen.ModelParams.NearDupThreshold}
+        |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
       Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
-        dims = 64, threshold = 0.95, bits = 10, tables = 4)
+        dims = graft.GoldenGen.ModelParams.Dims,
+        threshold = graft.GoldenGen.ModelParams.NearDupThreshold,
+        bits = graft.GoldenGen.ModelParams.NearDupBits,
+        tables = graft.GoldenGen.ModelParams.LshTables)
         .orderBy(col("left_id"), col("right_id"))
     },
 
@@ -1051,10 +1091,51 @@ object LlmQueries {
     // the deterministic IVF k-means, so golden-oracle-able; the planted
     // +0.05 near-dup copies guarantee every detector run has real
     // positives to prune (cos ≈ 0.999 ≥ 0.9).
+    // SemDeDup — k-means training exported as the per-SF centroid
+    // artifact (trained on the PLANTED corpus); the oracle replays
+    // assignment (argmax cosine, first-max ties — the t25 idiom),
+    // the within-cluster earlier-neighbor max-cosine, and the prune
+    // verdict in FULL DuckDB SQL.
     sql("t28_semdedup")(
-      graft.GoldenGen.oracleSql("t28_semdedup", "vec_id")) { (s, d) =>
+      s"""WITH cents AS (${graft.GoldenGen.artifactSql("t28_centroids")}),
+        |emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    ([ (embedding[1]::FLOAT + 0.05::FLOAT) ] || embedding[2:])::DOUBLE[] AS v
+        |  FROM embeddings),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        CASE WHEN sqrt(list_dot_product(e.v, e.v))
+        |                  * sqrt(list_dot_product(c.centroid, c.centroid)) = 0 THEN 0.0
+        |             ELSE list_dot_product(e.v, c.centroid)
+        |                  / (sqrt(list_dot_product(e.v, e.v))
+        |                     * sqrt(list_dot_product(c.centroid, c.centroid))) END DESC,
+        |        c.cluster) AS rn
+        |    FROM emb e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |prev AS (
+        |  SELECT a2.vec_id AS id,
+        |    round(list_dot_product(ea.v, eb.v)
+        |          / (sqrt(list_dot_product(ea.v, ea.v))
+        |             * sqrt(list_dot_product(eb.v, eb.v))), 4) AS sim
+        |  FROM assign a2
+        |  JOIN assign b2 ON a2.cluster = b2.cluster AND b2.vec_id < a2.vec_id
+        |  JOIN emb ea ON ea.vec_id = a2.vec_id
+        |  JOIN emb eb ON eb.vec_id = b2.vec_id),
+        |agg AS (SELECT id, max(sim) AS m FROM prev GROUP BY id)
+        |SELECT a3.vec_id, a3.cluster,
+        |  coalesce(g.m, -2.0) AS max_sim_prev,
+        |  (coalesce(g.m, -2.0) >= ${graft.GoldenGen.ModelParams.SemThreshold}) AS pruned
+        |FROM assign a3 LEFT JOIN agg g ON g.id = a3.vec_id
+        |ORDER BY a3.vec_id""".stripMargin) { (s, d) =>
       SemDedup.prune(plantedEmbeddings(s, d), "vec_id", "embedding",
-          dims = 64, threshold = 0.9, kClusters = 16, iters = 3)
+          dims = graft.GoldenGen.ModelParams.Dims,
+          threshold = graft.GoldenGen.ModelParams.SemThreshold,
+          kClusters = graft.GoldenGen.ModelParams.IvfClusters,
+          iters = graft.GoldenGen.ModelParams.IvfIters)
         .orderBy(col("vec_id"))
     },
 
