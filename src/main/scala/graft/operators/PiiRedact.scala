@@ -67,16 +67,31 @@ object PiiRedact {
     * → IP → phone (cards are contiguous digits, so neither the IP nor
     * the phone pass can eat a card first; a Luhn-INVALID digit run is
     * deliberately left in place — shape alone is not PII). NULL text
-    * counts zero everywhere and redacts to the empty string. */
+    * counts zero everywhere and redacts to the empty string.
+    *
+    * Card replacement is WORD-BOUNDED: each counted candidate is
+    * replaced only where it occurs as a maximal digit run (`\b…\b`), so
+    * a valid-card substring embedded in a longer (>19-digit or
+    * alphanumeric) run is never spliced into a partial `<CARD>`. One
+    * documented counts-vs-redaction asymmetry remains: a card-shaped
+    * run forming an email's LOCAL PART (`4…1@x.com`) is counted as a
+    * card on the original text but its digits are consumed by the
+    * earlier `<EMAIL>` pass, so no `<CARD>` token appears for it —
+    * counts answer "what PII is present", redaction proceeds
+    * left-to-right by category. */
   def redact(df: DataFrame, idCol: String = "doc_id",
              textCol: String = "text"): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     val cards = validCards(text)
-    // fold the Luhn-valid candidates into literal replaces — regexp
-    // alone cannot redact conditionally on the checksum
+    // fold the Luhn-valid candidates into word-bounded regex replaces
+    // (digits have no regex metacharacters, so the candidate embeds
+    // verbatim) — regexp alone cannot redact conditionally on the
+    // checksum, and a literal replace would splice non-candidate
+    // occurrences inside longer runs
     val cardRedacted = aggregate(cards,
       regexp_replace(text, EmailRe, "<EMAIL>"),
-      (acc, c) => replace(acc, c, lit("<CARD>")))
+      (acc, c) => regexp_replace(acc,
+        concat(lit("\\b"), c, lit("\\b")), lit("<CARD>")))
     val redacted =
       regexp_replace(
         regexp_replace(cardRedacted, Ipv4Re, "<IP>"),

@@ -98,13 +98,29 @@ object UrlDedup {
 
   /** Per-row canonical URL and its group's minimum id: (idCol,
     * canon_url, keep_id). "Keep one page per canonical URL" is then the
-    * `idCol = keep_id` filter, exactly the t06 exact-dedup shape. */
+    * `idCol = keep_id` filter, exactly the t06 exact-dedup shape.
+    *
+    * A NULL url canonicalizes to NULL; such rows pass through as their
+    * OWN singleton groups (keep_id = own id) — NULL urls must neither
+    * vanish (a null-unsafe join would drop them) nor conflate with each
+    * other. The `__nk` tiebreak column (own id for NULL keys, 0
+    * otherwise) makes the null-safe group/join keys unique per NULL row
+    * while leaving real groups untouched; one shuffle partitioning
+    * still serves both the aggregate and the join back. */
   def resolve(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val canon = df.select(col(idCol), canonicalize(col(urlCol)).as("canon_url"))
-    val keep = canon.groupBy(col("canon_url"))
+    val canon = df
+      .select(col(idCol), canonicalize(col(urlCol)).as("canon_url"))
+      .withColumn("__nk",
+        when(col("canon_url").isNull, col(idCol)).otherwise(lit(0L)))
+    val keep = canon.groupBy(col("canon_url"), col("__nk"))
       .agg(min(col(idCol)).as("keep_id"))
-    // join key = the aggregation key: one shuffle partitioning serves both
-    canon.join(keep, Seq("canon_url"))
+      .withColumnRenamed("canon_url", "__canon_r")
+      .withColumnRenamed("__nk", "__nk_r")
+    // join key = the aggregation key: one shuffle partitioning serves
+    // both; <=> keeps NULL-keyed rows (each its own group via __nk)
+    canon.join(keep,
+        canon("canon_url") <=> keep("__canon_r") &&
+          canon("__nk") === keep("__nk_r"))
       .select(col(idCol), col("canon_url"), col("keep_id"))
   }
 }

@@ -38,8 +38,14 @@ object LlmQueries {
   private val sharedCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private def sharedCached(s: org.apache.spark.sql.SparkSession, key: String)(
-      build: => org.apache.spark.sql.DataFrame) =
+      build: => org.apache.spark.sql.DataFrame) = {
+    // evict entries for stopped sessions on every lookup: without this
+    // a long-lived multi-session JVM (test harness, notebook server)
+    // pins dead sessions' plans and checkpoint blocks forever, and a
+    // stale hit for a restarted-then-stopped session would fail on use
+    sharedCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     sharedCache.getOrElseUpdate((s, key), shared(build))
+  }
 
   /** The t53/t55 URL fixture (modulus fault-injection, u11 convention)
     * as one SQL expression — single-sourced so the dedup and blocklist
@@ -2063,14 +2069,14 @@ object LlmQueries {
         |  SELECT dw.doc_id, sum(wc.n)::BIGINT AS n_bpe
         |  FROM dw JOIN wcount wc ON dw.w = wc.w GROUP BY dw.doc_id)
         |SELECT d.doc_id,
-        |  CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |  CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN 0
         |       ELSE cast(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
         |  END AS n_tokens,
         |  coalesce(p.n_bpe, 0)::BIGINT AS n_bpe,
-        |  CASE WHEN (CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |  CASE WHEN (CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN 0
         |             ELSE len(string_split_regex(trim(d.text), '\\s+')) END) = 0 THEN 0.0
         |       ELSE round(coalesce(p.n_bpe, 0)
-        |              / (CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |              / (CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN 0
         |                 ELSE len(string_split_regex(trim(d.text), '\\s+')) END)::DOUBLE, 4)
         |  END AS bpe_fertility
         |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
@@ -2151,7 +2157,7 @@ object LlmQueries {
     sql("t54_pii_redaction")(
       raw"""WITH fixture AS (
         |  SELECT doc_id,
-        |    text ||
+        |    coalesce(text, '') ||
         |    CASE WHEN doc_id % 7 = 0
         |         THEN ' mail user' || (doc_id % 50)::VARCHAR || '@example.org'
         |         ELSE '' END ||
@@ -2185,13 +2191,17 @@ object LlmQueries {
         |    regexp_replace(
         |      list_reduce(list_prepend(
         |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        luhn_ok), (acc, c2) -> replace(acc, c2, '<CARD>')),
+        |        luhn_ok), (acc, c2) -> regexp_replace(acc, '\b' || c2 || '\b', '<CARD>', 'g')),
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{1,3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted_text
         |FROM cards
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val id = col("doc_id")
-      val fixture = concat(col("text"),
+      // coalesce BEFORE concat on both sides: Spark's concat nulls out
+      // on any NULL input while the oracle's coalesce(text,'') appends
+      // the planted suffixes to '' — without this a NULL-text corpus
+      // row would silently diverge
+      val fixture = concat(coalesce(col("text"), lit("")),
         when(id % 7 === 0,
           concat(lit(" mail user"), id % 50, lit("@example.org"))).otherwise(""),
         when(id % 11 === 0,

@@ -52,6 +52,16 @@ class PiiRedactSpec extends SparkSpec {
     assert(got(5) == ((5L, 0L, 0L, 0L, 0L, "run 12345678901234567890 too long")))
   }
 
+  test("card redaction is word-bounded: no splice inside longer runs") {
+    val got = run(
+      // the valid card's digits ALSO appear inside a 20-digit run and
+      // an alphanumeric token — only the word-bounded occurrence may
+      // be redacted; a literal substring replace would splice both
+      "pay 4111111111111111 ref 94111111111111111138 id x4111111111111111y")
+    assert(got(0) == ((0L, 0L, 1L, 0L, 0L,
+      "pay <CARD> ref 94111111111111111138 id x4111111111111111y")))
+  }
+
   test("NULL text: zero counts, empty redaction") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("doc_id", LongType),

@@ -65,4 +65,24 @@ class UrlDedupSpec extends SparkSpec {
     // survivors = one per group
     assert(got.count { case (id, (_, keep)) => id == keep } == 3)
   }
+
+  test("resolve passes NULL urls through as their own singleton groups") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("url", StringType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "https://a.com/x"),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, null),
+      org.apache.spark.sql.Row(4L, "https://a.com/x"))
+    val got = UrlDedup.resolve(spark.createDataFrame(rows, schema),
+        "doc_id", "url")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getLong(2))).toMap
+    // NULL urls neither vanish nor conflate: each keeps itself
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L) == ((None, 2L)) && got(3L) == ((None, 3L)))
+    assert(got(1L) == ((Some("https://a.com/x"), 1L)) &&
+      got(4L) == ((Some("https://a.com/x"), 1L)))
+  }
 }
