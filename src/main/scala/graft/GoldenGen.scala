@@ -3,13 +3,14 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Comparator
 
-/** Regenerates (a) the golden expected-output parquet files for the
-  * queries whose semantics are not DuckDB-expressible (xxhash64
-  * MinHash/SimHash signatures: t07/t08/t13/t28, HMAC gating: u11) and
-  * (b) the TRAINED-MODEL artifacts (t25 k-means centroids, t40 PQ
-  * codebooks, t12 LSH hyperplane signs) from which the ANN queries'
-  * scoring + top-k are replayed as FULL DuckDB SQL — only the
-  * deterministic training step stays golden-gated there. Outputs ARE
+/** Regenerates (a) the golden expected-output parquet file for the one
+  * query whose semantics are not DuckDB-expressible (u11: HMAC-SHA256
+  * over raw bytes) and (b) the TRAINED-MODEL / signature artifacts
+  * (t25 k-means centroids, t40 PQ codebooks, t12 LSH hyperplane signs,
+  * t07 MinHash / t08 SimHash / t13 LSH-bucket signature tables, t28
+  * centroids, t52 BPE merges) from which those queries' candidate
+  * selection + scoring + top-k are replayed as FULL DuckDB SQL — only
+  * the deterministic hash/training step stays golden-gated. Outputs ARE
   * fully deterministic — fixed hash primitives, seeded hyperplanes,
   * deterministic training, explicit ORDER BY with unique tiebreaks — so
   * a reviewed precomputed parquet is a valid oracle, the same way
@@ -29,17 +30,16 @@ import java.util.Comparator
   */
 object GoldenGen {
 
-  /** The queries gated by golden OUTPUT files. Down to two: t07 (the
-    * est_jaccard column needs the full per-doc MinHash signature table
-    * AND xxhash64 band buckets — exporting both would outweigh the
-    * output it gates; its planted-recall + native-parity specs carry
-    * the correctness weight) and u11 (HMAC-SHA256 over raw bytes is
-    * not DuckDB-expressible; javax.crypto parity + the GoldenSpec
-    * status spot-check gate it). Every other formerly-golden query
-    * (t08/t12/t13/t25/t28/t40) is replayed by FULL DuckDB SQL from a
-    * committed model/signature artifact. */
-  val goldenQueries: Seq[String] = Seq(
-    "t07_minhash_neardup", "u11_webhook_gate")
+  /** The queries gated by golden OUTPUT files. Down to ONE: u11
+    * (HMAC-SHA256 over raw bytes is not DuckDB-expressible;
+    * javax.crypto parity + the GoldenSpec status spot-check gate it).
+    * Every other formerly-golden query (t07/t08/t12/t13/t25/t28/t40)
+    * is replayed by FULL DuckDB SQL from a committed model/signature
+    * artifact — t07's oracle re-derives band collisions by SLICE
+    * equality from the per-doc signature table and re-verifies exact
+    * Jaccard from the corpus text, so only the xxhash64 signature
+    * itself stays artifact-gated. */
+  val goldenQueries: Seq[String] = Seq("u11_webhook_gate")
 
   /** Trained-model artifacts exported per SF so the ANN queries'
     * SCORING + top-k can be replayed independently in DuckDB
@@ -49,7 +49,7 @@ object GoldenGen {
     * from first principles). */
   val modelArtifacts: Seq[String] =
     Seq("t25_centroids", "t40_codebooks", "t52_merges",
-      "t08_sigs", "t13_buckets", "t28_centroids")
+      "t07_sigs", "t08_sigs", "t13_buckets", "t28_centroids")
 
   /** The t12 hyperplane sign matrix is a pure function of
     * (table, bit, dim) — corpus-independent, so ONE file serves every
@@ -69,6 +69,7 @@ object GoldenGen {
     val LshBits = 6; val LshTables = 4
     val NearDupBits = 10; val NearDupThreshold = 0.95 // t13
     val SimHamming = 6; val SimBlocks = 7 // t08
+    val MinHashes = 32; val MinHashBands = 8 // t07
     val SemThreshold = 0.9 // t28
     val BpeMerges = 100; val BpeVocab = 4096
   }
@@ -185,6 +186,12 @@ object GoldenGen {
       // the three detector artifacts below are computed over the
       // PLANTED corpora (the queries' actual inputs), so the oracles
       // replay candidate selection + verification on the same data
+      case "t07_sigs" =>
+        graft.queries.LlmQueries.plantedCorpus(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            graft.operators.Dedup.minHashSignature(
+              org.apache.spark.sql.functions.col("text"),
+              numHashes = MinHashes).as("sig"))
       case "t08_sigs" =>
         graft.operators.Dedup.simHash(
           graft.queries.LlmQueries.plantedCorpus(spark, sfDir),

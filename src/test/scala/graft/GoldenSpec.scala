@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The golden-parquet oracle gate, re-derived on every test run: each of
-  * the five hash/LSH/k-means queries (t07/t08/t12/t13/t25) must
-  * reproduce its committed golden file EXACTLY at every verify scale
-  * factor goldens exist for. Catches detector-parameter or hash drift
-  * before the driver's DuckDB compare would — a golden that needs to
-  * change must be regenerated deliberately via [[GoldenGen]]. */
+/** The golden-parquet oracle gate, re-derived on every test run: the one
+  * remaining output-golden query (u11, HMAC over raw bytes) must
+  * reproduce its committed golden file EXACTLY, and every committed
+  * model/signature artifact (t07/t08/t12/t13/t25/t28/t40/t52) must
+  * equal a LIVE retraining, at every verify scale factor goldens exist
+  * for. Catches detector-parameter or hash drift before the driver's
+  * DuckDB compare would — a golden that needs to change must be
+  * regenerated deliberately via [[GoldenGen]]. */
 class GoldenSpec extends SparkSpec {
 
   GoldenGen.sfTags.foreach { case (sfTag, _) =>
