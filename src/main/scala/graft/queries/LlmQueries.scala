@@ -80,6 +80,47 @@ object LlmQueries {
       when(id % 7 === 0, "#frag").otherwise(""))
   }
 
+  /** The t56 HTML fixture (modulus fault-injection, u11/t53 convention)
+    * as one SQL expression, single-sourced with [[htmlFixture]]. Every
+    * extraction rule fires somewhere: chrome on every page (header
+    * heading too short, nav pure-link), the corpus text as the main
+    * `<p>` (+ an inline reference link on %3 — low density, must stay
+    * content), an ad stub too short to keep (%5), a link farm that is
+    * LONG but link-dense (%7), an entity-laden content paragraph (%11),
+    * a link-free medium content block (%13), a short note (%17), and a
+    * footer whose density sits just ABOVE the 0.33 threshold (%2). */
+  private val HtmlFixtureSql: String =
+    "'<header><h1>Doc ' || doc_id::VARCHAR || '</h1></header>' || " +
+      "'<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></nav>' || " +
+      "'<p>' || coalesce(text, '') || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' See the <a href=\"/ref/' || (doc_id % 20)::VARCHAR || '\">reference manual</a> for details.' ELSE '' END || " +
+      "'</p>' || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '<div>Ad</div>' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN '<div><a href=\"/p1\">Product one long name</a> <a href=\"/p2\">Product two long name</a> <a href=\"/p3\">Product three long name</a></div>' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN '<p>Fish &amp; chips &lt;daily&gt; at the corner &quot;shop&quot; for lunch.</p>' ELSE '' END || " +
+      "CASE WHEN doc_id % 13 = 0 THEN '<div>A slightly longer remark sentence lives here.</div>' ELSE '' END || " +
+      "CASE WHEN doc_id % 17 = 0 THEN '<div>Short note.</div>' ELSE '' END || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '<footer>Copyright 2024 Example Corp <a href=\"/tos\">Terms of Service</a></footer>' ELSE '' END"
+
+  /** The same fixture as a Spark Column (value-identical to
+    * [[HtmlFixtureSql]] — the t56 oracle pins it). */
+  private def htmlFixture: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<header><h1>Doc "), id, lit("</h1></header>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></nav>"),
+      lit("<p>"), coalesce(col("text"), lit("")),
+      when(id % 3 === 0, concat(lit(" See the <a href=\"/ref/"), id % 20,
+        lit("\">reference manual</a> for details."))).otherwise(""),
+      lit("</p>"),
+      when(id % 5 === 0, "<div>Ad</div>").otherwise(""),
+      when(id % 7 === 0, "<div><a href=\"/p1\">Product one long name</a> <a href=\"/p2\">Product two long name</a> <a href=\"/p3\">Product three long name</a></div>").otherwise(""),
+      when(id % 11 === 0, "<p>Fish &amp; chips &lt;daily&gt; at the corner &quot;shop&quot; for lunch.</p>").otherwise(""),
+      when(id % 13 === 0, "<div>A slightly longer remark sentence lives here.</div>").otherwise(""),
+      when(id % 17 === 0, "<div>Short note.</div>").otherwise(""),
+      when(id % 2 === 0, "<footer>Copyright 2024 Example Corp <a href=\"/tos\">Terms of Service</a></footer>").otherwise(""))
+  }
+
   /** Corpus with planted near-duplicates: every document unioned with a
     * copy (id + 1,000,000) that has one token appended — guarantees the
     * near-dup detectors have real positives to find at any SF. */
@@ -2285,6 +2326,59 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"),
             urlFixture.as("url")),
           "url", blocked)
+        .orderBy(col("doc_id"))
+    },
+
+    // HTML → main-content extraction (operators/HtmlExtract) — the
+    // crawl stage BEFORE every other corpus operator: block
+    // segmentation on closing block tags, tag-strip → entity-decode →
+    // whitespace-collapse per block, then the text/link-density
+    // classification (content ⟺ ≥ MinChars visible chars AND ≤
+    // MaxLinkDensity of them inside anchors). Synthetic HTML fixture
+    // by modulus fault-injection (single-sourced Column/SQL pair, the
+    // t53 convention); FULL SQL oracle mirrors segmentation, the
+    // entity table (&amp; last), both thresholds, and the share math.
+    sql("t56_html_extract")(
+      raw"""WITH fixture AS (
+        |  SELECT doc_id, ($HtmlFixtureSql) AS html
+        |  FROM documents),
+        |bl AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        string_split_regex(html, '(?i)</(?:p|div|nav|footer|header|li|h[1-6]|ul|ol|table|section|article|aside)>'),
+        |        b -> struct_pack(
+        |          text := trim(regexp_replace(
+        |            replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(b, '<[^>]*>', ' ', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |            '\s+', ' ', 'g')),
+        |          link_chars := coalesce(list_sum(list_transform(
+        |            regexp_extract_all(b, '(?i)<a[^>]*>([^<]*)</a>', 1),
+        |            a -> length(trim(regexp_replace(
+        |              replace(replace(replace(replace(replace(replace(a,
+        |                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |              '\s+', ' ', 'g'))))), 0))),
+        |      s -> length(s.text) > 0) AS blocks
+        |  FROM fixture),
+        |fl AS (
+        |  SELECT doc_id, blocks,
+        |    list_filter(blocks, s -> length(s.text) >= ${graft.operators.HtmlExtract.MinChars}
+        |      AND s.link_chars / (length(s.text) * 1.0) <= ${graft.operators.HtmlExtract.MaxLinkDensity}) AS content
+        |  FROM bl)
+        |SELECT doc_id,
+        |  len(blocks)::BIGINT AS n_blocks,
+        |  len(content)::BIGINT AS n_content,
+        |  CASE WHEN coalesce(list_sum(list_transform(blocks, s -> length(s.text))), 0) = 0 THEN 0.0
+        |       ELSE round(1.0 - coalesce(list_sum(list_transform(content, s -> length(s.text))), 0)
+        |              / coalesce(list_sum(list_transform(blocks, s -> length(s.text))), 0)::DOUBLE, 4) END AS boilerplate_share,
+        |  coalesce(array_to_string(list_transform(content, s -> s.text), chr(10)), '') AS extracted_text
+        |FROM fl
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.HtmlExtract.extract(
+          Tables.documents(s, d).select(col("doc_id"),
+            htmlFixture.as("html")),
+          "doc_id", "html")
         .orderBy(col("doc_id"))
     }
   )
