@@ -49,7 +49,8 @@ object GoldenGen {
     * from first principles). */
   val modelArtifacts: Seq[String] =
     Seq("t25_centroids", "t40_codebooks", "t52_merges",
-      "t07_sigs", "t08_sigs", "t13_buckets", "t28_centroids")
+      "t07_sigs", "t08_sigs", "t13_buckets", "t28_centroids",
+      "t57_weights")
 
   /** The t12 hyperplane sign matrix is a pure function of
     * (table, bit, dim) — corpus-independent, so ONE file serves every
@@ -72,6 +73,8 @@ object GoldenGen {
     val MinHashes = 32; val MinHashBands = 8 // t07
     val SemThreshold = 0.9 // t28
     val BpeMerges = 100; val BpeVocab = 4096
+    // t57 logistic regression (target = the DSIR src0/src1 slice)
+    val LrDims = 256; val LrIters = 15; val LrRate = 0.5; val LrRoundDp = 6
   }
 
   /** The verify SFs goldens exist for, with the `customer` row count the
@@ -206,6 +209,13 @@ object GoldenGen {
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("tb.tbl").as("tbl"),
             org.apache.spark.sql.functions.col("tb.bucket").as("bucket"))
+      case "t57_weights" =>
+        graft.operators.Classifier.train(
+            graft.core.Tables.documents(spark, sfDir), "text",
+            org.apache.spark.sql.functions.col("source").isin("src0", "src1"),
+            dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp)
+          .zipWithIndex.map { case (w, b) => (b, w) }
+          .toDF("bucket", "w")
       case "t28_centroids" =>
         graft.operators.IvfIndex.train(
             graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir),

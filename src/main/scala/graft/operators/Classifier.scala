@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature logistic-regression TRAINING — the step that produces
+  * the weights a fastText-style quality/domain classifier (t35's shape)
+  * scores with. Everything upstream of this operator labels data
+  * (heuristic gates, DSIR target slices); this closes the loop by
+  * fitting the weights inside the engine with full-batch gradient
+  * descent, one bounded aggregation per iteration — the
+  * [[IvfIndex.train]] control-plane pattern applied to a linear model.
+  *
+  * Determinism (the property that makes the trained weights
+  * artifact-able, same contract as the k-means centroids):
+  *   - features are md5-hashed unigram buckets (the cross-engine t35
+  *     idiom), tf-normalized per document, plus a bias feature;
+  *   - init = all-zero weights, fixed iteration count, fixed rate (no
+  *     RNG, no convergence test);
+  *   - after each update every weight is ROUNDED to `roundDp` decimals
+  *     (BigDecimal HALF_UP = Spark's round): partial-aggregation order
+  *     perturbs the gradient sums at ~1e-13, and lr·1e-13 is far below
+  *     the half-ulp of the rounding, so the weight sequence is
+  *     bit-identical across runs, partitionings, and cluster sizes.
+  *
+  * Scale shape: the token→bucket feature table is computed ONCE and
+  * cached ((y, n, buckets) — fixed-width rows, no text); each iteration
+  * is one scan of it plus a `dims+1`-cell aggregation shuffle, with the
+  * weight vector riding as a plan literal (broadcast-sized by
+  * construction: 257 doubles). The collect is control-plane
+  * ([[graft.core.Bounded]], exactly dims+1 rows). No per-doc state ever
+  * reaches the driver. */
+object Classifier {
+
+  /** md5 feature bucket in [0, dims) — value-identical to the DuckDB
+    * `('0x' || substr(md5(t),1,4))::BIGINT % dims` (t34/t35/t38). */
+  def bucket(t: Column, dims: Int): Column =
+    conv(substring(md5(t), 1, 4), 16, 10).cast("long") % dims
+
+  /** Lowercased whitespace tokens of non-blank text. */
+  private def toks(text: Column): Column =
+    when(length(trim(coalesce(text, lit("")))) === 0,
+      array().cast("array<string>"))
+      .otherwise(split(trim(lower(coalesce(text, lit("")))), "\\s+"))
+
+  /** Train logistic-regression weights for P(labelCol | text).
+    * Returns `dims + 1` doubles — index `dims` is the bias. */
+  def train(df: DataFrame, textCol: String, labelCol: Column,
+            dims: Int = 256, iters: Int = 15, lr: Double = 0.5,
+            roundDp: Int = 6): Seq[Double] = {
+    require(dims >= 1 && iters >= 1 && lr > 0)
+    // the one corpus-derived table the loop touches: per doc its label,
+    // token count, and the hashed bucket of every token. Fixed-width
+    // rows, cached so iterations read columnar blocks, not text.
+    val feats = df.select(
+        labelCol.cast("int").cast("double").as("y"),
+        toks(col(textCol)).as("__t"))
+      .select(col("y"),
+        size(col("__t")).cast("double").as("n"),
+        transform(col("__t"), t => bucket(t, dims).cast("int")).as("bs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = feats.count().toDouble
+      require(nDocs > 0, "Classifier.train needs a non-empty corpus")
+      var w: IndexedSeq[Double] = IndexedSeq.fill(dims + 1)(0.0)
+      var i = 0
+      while (i < iters) {
+        val wLit = typedLit(w)
+        // margin = mean token weight + bias; the logistic error p - y
+        // fans back out over the SAME bucket array (contribution 1/n
+        // per token) plus one bias cell per doc — a single scan, then
+        // a dims+1-key aggregation of partial sums.
+        val margin = coalesce(
+          aggregate(col("bs"), lit(0.0),
+            (acc, b) => acc + element_at(wLit, b + 1)) /
+            when(col("n") > 0, col("n")).otherwise(lit(1.0)),
+          lit(0.0)) + element_at(wLit, dims + 1)
+        val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("e")
+        val grad = graft.core.Bounded.collect(
+          feats.select(err, col("n"), col("bs"))
+            .select(explode(concat(
+              transform(col("bs"),
+                b => struct(b.as("b"), (col("e") / col("n")).as("g"))),
+              array(struct(lit(dims).as("b"), col("e").as("g"))))).as("c"))
+            .groupBy(col("c.b").as("b"))
+            .agg(sum(col("c.g")).as("g")),
+          dims + 1, "Classifier.train")
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = w.indices.map { b =>
+          java.math.BigDecimal
+            .valueOf(w(b) - lr * grad.getOrElse(b, 0.0) / nDocs)
+            .setScale(roundDp, java.math.RoundingMode.HALF_UP)
+            .doubleValue() + 0.0
+        }
+        i += 1
+      }
+      w
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** Score a corpus with trained weights: (idCol, margin, label) where
+    * margin = w·x (4 dp) and label = keep iff the ROUNDED margin is
+    * positive (⟺ P > 0.5; thresholding the displayed value keeps both
+    * engines deciding on identical doubles — an unrounded threshold
+    * would let ~1e-16 summation-order noise flip a label that sits on
+    * zero). Tokenless documents score the bias alone. Pure scan-stage
+    * row-map; weights ride as a plan literal. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            weights: Seq[Double], dims: Int = 256): DataFrame = {
+    require(weights.length == dims + 1,
+      s"expected ${dims + 1} weights, got ${weights.length}")
+    val wLit = typedLit(weights)
+    val bs = transform(toks(col(textCol)), t => bucket(t, dims).cast("int"))
+    val n = size(bs)
+    val margin = coalesce(
+      aggregate(bs, lit(0.0), (acc, b) => acc + element_at(wLit, b + 1)) /
+        when(n > 0, n.cast("double")).otherwise(lit(1.0)),
+      lit(0.0)) + element_at(wLit, dims + 1)
+    df.select(col(idCol), margin.as("__m"))
+      .select(col(idCol),
+        (round(col("__m"), 4) + 0.0).as("margin"),
+        when(round(col("__m"), 4) > 0, "keep").otherwise("drop").as("label"))
+  }
+}

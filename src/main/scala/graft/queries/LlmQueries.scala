@@ -2380,6 +2380,45 @@ object LlmQueries {
             htmlFixture.as("html")),
           "doc_id", "html")
         .orderBy(col("doc_id"))
+    },
+
+    // TRAINED hashed-feature classifier (operators/Classifier): t35
+    // scores with fixed pseudo-random weights; this trains real ones —
+    // full-batch logistic regression against the DSIR target slice
+    // (source ∈ {src0, src1}, the t38 convention), md5-bucket unigram
+    // features. The committed per-SF weight artifact is training output
+    // ONLY (GoldenSpec pins artifact == live retraining); margin
+    // scoring and the keep/drop threshold are replayed in FULL DuckDB
+    // SQL from it. Labels threshold the ROUNDED margin so both engines
+    // decide on the same value.
+    sql("t57_trained_classifier") {
+      val d = graft.GoldenGen.ModelParams.LrDims
+      s"""WITH w AS (${graft.GoldenGen.artifactSql("t57_weights")}),
+        |tok AS (
+        |  SELECT doc_id, (('0x' || substr(md5(t), 1, 4))::BIGINT % $d) AS bucket
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+        |        FROM documents WHERE length(trim(coalesce(text, ''))) > 0) x),
+        |dot AS (
+        |  SELECT tok.doc_id, sum(w.w) / count(*) AS s
+        |  FROM tok JOIN w ON w.bucket = tok.bucket GROUP BY tok.doc_id),
+        |bias AS (SELECT w FROM w WHERE bucket = $d)
+        |SELECT d.doc_id,
+        |  round(coalesce(dot.s, 0.0) + bias.w, 4) + 0.0 AS margin,
+        |  CASE WHEN round(coalesce(dot.s, 0.0) + bias.w, 4) > 0
+        |       THEN 'keep' ELSE 'drop' END AS label
+        |FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
+        |CROSS JOIN bias
+        |ORDER BY d.doc_id""".stripMargin
+    } { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      val docs = Tables.documents(s, d)
+      val w = graft.operators.Classifier.train(docs, "text",
+        col("source").isin("src0", "src1"),
+        dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp)
+      graft.operators.Classifier.score(docs, "doc_id", "text", w,
+          dims = LrDims)
+        .orderBy(col("doc_id"))
     }
   )
 }
