@@ -50,7 +50,7 @@ object GoldenGen {
   val modelArtifacts: Seq[String] =
     Seq("t25_centroids", "t40_codebooks", "t52_merges",
       "t07_sigs", "t08_sigs", "t13_buckets", "t28_centroids",
-      "t57_weights")
+      "t57_weights", "t58_sigs")
 
   /** The t12 hyperplane sign matrix is a pure function of
     * (table, bit, dim) — corpus-independent, so ONE file serves every
@@ -70,7 +70,8 @@ object GoldenGen {
     val LshBits = 6; val LshTables = 4
     val NearDupBits = 10; val NearDupThreshold = 0.95 // t13
     val SimHamming = 6; val SimBlocks = 7 // t08
-    val MinHashes = 32; val MinHashBands = 8 // t07
+    val MinHashes = 32; val MinHashBands = 8 // t07 + t58
+    val ParaNearDupThreshold = 0.7 // t58 signature-agreement cut
     val SemThreshold = 0.9 // t28
     val BpeMerges = 100; val BpeVocab = 4096
     // t57 logistic regression (target = the DSIR src0/src1 slice)
@@ -209,6 +210,13 @@ object GoldenGen {
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("tb.tbl").as("tbl"),
             org.apache.spark.sql.functions.col("tb.bucket").as("bucket"))
+      case "t58_sigs" =>
+        graft.operators.ParaDedup.signatures(
+            graft.queries.LlmQueries.paraCorpus(spark, sfDir),
+            "doc_id", "text", numHashes = MinHashes)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("para_idx"),
+            org.apache.spark.sql.functions.col("sig"))
       case "t57_weights" =>
         graft.operators.Classifier.train(
             graft.core.Tables.documents(spark, sfDir), "text",

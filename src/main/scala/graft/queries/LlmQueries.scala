@@ -121,6 +121,40 @@ object LlmQueries {
       when(id % 2 === 0, "<footer>Copyright 2024 Example Corp <a href=\"/tos\">Terms of Service</a></footer>").otherwise(""))
   }
 
+  /** The t58 multi-paragraph fixture (modulus fault-injection): the
+    * corpus text as the body paragraph, plus planted template
+    * paragraphs — an exact-shared disclaimer (%3), a 4-variant
+    * newsletter footer (%7), and a near-variant of the disclaimer with
+    * one token appended (%11, the graftdup idiom at paragraph
+    * granularity). Single-sourced with [[paraFixture]]. */
+  private val ParaFixtureSql: String =
+    "coalesce(text, '') || " +
+      "CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'all rights reserved contact support for information' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || 'subscribe to the newsletter for weekly updates issue ' || (doc_id % 4)::VARCHAR ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) || 'all rights reserved contact support for information graftdup' ELSE '' END"
+
+  /** The same fixture as a Spark Column (value-identical to
+    * [[ParaFixtureSql]] — the t58 oracle and artifact pin it). */
+  private[graft] def paraFixture: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      coalesce(col("text"), lit("")),
+      when(id % 3 === 0,
+        "\n\nall rights reserved contact support for information").otherwise(""),
+      when(id % 7 === 0, concat(
+        lit("\n\nsubscribe to the newsletter for weekly updates issue "),
+        id % 4)).otherwise(""),
+      when(id % 11 === 0,
+        "\n\nall rights reserved contact support for information graftdup")
+        .otherwise(""))
+  }
+
+  /** The t58 input corpus: documents with the paragraph fixture as
+    * text — shared by the query definition and the GoldenGen signature
+    * artifact so they cannot diverge. */
+  private[graft] def paraCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"), paraFixture.as("text"))
+
   /** Corpus with planted near-duplicates: every document unioned with a
     * copy (id + 1,000,000) that has one token appended — guarantees the
     * near-dup detectors have real positives to find at any SF. */
@@ -2418,6 +2452,76 @@ object LlmQueries {
         dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp)
       graft.operators.Classifier.score(docs, "doc_id", "text", w,
           dims = LrDims)
+        .orderBy(col("doc_id"))
+    },
+
+    // paragraph-level near-dup scrub (operators/ParaDedup) — the
+    // sub-document dedup pass for template-heavy corpora (shared
+    // disclaimers/footers that never push a DOCUMENT pair over the
+    // near-dup threshold). The oracle replays band collision as slice
+    // equality from the committed per-paragraph signature artifact
+    // (the t07 convention), re-derives anchors, the k/32 agreement
+    // cut, and the per-document rejoin from the fixture text itself.
+    sql("t58_para_dedup") {
+      val nh = graft.GoldenGen.ModelParams.MinHashes
+      val bands = graft.GoldenGen.ModelParams.MinHashBands
+      val rows = nh / bands
+      val thr = graft.GoldenGen.ModelParams.ParaNearDupThreshold
+      s"""WITH sigs0 AS (${graft.GoldenGen.artifactSql("t58_sigs")}),
+        |sigs AS (
+        |  SELECT doc_id, para_idx, doc_id * 1000000 + para_idx AS okey, sig
+        |  FROM sigs0),
+        |banded AS (
+        |  SELECT okey,
+        |    array_to_string(list_slice(sig, b.band * $rows + 1, b.band * $rows + $rows), ',') AS slice,
+        |    b.band AS band
+        |  FROM sigs, (SELECT unnest(range($bands)) AS band) b),
+        |bmin AS (
+        |  SELECT band, slice, min(okey) AS anchor FROM banded GROUP BY band, slice),
+        |cand AS (
+        |  SELECT DISTINCT ba.okey, bm.anchor
+        |  FROM banded ba JOIN bmin bm USING (band, slice)
+        |  WHERE bm.anchor < ba.okey),
+        |dropped AS (
+        |  SELECT DISTINCT c.okey
+        |  FROM cand c
+        |  JOIN sigs a ON a.okey = c.okey
+        |  JOIN sigs b ON b.okey = c.anchor
+        |  WHERE len(list_filter(range($nh), i -> a.sig[i+1] = b.sig[i+1])) / $nh.0 >= $thr),
+        |fixture AS (
+        |  SELECT doc_id, ($ParaFixtureSql) AS ptext FROM documents),
+        |plist AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(ptext, '\\n\\s*\\n'), p -> trim(p)),
+        |      p -> length(p) > 0) AS ps
+        |  FROM fixture),
+        |paras AS (
+        |  SELECT doc_id, s.idx AS para_idx, s.para AS para
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(len(ps)),
+        |            i -> struct_pack(idx := i, para := ps[i+1]))) AS s
+        |        FROM plist)),
+        |pd AS (
+        |  SELECT p.doc_id, p.para_idx, p.para, (d.okey IS NOT NULL) AS dropped
+        |  FROM paras p
+        |  LEFT JOIN dropped d ON d.okey = p.doc_id * 1000000 + p.para_idx),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_paras,
+        |    sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS n_kept,
+        |    coalesce(array_to_string(list(para ORDER BY para_idx)
+        |      FILTER (WHERE NOT dropped), chr(10) || chr(10)), '') AS clean_text
+        |  FROM pd GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_paras, 0)::BIGINT AS n_paras,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    } { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      graft.operators.ParaDedup.scrub(paraCorpus(s, d), "doc_id", "text",
+          numHashes = MinHashes, bands = MinHashBands,
+          threshold = ParaNearDupThreshold)
         .orderBy(col("doc_id"))
     }
   )
