@@ -145,6 +145,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_luhn"),
+      new ExpressionInfo(classOf[GraftLuhn].getName, "graft_luhn"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_luhn expects one string argument")
+        GraftLuhn(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_json_strict"),
       new ExpressionInfo(classOf[GraftJsonStrict].getName, "graft_json_strict"),
       (children: Seq[Expression]) => {

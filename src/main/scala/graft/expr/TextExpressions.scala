@@ -53,6 +53,57 @@ object ShingleSet {
   }
 }
 
+/** Luhn checksum kernel (ISO/IEC 7812): from the right, double every
+  * second digit, subtract 9 from two-digit doubles, total % 10 == 0.
+  * Defined over ASCII-digit strings (the `\b\d{13,19}\b` candidates —
+  * [[graft.operators.PiiRedact]] never feeds it anything else). */
+object Luhn {
+  def valid(s: UTF8String): Boolean = {
+    val bytes = s.getBytes
+    var total = 0
+    var i = bytes.length - 1
+    var double = false
+    while (i >= 0) {
+      var d = bytes(i) - '0'
+      if (double) { d *= 2; if (d > 9) d -= 9 }
+      total += d
+      double = !double
+      i -= 1
+    }
+    total % 10 == 0
+  }
+}
+
+/** Native Luhn validity — replaces the interpreted
+  * `aggregate(sequence(...))` fold
+  * ([[graft.operators.PiiRedact.luhnValidComposed]], kept for the
+  * parity spec). The fold only ran on regex-matched candidates, but a
+  * digit-heavy corpus (code, logs, id dumps) makes candidates the
+  * common case, and each fold evaluation walked an expression tree per
+  * digit; this is one JIT'd call per candidate, safe for the streaming
+  * curation path. Null → null. Registered as SQL `graft_luhn(digits)`. */
+case class GraftLuhn(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_luhn requires string input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_luhn"
+
+  override def nullSafeEval(input: Any): Any =
+    Luhn.valid(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.Luhn.valid($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftLuhn =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram (shingle) array of a document in ONE pass —
   * the blocking unit of every text near-dup detector (t07/t09/t15/t23/
   * t24/t26/t31). The composed Column form evaluates its `transform`

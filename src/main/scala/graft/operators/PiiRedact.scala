@@ -37,12 +37,19 @@ object PiiRedact {
     * maximal-run semantics, identical in Java regex and RE2. */
   val CardRe = "\\b\\d{13,19}\\b"
 
-  /** Luhn checksum (public ISO/IEC 7812 algorithm) as pure column
-    * arithmetic: from the RIGHT, double every second digit, subtract 9
-    * from two-digit doubles, total % 10 == 0. Runs only on regex-
-    * matched candidates (the common no-digit-run path never evaluates
-    * it), so the interpreted higher-order fold is off the hot path. */
-  def luhnValid(s: Column): Column = {
+  /** Luhn checksum validity (public ISO/IEC 7812 algorithm) via the
+    * native [[graft.expr.GraftLuhn]] kernel: one JIT'd call per
+    * regex-matched candidate. Digit-heavy corpora (code, logs, id
+    * dumps) make candidates the common case, so this stays cheap on
+    * the streaming curation path too. */
+  def luhnValid(s: Column): Column = call_function("graft_luhn", s)
+
+  /** Composed-Column reference for [[luhnValid]]: from the RIGHT,
+    * double every second digit, subtract 9 from two-digit doubles,
+    * total % 10 == 0 — evaluated as an interpreted higher-order fold.
+    * Kept for the native-expression parity spec (the
+    * [[graft.operators.Dedup.minHashSignatureComposed]] convention). */
+  def luhnValidComposed(s: Column): Column = {
     val n = length(s)
     val total = aggregate(
       sequence(lit(1), n),

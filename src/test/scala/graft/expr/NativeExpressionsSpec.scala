@@ -2,7 +2,7 @@ package graft.expr
 
 import graft.SparkSpec
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, PiiRedact, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Value parity between the native codegen expressions (graft_cosine,
@@ -92,6 +92,25 @@ class NativeExpressionsSpec extends SparkSpec {
       .filter(col("native") =!= col("composed"))
       .count()
     assert(mismatches == 0)
+  }
+
+  test("graft_luhn equals the composed fold and pins known card vectors") {
+    import testImplicits._
+    // every 13-19-digit run derived from a base counter, plus the
+    // classic test numbers (4111111111111111 valid; +1 neighbor not)
+    val runs = ((0 until 200).map(i => ((1234567890123L + i * 7919L).toString + "0" * (i % 7)).take(19))
+      ++ Seq("4111111111111111", "4111111111111112", "79927398713")).toDF("s")
+    val mismatches = runs.select(
+        PiiRedact.luhnValid(col("s")).as("native"),
+        PiiRedact.luhnValidComposed(col("s")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatches == 0)
+    val pinned = spark.sql(
+      "SELECT graft_luhn('4111111111111111'), graft_luhn('4111111111111112'), " +
+        "graft_luhn('79927398713'), graft_luhn(CAST(NULL AS STRING))")
+      .collect().head
+    assert(pinned.getBoolean(0) && !pinned.getBoolean(1) && pinned.getBoolean(2))
+    assert(pinned.isNullAt(3))
   }
 
   test("TextFunctions.jaccard (native kernel) equals the intersect/union form") {
