@@ -99,26 +99,41 @@ object Classifier {
   }
 
   /** Score a corpus with trained weights: (idCol, margin, label) where
-    * margin = w·x (4 dp) and label = keep iff the ROUNDED margin is
-    * positive (⟺ P > 0.5; thresholding the displayed value keeps both
-    * engines deciding on identical doubles — an unrounded threshold
-    * would let ~1e-16 summation-order noise flip a label that sits on
-    * zero). Tokenless documents score the bias alone. Pure scan-stage
-    * row-map; weights ride as a plan literal. */
+    * margin = w·x rounded to 4 dp and label = keep iff the rounded
+    * margin is positive (⟺ P > 0.5). Tokenless documents score the
+    * bias alone. Pure scan-stage row-map; weights ride as a plan
+    * literal.
+    *
+    * The rounding is EXACT-INTEGER, not floating: the trainer's
+    * per-update rounding makes every weight a 6-dp decimal, so
+    * `w·10^6` is an exact long and the margin `(Σw)/n + bias` is the
+    * rational `T / (10^6·n)` with `T = Σw_int + bias_int·n` computed
+    * without error. Its half-away-from-zero 4-dp rounding is then the
+    * pure integer `sign(T)·((|T| + 50n) div 100n)` — bit-identical in
+    * any engine. A double-sum `round(x, 4)` is NOT: summation order
+    * perturbs x by ~1 ulp, and a margin sitting exactly on a
+    * `…5·10^-5` boundary (common, the inputs being 6-dp rationals)
+    * rounds differently per engine — observed as a one-row 4th-dp
+    * oracle mismatch at sf0.1. */
   def score(df: DataFrame, idCol: String, textCol: String,
             weights: Seq[Double], dims: Int = 256): DataFrame = {
     require(weights.length == dims + 1,
       s"expected ${dims + 1} weights, got ${weights.length}")
-    val wLit = typedLit(weights)
+    // exact: each weight is a 6-dp decimal by the trainer's contract
+    val wLit = typedLit(weights.map(w => math.round(w * 1e6)))
     val bs = transform(toks(col(textCol)), t => bucket(t, dims).cast("int"))
-    val n = size(bs)
-    val margin = coalesce(
-      aggregate(bs, lit(0.0), (acc, b) => acc + element_at(wLit, b + 1)) /
-        when(n > 0, n.cast("double")).otherwise(lit(1.0)),
-      lit(0.0)) + element_at(wLit, dims + 1)
-    df.select(col(idCol), margin.as("__m"))
+    val n = size(bs).cast("long")
+    val sum = aggregate(bs, lit(0L), (acc, b) => acc + element_at(wLit, b + 1))
+    val bias = element_at(wLit, dims + 1)
+    val t = when(n > 0, sum + bias * n).otherwise(bias)
+    val den = when(n > 0, n).otherwise(lit(1L)) * 100L
+    df.select(col(idCol), t.as("__t"), den.as("__d"))
       .select(col(idCol),
-        (round(col("__m"), 4) + 0.0).as("margin"),
-        when(round(col("__m"), 4) > 0, "keep").otherwise("drop").as("label"))
+        (signum(col("__t")).cast("long") *
+          floor((abs(col("__t")) + col("__d") / 2) / col("__d")).cast("long"))
+          .as("__m4"))
+      .select(col(idCol),
+        (col("__m4").cast("double") / 1e4).as("margin"),
+        when(col("__m4") > 0, "keep").otherwise("drop").as("label"))
   }
 }

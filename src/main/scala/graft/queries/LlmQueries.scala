@@ -2427,23 +2427,34 @@ object LlmQueries {
     // decide on the same value.
     sql("t57_trained_classifier") {
       val d = graft.GoldenGen.ModelParams.LrDims
-      s"""WITH w AS (${graft.GoldenGen.artifactSql("t57_weights")}),
+      s"""WITH w AS (
+        |  SELECT bucket, CAST(round(w * 1000000) AS BIGINT) AS wi
+        |  FROM (${graft.GoldenGen.artifactSql("t57_weights")})),
         |tok AS (
         |  SELECT doc_id, (('0x' || substr(md5(t), 1, 4))::BIGINT % $d) AS bucket
         |  FROM (SELECT doc_id,
         |          unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
         |        FROM documents WHERE length(trim(coalesce(text, ''))) > 0) x),
         |dot AS (
-        |  SELECT tok.doc_id, sum(w.w) / count(*) AS s
+        |  SELECT tok.doc_id, sum(w.wi) AS s, count(*) AS n
         |  FROM tok JOIN w ON w.bucket = tok.bucket GROUP BY tok.doc_id),
-        |bias AS (SELECT w FROM w WHERE bucket = $d)
-        |SELECT d.doc_id,
-        |  round(coalesce(dot.s, 0.0) + bias.w, 4) + 0.0 AS margin,
-        |  CASE WHEN round(coalesce(dot.s, 0.0) + bias.w, 4) > 0
-        |       THEN 'keep' ELSE 'drop' END AS label
-        |FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
-        |CROSS JOIN bias
-        |ORDER BY d.doc_id""".stripMargin
+        |bias AS (SELECT wi FROM w WHERE bucket = $d),
+        |m AS (
+        |  -- margin = T/(10^6 n) with T = Σwi + bias·n EXACT in BIGINT;
+        |  -- its 4-dp half-away rounding is the pure integer
+        |  -- sign(T)·((|T| + 50n) // 100n) — bit-identical to the engine
+        |  SELECT d.doc_id,
+        |    coalesce(dot.s + bias.wi * dot.n, bias.wi) AS t,
+        |    coalesce(dot.n, 1) * 100 AS den
+        |  FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
+        |  CROSS JOIN bias),
+        |m4 AS (
+        |  SELECT doc_id, sign(t) * ((abs(t) + den // 2) // den) AS m4 FROM m)
+        |SELECT doc_id,
+        |  m4 / 10000.0 AS margin,
+        |  CASE WHEN m4 > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM m4
+        |ORDER BY doc_id""".stripMargin
     } { (s, d) =>
       import graft.GoldenGen.ModelParams._
       val docs = Tables.documents(s, d)
