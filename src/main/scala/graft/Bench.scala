@@ -1,8 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-min system load average, or -1 where the platform won't say.
+    * Recorded before and after the timed run: past rounds' apparent
+    * per-query regressions (e.g. t16 3.42 s vs 0.87 s clean) were
+    * background load, and without the marker telling a real regression
+    * from a loaded machine needs a manual rerun. */
+  private def loadAvg: Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(l * 100.0) / 100.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val load0 = loadAvg
     // the one engine session config — bench what users run
     val spark = graft.core.Sessions.local("graft-bench")
     // untimed warm-up: JIT + codegen + parquet footer caches, so the
@@ -22,7 +34,7 @@ object Bench {
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nErr = results.count(_._3.nonEmpty)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg}"""
     println(line)
     // also persist the full metric line: the console line can get
     // truncated by log tailing, losing the per-query breakdown that
