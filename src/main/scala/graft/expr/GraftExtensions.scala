@@ -153,6 +153,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[GraftNfc].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc expects one string argument")
+        GraftNfc(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_json_strict"),
       new ExpressionInfo(classOf[GraftJsonStrict].getName, "graft_json_strict"),
       (children: Seq[Expression]) => {

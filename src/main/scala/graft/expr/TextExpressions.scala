@@ -104,6 +104,49 @@ case class GraftLuhn(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC (UAX #15 canonical composition) kernel. The
+  * already-composed fast path dominates real corpora: `isNormalized`
+  * is a scan with no allocation, and only pages that actually carry
+  * decomposed sequences pay the normalize + re-encode. */
+object Nfc {
+  import java.text.Normalizer
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** Native Unicode NFC normalization — Spark has no built-in Unicode
+  * normalizer, and text cleaning must canonically compose decomposed
+  * sequences (`e` + U+0301 → `é`) before any hash/dedup/tokenize pass
+  * or visually identical documents stop comparing equal. One JIT'd
+  * call per row with a zero-allocation already-normalized fast path.
+  * Value-parity with DuckDB's `nfc_normalize` (both implement UAX #15)
+  * is what makes t59 fully SQL-oracled. Null → null. Registered as SQL
+  * `graft_nfc(text)`. */
+case class GraftNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires string input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    Nfc.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.Nfc.normalize($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNfc =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram (shingle) array of a document in ONE pass —
   * the blocking unit of every text near-dup detector (t07/t09/t15/t23/
   * t24/t26/t31). The composed Column form evaluates its `transform`

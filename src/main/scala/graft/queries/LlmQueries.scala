@@ -155,6 +155,52 @@ object LlmQueries {
   private[graft] def paraCorpus(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d).select(col("doc_id"), paraFixture.as("text"))
 
+  /** The t59 encoding-artifact fixture (modulus fault-injection): the
+    * corpus text plus planted cp1252 mojibake (%2 quotes, %3 dashes,
+    * %5 accents), a stray-Â NBSP (%7), zero-width space + BOM (%11),
+    * an NFD decomposed sequence (%13), control chars (%17), and
+    * tab/multi-space runs (%19). Single-sourced with [[normFixture]]. */
+  private val NormFixtureSql: String =
+    "coalesce(text, '') || " +
+      "CASE WHEN doc_id % 2 = 0 THEN ' donâ€™t say â€œno' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' rangeâ€“wide â€” dash' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© and Ã¼ber Ã±o' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' padÂ' || chr(160) || 'ded' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' zero' || chr(8203) || 'width ' || chr(65279) || 'bom' ELSE '' END || " +
+      "CASE WHEN doc_id % 13 = 0 THEN ' nfd e' || chr(769) || ' end' ELSE '' END || " +
+      "CASE WHEN doc_id % 17 = 0 THEN ' bell' || chr(7) || chr(13) || 'line' ELSE '' END || " +
+      "CASE WHEN doc_id % 19 = 0 THEN ' big' || chr(9) || 'gap  two' ELSE '' END"
+
+  /** The same fixture as a Spark Column (value-identical to
+    * [[NormFixtureSql]] — the t59 oracle pins it). */
+  private def normFixture: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      coalesce(col("text"), lit("")),
+      when(id % 2 === 0, " donâ€™t say â€œno").otherwise(""),
+      when(id % 3 === 0, " rangeâ€“wide â€” dash").otherwise(""),
+      when(id % 5 === 0, " cafÃ© and Ã¼ber Ã±o").otherwise(""),
+      when(id % 7 === 0, " pad\u00C2\u00A0ded").otherwise(""),
+      when(id % 11 === 0, " zero\u200Bwidth \uFEFFbom").otherwise(""),
+      when(id % 13 === 0, " nfd e\u0301 end").otherwise(""),
+      when(id % 17 === 0, " bell\u0007\rline").otherwise(""),
+      when(id % 19 === 0, " big\tgap  two").otherwise(""))
+  }
+
+  /** DuckDB replace chain / occurrence count generated from the SAME
+    * repair table the engine folds
+    * ([[graft.operators.TextNormalize.Repairs]]) — the two sides
+    * cannot drift. Patterns contain no quotes; counts use codepoint
+    * lengths, identical in both engines for BMP patterns. */
+  private def normRepairSql(c: String): String =
+    graft.operators.TextNormalize.Repairs.foldLeft(c) {
+      case (acc, (p, r)) => s"replace($acc, '$p', '$r')" }
+
+  private def normRepairCountSql(c: String): String =
+    graft.operators.TextNormalize.Repairs.map { case (p, _) =>
+      s"((length($c) - length(replace($c, '$p', ''))) // ${p.length})" }
+      .mkString("(", " + ", ")")
+
   /** Corpus with planted near-duplicates: every document unioned with a
     * copy (id + 1,000,000) that has one token appended — guarantees the
     * near-dup detectors have real positives to find at any SF. */
@@ -2533,6 +2579,43 @@ object LlmQueries {
       graft.operators.ParaDedup.scrub(paraCorpus(s, d), "doc_id", "text",
           numHashes = MinHashes, bands = MinHashBands,
           threshold = ParaNearDupThreshold)
+        .orderBy(col("doc_id"))
+    },
+
+    // text normalization / encoding repair (operators/TextNormalize):
+    // cp1252 mojibake → original chars (replace chain + counts built
+    // from the SAME Repairs table on both sides), CRLF/CR/TAB + C0
+    // control normalization, zero-width/BOM strip + NBSP → space,
+    // Unicode NFC (native graft_nfc ⟷ DuckDB nfc_normalize, both
+    // UAX #15), space collapse with newlines kept. Modulus
+    // fault-injected fixture fires every stage.
+    sql("t59_text_normalize")(
+      raw"""WITH fixture AS (
+        |  SELECT doc_id, ($NormFixtureSql) AS t FROM documents),
+        |rep AS (
+        |  SELECT doc_id, t,
+        |    ${normRepairSql("t")} AS r,
+        |    ${normRepairCountSql("t")}::BIGINT AS n_repairs
+        |  FROM fixture),
+        |clean AS (
+        |  SELECT doc_id, t, n_repairs,
+        |    trim(regexp_replace(regexp_replace(
+        |      nfc_normalize(
+        |        replace(regexp_replace(
+        |          regexp_replace(
+        |            replace(replace(replace(r,
+        |              chr(13) || chr(10), chr(10)), chr(13), chr(10)), chr(9), ' '),
+        |            '${graft.operators.TextNormalize.ControlClass}', '', 'g'),
+        |          '${graft.operators.TextNormalize.InvisibleClass}', '', 'g'),
+        |        chr(160), ' ')),
+        |      ' {2,}', ' ', 'g'), ' *' || chr(10) || ' *', chr(10), 'g')) AS c
+        |  FROM rep)
+        |SELECT doc_id, n_repairs, (c <> t) AS changed, c AS clean_text
+        |FROM clean
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.TextNormalize.normalize(
+          Tables.documents(s, d).select(col("doc_id"), normFixture.as("text")),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }
   )
