@@ -2617,6 +2617,38 @@ object LlmQueries {
           Tables.documents(s, d).select(col("doc_id"), normFixture.as("text")),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // context-window chunking (operators/Chunker): fixed 64-token
+    // windows advancing by 48 (16-token overlap) — documents into
+    // training-sample-sized pieces, the complement of t29's packing.
+    // Window count ⌈(n-64)/48⌉+1 (1 for short docs, 0 for blank), last
+    // window short-but-novel; start_tok maps windows back into docs.
+    sql("t60_context_chunks")(
+      raw"""WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(coalesce(text, ''))) = 0
+        |         THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) = 0 THEN 0
+        |         WHEN len(ts) <= 64 THEN 1
+        |         ELSE ((len(ts) - 64 + 47) // 48) + 1 END AS k
+        |  FROM tok),
+        |w AS (
+        |  SELECT doc_id, ts, unnest(range(k))::INT AS i FROM k)
+        |SELECT doc_id,
+        |  i AS chunk_idx,
+        |  (i * 48)::BIGINT AS start_tok,
+        |  len(list_slice(ts, i * 48 + 1, i * 48 + 64))::BIGINT AS n_tokens,
+        |  array_to_string(list_slice(ts, i * 48 + 1, i * 48 + 64), ' ') AS chunk_text
+        |FROM w
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      graft.operators.Chunker.chunk(Tables.documents(s, d),
+          "doc_id", "text", size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
   )
 }
