@@ -94,6 +94,29 @@ object HtmlExtract {
         b => struct(blockText(b).as("text"), linkChars(b).as("link_chars"))),
       s => length(s.getField("text")) > 0)
 
+  /** `href="…"` + directly-enclosed text of each anchor, both capture
+    * groups of one pattern. Double-quoted hrefs only (the well-formed
+    * common subset, same trade as the block contract above). */
+  val LinkRe =
+    "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** (doc_id, link_idx, href, anchor_text) — one row per anchor in
+    * document order, anchor text entity-decoded + collapsed like block
+    * text. The anchor-text corpus build (link-graph datasets, anchor
+    * retrieval) starts here. Pure scan-stage row-map + explode, zero
+    * shuffle; NULL html = no links. */
+  def links(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val h = coalesce(col(htmlCol), lit(""))
+    df.select(col(idCol).as("doc_id"),
+        regexp_extract_all(h, lit(LinkRe), lit(1)).as("__h"),
+        regexp_extract_all(h, lit(LinkRe), lit(2)).as("__t"))
+      .select(col("doc_id"),
+        posexplode(col("__h")).as(Seq("link_idx", "href")), col("__t"))
+      .select(col("doc_id"), col("link_idx"), col("href"),
+        blockText(element_at(col("__t"), col("link_idx") + 1))
+          .as("anchor_text"))
+  }
+
   /** (doc_id, n_blocks, n_content, boilerplate_share, extracted_text):
     * content blocks joined by '\n', and the fraction of visible
     * characters discarded as boilerplate (0.0 for an empty page —

@@ -2649,6 +2649,46 @@ object LlmQueries {
       graft.operators.Chunker.chunk(Tables.documents(s, d),
           "doc_id", "text", size = 64, stride = 48)
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // anchor-text corpus (operators/HtmlExtract.links): (href, anchor
+    // text) pairs from every double-quoted <a> tag over the t56 HTML
+    // fixture, aggregated per pair — the link-graph / anchor-retrieval
+    // dataset build. One shuffle (the aggregation); anchor text is
+    // normalized exactly like t56 block text.
+    sql("t61_anchor_texts") {
+      val decode = (x: String) =>
+        s"replace(replace(replace(replace(replace(replace($x, " +
+          "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), " +
+          "'&#39;', ''''), '&amp;', '&')"
+      val norm = (x: String) =>
+        s"trim(regexp_replace(${decode(s"regexp_replace($x, '<[^>]*>', ' ', 'g')")}, '\\s+', ' ', 'g'))"
+      s"""WITH fixture AS (
+        |  SELECT doc_id, ($HtmlFixtureSql) AS html FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>', 1) AS hs,
+        |    regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
+        |  FROM fixture),
+        |e AS (
+        |  SELECT doc_id, unnest(range(len(hs)))::INT AS i, hs, ts FROM l),
+        |p AS (
+        |  SELECT doc_id, hs[i + 1] AS href, ${norm("ts[i + 1]")} AS anchor_text
+        |  FROM e)
+        |SELECT href, anchor_text,
+        |  count(*)::BIGINT AS n_links,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM p GROUP BY href, anchor_text
+        |ORDER BY href, anchor_text""".stripMargin
+    } { (s, d) =>
+      graft.operators.HtmlExtract.links(
+          Tables.documents(s, d).select(col("doc_id"),
+            htmlFixture.as("html")),
+          "doc_id", "html")
+        .groupBy(col("href"), col("anchor_text"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("href"), col("anchor_text"))
     }
   )
 }

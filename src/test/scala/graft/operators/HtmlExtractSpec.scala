@@ -104,4 +104,36 @@ class HtmlExtractSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  private def runLinks(html: String) =
+    Seq((1L, html)).toDF("doc_id", "html")
+      .transform(HtmlExtract.links(_, "doc_id", "html"))
+      .orderBy("link_idx").collect().toSeq
+
+  test("links: href + anchor text pairs in document order") {
+    val rows = runLinks(
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\" class=\"x\">About&nbsp;us</a></nav>" +
+        "<p>see <a href=\"/ref/3\">the   manual</a></p>")
+    assert(rows.map(r => (r.getAs[Int]("link_idx"),
+      r.getAs[String]("href"), r.getAs[String]("anchor_text"))) === Seq(
+      (0, "/", "Home"), (1, "/a", "About us"), (2, "/ref/3", "the manual")))
+  }
+
+  test("links: unquoted/missing href and NULL html yield no rows") {
+    assert(runLinks("<a href=/x>bare</a> <a name=\"n\">no href</a>").isEmpty)
+    assert(Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "html")
+      .transform(HtmlExtract.links(_, "doc_id", "html")).collect().isEmpty)
+  }
+
+  test("links: nested markup ends the anchor capture (no row)") {
+    // the ([^<]*) group cannot match "<b>bold</b>" — under-count contract
+    assert(runLinks("<a href=\"/x\"><b>bold</b></a>").isEmpty)
+  }
+
+  test("links extraction is scan-stage (no shuffle)") {
+    val plan = Seq((1L, "<a href=\"/\">h</a>")).toDF("doc_id", "html")
+      .transform(HtmlExtract.links(_, "doc_id", "html"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
