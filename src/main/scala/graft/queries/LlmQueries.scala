@@ -2689,6 +2689,58 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("href"), col("anchor_text"))
+    },
+
+    // PageRank (operators/PageRank) over a modulus-planted link graph
+    // (≤1000 nodes at any SF; the operator itself is size-agnostic).
+    // The INTEGER recurrence makes the 8-iteration replay expressible
+    // as 8 chained DuckDB CTEs generated from the same constants —
+    // bit-identical with zero rounding hazards (the t57 lesson applied
+    // from the start). Dangling mass dropped; see the operator doc.
+    sql("t62_pagerank") {
+      val iters = 8
+      val cand =
+        """cand AS (
+          |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+          |  WHERE doc_id % 3 = 0)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT v.node, (t.t + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+           |  FROM nodes v
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.r // d.deg)::BIGINT AS s
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = v.node
+           |  CROSS JOIN tele t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cand,
+        |edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |n AS (SELECT count(*)::BIGINT AS c FROM nodes),
+        |r0 AS (SELECT node, (1000000000000 // n.c)::BIGINT AS r
+        |       FROM nodes CROSS JOIN n),
+        |tele AS (SELECT ((15 * (1000000000000 // c)) // 100)::BIGINT AS t FROM n),
+        |$rounds
+        |SELECT node, r AS rank FROM r$iters
+        |ORDER BY node""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 8)
+        .orderBy(col("node"))
     }
   )
 }

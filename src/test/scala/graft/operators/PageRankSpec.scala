@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The integer PageRank recurrence against an in-test reference
+  * implementation of the SAME formula (maps and longs — an independent
+  * evaluation order), plus structure and determinism contracts. */
+class PageRankSpec extends SparkSpec {
+  import testImplicits._
+
+  private val Unit0 = 1000000000000L
+
+  /** Reference: same integer recurrence, driver-side. */
+  private def ref(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2)
+    val nodes = e.flatMap(p => Seq(p._1, p._2))
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val r0 = Unit0 / nodes.size
+    val tele = 15L * r0 / 100L
+    var r = nodes.map(_ -> r0).toMap
+    (1 to iters).foreach { _ =>
+      val s = e.toSeq.map { case (u, v) => v -> r(u) / deg(u) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      r = nodes.map(v => v -> (tele + 85L * s.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] =
+    PageRank.ranks(edges.toDF("src", "dst"), iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the reference recurrence on an asymmetric graph") {
+    val edges = Set[(Long, Long)](
+      (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1), (6, 5))
+    assert(run(edges.toSeq) === ref(edges, 8))
+  }
+
+  test("cycle is symmetric; hub of a star outranks its spokes") {
+    val cyc = run(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(cyc.values.toSet.size === 1)
+    val star = run(Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)))
+    // 2 and 3 receive no in-links: teleport-only, equal, and below the
+    // hub (1 and 9 trade the bulk of the mass between themselves)
+    assert(star(2L) === star(3L))
+    assert(star(9L) > star(2L))
+    assert(star(1L) > star(2L))
+  }
+
+  test("self-loops and duplicate edges are ignored") {
+    val base = Seq((1L, 2L), (2L, 1L))
+    val noisy = base ++ Seq((1L, 1L), (1L, 2L), (2L, 2L))
+    assert(run(noisy) === run(base))
+  }
+
+  test("bit-deterministic across partitionings") {
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 13 + 3) % 40)))
+    val a = PageRank.ranks(edges.toDF("src", "dst").repartition(7), iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = PageRank.ranks(edges.toDF("src", "dst").coalesce(1), iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a.toMap === ref(edges.toSet, 6))
+  }
+
+  test("dangling mass is dropped: totals shrink but stay positive") {
+    val withSink = run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)))
+    assert(withSink.values.sum < Unit0)
+    assert(withSink.values.forall(_ > 0))
+  }
+}
