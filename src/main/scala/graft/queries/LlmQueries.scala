@@ -2741,6 +2741,51 @@ object LlmQueries {
             ((id * 31 + 7) % 1000).as("dst")))
       graft.operators.PageRank.ranks(edges, iters = 8)
         .orderBy(col("node"))
+    },
+
+    // corpus-wide repeated-line scrub (operators/LineScrub): boiler-
+    // plate lines modulus-planted on top of the real text — cookie
+    // banner on every doc, newsletter on 1/7, copyright on 1/2 (all
+    // past the df>50 cut at every SF), a rare notice on 1/97 that
+    // stays UNDER the cut at sf0.001 (df≈11) and crosses it at sf0.01
+    // (df≈103): the threshold boundary is exercised by scale itself.
+    sql("t63_line_scrub")(
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    'Cookie notice: this site uses cookies' || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Subscribe to our newsletter' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN 'Copyright 2024 Example Corp' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 97 = 0 THEN 'Rare regional notice line' || chr(10) ELSE '' END ||
+        |    coalesce(text, '') AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_idx,
+        |    unnest(list_transform(string_split(text, chr(10)), x -> trim(x))) AS line
+        |  FROM fixture),
+        |hot AS (
+        |  SELECT line FROM lines WHERE length(line) > 0
+        |  GROUP BY line HAVING count(DISTINCT doc_id) > 50),
+        |marked AS (
+        |  SELECT l.doc_id, l.line_idx, l.line, h.line IS NOT NULL AS hot
+        |  FROM lines l LEFT JOIN hot h ON h.line = l.line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10) ORDER BY line_idx), '') AS text,
+        |  (count(*) FILTER (WHERE length(line) > 0))::BIGINT AS n_lines,
+        |  (count(*) FILTER (WHERE length(line) > 0 AND NOT hot))::BIGINT AS n_kept
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val id = col("doc_id")
+      val fixture = concat(
+        lit("Cookie notice: this site uses cookies\n"),
+        when(id % 7 === 0, "Subscribe to our newsletter\n").otherwise(""),
+        when(id % 2 === 0, "Copyright 2024 Example Corp\n").otherwise(""),
+        when(id % 97 === 0, "Rare regional notice line\n").otherwise(""),
+        coalesce(col("text"), lit("")))
+      graft.operators.LineScrub.scrub(
+          Tables.documents(s, d).select(id, fixture.as("text")),
+          "doc_id", "text", maxDocFreq = 50)
+        .orderBy(col("doc_id"))
     }
   )
 }
