@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog register sketch (Flajolet et al. 2007) — the mergeable
+  * approximate-distinct structure a 100 TB corpus needs where exact
+  * `countDistinct` would shuffle every value: per-shard vocabulary
+  * size, per-source unique users, cross-snapshot overlap deltas. The
+  * whole corpus reduces map-side to ≤ m=256 register rows per group;
+  * only those partial maxima ever shuffle.
+  *
+  * ENGINE-PARITY-EXACT by construction: bucket and rank are derived
+  * from the md5 hex STRING with pure string/integer ops —
+  *   bucket = value of the first 2 hex chars      (8 bits, m = 256)
+  *   rank   = leading zero bits of the next 60 bits + 1   (1..61)
+  * where the leading-zero count is 4·(leading '0' hex chars) plus a
+  * nibble lookup on the first non-zero char — no log2/float anywhere,
+  * so a DuckDB replay is bit-identical (the md5-parity channel t35
+  * established). Registers are a SET MAXIMUM: order- and
+  * partition-independent, and sketch(A ∪ B) == merge(sketch(A),
+  * sketch(B)) EXACTLY — the property that makes shard-then-merge at
+  * cluster scale free (spec-pinned).
+  *
+  * Absent buckets (no value hashed there) are simply not emitted;
+  * merge and the estimator treat them as rank 0. The float estimator
+  * ([[estimate]]) is standard HLL with linear-counting small-range
+  * correction — deliberately OUTSIDE the oracle-gated surface
+  * (registers are exact, the estimate is an interpretation of them). */
+object HllSketch {
+
+  /** Register table: keyCols ++ (bucket INT, r INT), one row per
+    * non-empty bucket per group, r = max rank. NULL values are
+    * skipped (a sketch counts values, not their absence). */
+  def registers(df: DataFrame, keyCols: Seq[String],
+                value: Column): DataFrame = {
+    val h = md5(value.cast("string"))
+    val hex15 = substring(h, 3, 15)
+    val stripped = ltrim(hex15, "0")
+    val first = substring(stripped, 1, 1)
+    val extra = when(first === "1", 3)
+      .when(first.isin("2", "3"), 2)
+      .when(first.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rank = when(length(stripped) === 0, 61)
+      .otherwise((lit(15) - length(stripped)) * 4 + extra + 1)
+    val keys = keyCols.map(col)
+    df.where(value.isNotNull)
+      .select(keys :+ conv(substring(h, 1, 2), 16, 10).cast("int")
+        .as("bucket") :+ rank.cast("int").as("r"): _*)
+      .groupBy(keys :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Union-max of two register tables with identical key columns —
+    * register-wise EQUAL to sketching the concatenated inputs. */
+  def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    a.unionByName(b).groupBy(keys :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** keyCols ++ (estimate DOUBLE): the HLL cardinality estimate with
+    * linear-counting correction below 2.5·m (m = 256 fixed by the
+    * 2-hex-char bucket). One aggregate over ≤ m rows per group. */
+  def estimate(registers: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val keys = keyCols.map(col)
+    registers.groupBy(keys: _*)
+      .agg(sum(pow(lit(2.0), -col("r"))).as("s"),
+        count(lit(1)).as("nb"))
+      .select(keys :+
+        (lit(alpha * m * m) / (col("s") + (lit(m) - col("nb"))))
+          .as("raw") :+ col("nb"): _*)
+      .select(keys :+
+        when(col("raw") <= 2.5 * m && col("nb") < m,
+          lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("nb"))))
+          .otherwise(col("raw")).as("estimate"): _*)
+  }
+}

@@ -2786,6 +2786,48 @@ object LlmQueries {
           Tables.documents(s, d).select(id, fixture.as("text")),
           "doc_id", "text", maxDocFreq = 50)
         .orderBy(col("doc_id"))
+    },
+
+    // HLL register sketch (operators/HllSketch): per-source distinct-
+    // token registers. bucket/rank derive from the md5 HEX STRING with
+    // pure string/integer ops (leading-'0' count + first-nonzero-
+    // nibble lookup — no log2, no floats), so the replay is
+    // bit-identical; the oracle recomputes them with strpos/ltrim
+    // instead of Spark's conv/when ladder — independent formulations
+    // of the same bit-level contract.
+    sql("t64_hll_registers")(
+      raw"""WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT source, md5(tok) AS h FROM toks WHERE length(tok) > 0),
+        |f AS (
+        |  SELECT source,
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        |    ltrim(substr(h, 3, 15), '0') AS st
+        |  FROM h),
+        |r AS (
+        |  SELECT source, bucket,
+        |    CASE WHEN length(st) = 0 THEN 61
+        |         ELSE (15 - length(st)) * 4 +
+        |           CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |                WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+        |                WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                ELSE 0 END + 1 END AS rank
+        |  FROM f)
+        |SELECT source, bucket::INTEGER AS bucket, max(rank)::INTEGER AS r
+        |FROM r GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+            .as("tok"))
+        .where(length(col("tok")) > 0)
+      graft.operators.HllSketch.registers(toks, Seq("source"), col("tok"))
+        .orderBy(col("source"), col("bucket"))
     }
   )
 }
