@@ -2828,6 +2828,44 @@ object LlmQueries {
         .where(length(col("tok")) > 0)
       graft.operators.HllSketch.registers(toks, Seq("source"), col("tok"))
         .orderBy(col("source"), col("bucket"))
+    },
+
+    // Count–min sketch heavy hitters (operators/CmsSketch): corpus
+    // token frequencies through the Depth=4 × Width=4096 counter
+    // table, candidates = distinct tokens, keep est ≥ 0.5 % of the
+    // stream. Counters are integer sums and the estimate is an integer
+    // min, so the replay is bit-identical; total N = Σ row-0 counters
+    // (each token instance lands in exactly one row-0 cell). The
+    // oracle recomputes cells with the '0x'-cast hex parse (the t57
+    // channel) vs the engine's conv() — independent formulations.
+    sql("t65_cms_heavy_hitters")(
+      raw"""WITH t AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS tok
+        |    FROM documents) x
+        |  WHERE length(tok) > 0),
+        |cells AS (
+        |  SELECT r.j, ('0x' || substr(md5(r.j::VARCHAR || ':' || tok), 1, 3))::BIGINT AS idx,
+        |    count(*) AS c
+        |  FROM t CROSS JOIN range(4) r(j)
+        |  GROUP BY 1, 2),
+        |total AS (SELECT sum(c)::BIGINT AS n FROM cells WHERE j = 0),
+        |vocab AS (SELECT DISTINCT tok FROM t),
+        |est AS (
+        |  SELECT v.tok, min(c.c)::BIGINT AS est
+        |  FROM vocab v CROSS JOIN range(4) r(j)
+        |  JOIN cells c ON c.j = r.j
+        |    AND c.idx = ('0x' || substr(md5(r.j::VARCHAR || ':' || v.tok), 1, 3))::BIGINT
+        |  GROUP BY v.tok)
+        |SELECT tok AS v, est FROM est, total
+        |WHERE est >= ceil(n * 0.005)
+        |ORDER BY est DESC, v""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+          .as("tok"))
+        .where(length(col("tok")) > 0)
+      graft.operators.CmsSketch.heavyHitters(toks, col("tok"), minShare = 0.005)
     }
   )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Counter exactness, mergeability, the no-underestimate guarantee,
+  * and heavy-hitter completeness (no false negatives). */
+class CmsSketchSpec extends SparkSpec {
+  import testImplicits._
+
+  // independent reference: counter index = first 3 md5 hex chars
+  private def refIdx(j: Int, s: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$s".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 3), 16)
+  }
+
+  test("cells match the bit-level reference") {
+    val vals = (0 until 200).map(i => s"tok-${i % 40}")
+    val got = CmsSketch.sketch(vals.toDF("v"), Nil, col("v"))
+      .collect()
+      .map(r => ((r.getAs[Int]("j"), r.getAs[Int]("idx")), r.getAs[Long]("c")))
+      .toMap
+    val expect = vals.flatMap(v => (0 until CmsSketch.Depth).map(j =>
+        (j, refIdx(j, v))))
+      .groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+    assert(got === expect)
+  }
+
+  test("merge of shard sketches equals the sketch of the union") {
+    val a = (0 until 3000).map(i => s"a-${i % 311}").toDF("v")
+    val b = (0 until 3000).map(i => s"b-${i % 97}").toDF("v")
+    val merged = CmsSketch.merge(
+      CmsSketch.sketch(a, Nil, col("v")),
+      CmsSketch.sketch(b, Nil, col("v")), Nil)
+    val whole = CmsSketch.sketch(a.union(b), Nil, col("v"))
+    assert(merged.except(whole).count() === 0)
+    assert(whole.except(merged).count() === 0)
+  }
+
+  test("sketch is partition-independent") {
+    val df = (0 until 2000).map(i => s"x-${i % 500}").toDF("v")
+    val one = CmsSketch.sketch(df.coalesce(1), Nil, col("v"))
+    val many = CmsSketch.sketch(df.repartition(13), Nil, col("v"))
+    assert(one.except(many).count() === 0)
+    assert(many.except(one).count() === 0)
+  }
+
+  test("estimates never underestimate the true count") {
+    val vals = (0 until 10000).map(i => s"w-${i % 800}")
+    val df = vals.toDF("v")
+    val truth = vals.groupBy(identity).map { case (v, xs) => (v, xs.size.toLong) }
+    val est = CmsSketch.estimate(
+        CmsSketch.sketch(df, Nil, col("v")), df.distinct(), col("v"))
+      .collect().map(r => (r.getAs[String]("__v"), r.getAs[Long]("est")))
+    assert(est.length === 800)
+    est.foreach { case (v, e) =>
+      assert(e >= truth(v), s"underestimate for $v: $e < ${truth(v)}")
+    }
+  }
+
+  test("heavy hitters include every truly-heavy value") {
+    // 10 planted heavy tokens (300 each) over a 700-token noise tail
+    val heavy = (0 until 10).flatMap(h => Seq.fill(300)(s"heavy-$h"))
+    val noise = (0 until 2000).map(i => s"noise-${i % 700}")
+    val df = (heavy ++ noise).toDF("v")
+    val n = heavy.size + noise.size // 5000; threshold 0.5% = 25
+    val got = CmsSketch.heavyHitters(df, col("v"), minShare = 0.005)
+      .collect().map(r => (r.getAs[String]("v"), r.getAs[Long]("est"))).toMap
+    (0 until 10).foreach { h =>
+      assert(got.contains(s"heavy-$h"), s"missing heavy-$h")
+      assert(got(s"heavy-$h") >= 300)
+    }
+    // noise tokens appear at most via collision overestimates; every
+    // reported estimate still clears the threshold
+    got.values.foreach(e => assert(e >= math.ceil(n * 0.005).toLong))
+  }
+
+  test("NULL values are skipped, empty input yields no cells") {
+    val df = Seq("x", null: String).toDF("v")
+    assert(CmsSketch.sketch(df, Nil, col("v")).count() === CmsSketch.Depth)
+    assert(CmsSketch.sketch(df.where(lit(false)), Nil, col("v"))
+      .count() === 0)
+  }
+}
