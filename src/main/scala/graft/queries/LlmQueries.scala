@@ -2866,6 +2866,62 @@ object LlmQueries {
           .as("tok"))
         .where(length(col("tok")) > 0)
       graft.operators.CmsSketch.heavyHitters(toks, col("tok"), minShare = 0.005)
+    },
+
+    // Log-linear quantile sketch (operators/QuantileSketch): per-source
+    // document-length percentiles through the mergeable bucket table.
+    // Bucket = 16·floor(log2 v) + top-4 mantissa bits, derived by PURE
+    // INTEGER bit arithmetic (bin()-string length + shifts — no float
+    // log anywhere), and the readout rank/lower-bound math is integer
+    // too, so unlike the HLL float estimator the whole readout is
+    // oracle-gated bit-identically. The oracle re-derives buckets with
+    // DuckDB's native >>/<<//% operators vs the engine's
+    // shiftright/shiftleft/div — independent spellings of the same
+    // exact integers.
+    sql("t66_quantile_sketch")(
+      raw"""WITH d AS (
+        |  SELECT source,
+        |    (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+        |     END)::BIGINT AS v
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    CASE WHEN v = 0 THEN -1
+        |         ELSE (length(bin(v)) - 1) * 16 +
+        |           CASE WHEN length(bin(v)) - 1 >= 4
+        |                THEN ((v >> (length(bin(v)) - 5)) - 16)::INTEGER
+        |                ELSE ((v - (1::BIGINT << (length(bin(v)) - 1)))
+        |                      << (5 - length(bin(v))))::INTEGER END
+        |    END AS bucket
+        |  FROM d),
+        |c AS (SELECT source, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, bucket,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+        |  FROM c),
+        |q AS (SELECT w.*, q_pct
+        |      FROM w CROSS JOIN (VALUES (50), (90), (99)) qq(q_pct)),
+        |sel AS (
+        |  SELECT source, q_pct, n, min(bucket) AS bucket
+        |  FROM q WHERE cum >= (q_pct * n + 99) // 100
+        |  GROUP BY 1, 2, 3)
+        |SELECT source, q_pct,
+        |  CASE WHEN bucket = -1 THEN 0::BIGINT
+        |       WHEN bucket // 16 >= 4
+        |         THEN (16 + bucket % 16)::BIGINT << (bucket // 16 - 4)
+        |       ELSE (16 + bucket % 16)::BIGINT >> (4 - bucket // 16)
+        |  END AS est, n
+        |FROM sel
+        |ORDER BY source, q_pct""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("v"))
+      val sk = graft.operators.QuantileSketch.sketch(docs, Seq("source"), col("v"))
+      graft.operators.QuantileSketch.quantiles(sk, Seq("source"), Seq(50, 90, 99))
+        .orderBy(col("source"), col("q_pct"))
     }
   )
 }
