@@ -24,16 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
-  /** events.ts is stored as parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a Long that we
-    * truncate to microseconds (what DuckDB's reader does too), keeping a
-    * proper TimestampType downstream. */
+  /** events.ts normalization: whatever the corpus writer encoded, downstream
+    * operators always see a UTC `TimestampType` column.
+    *
+    *  - parquet TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong`
+    *    it surfaces as a Long that we truncate to microseconds (what DuckDB's
+    *    reader does too);
+    *  - parquet micros with `isAdjustedToUTC=false` (the common
+    *    pandas/pyarrow no-tz output): Spark 4 reads TIMESTAMP_NTZ; we adopt
+    *    the reference's naive-datetime-is-UTC convention
+    *    (conv/scripts/udbf_file_analysis.py:135-143) — under the engine's UTC
+    *    session zone the cast is value-identical;
+    *  - already-UTC TimestampType passes through. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+    normalizeTs(raw, "ts")
+  }
+
+  /** Normalize a timestamp-ish column to UTC TimestampType regardless of
+    * parquet encoding (nanos-as-Long, TIMESTAMP_NTZ, or TIMESTAMP_LTZ). */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case _: TimestampNTZType =>
+        df.withColumn(colName, org.apache.spark.sql.functions.col(colName).cast(TimestampType))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
