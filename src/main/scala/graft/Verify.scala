@@ -14,6 +14,22 @@ object Verify {
     // the manifest: collect every failure and dump errors.json alongside the
     // parquet results so "fewer rows, all green" can never mask a regression.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Checked corpus invariant (FIXTURES.md §9): the paired `\s+`
+    // tokenization sites are engine-parity-exact only for \x0B-free text
+    // (Java \s includes vertical tab, DuckDB/RE2 \s does not). Assert it
+    // here — where the parity is consumed — so corpus drift surfaces as a
+    // named red row instead of a silent token-count mismatch.
+    try {
+      import org.apache.spark.sql.functions.{col, lit}
+      val vt = graft.core.Tables.documents(spark, sfDir)
+        .where(col("text").contains(lit("\u000B"))).limit(1).count()
+      if (vt > 0)
+        errors("_corpus_invariant_no_vertical_tab") =
+          "documents.text contains \\x0B; Java-vs-RE2 \\s+ tokenization parity is void"
+    } catch { case e: Throwable =>
+      errors("_corpus_invariant_no_vertical_tab") =
+        s"invariant check failed to run: ${e.getMessage}".take(500)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

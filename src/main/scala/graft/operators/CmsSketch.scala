@@ -29,6 +29,18 @@ object CmsSketch {
   val Depth = 4
   val Width = 4096 // 3 hex chars = 12 bits; no modulo, no bias
 
+  /** Column names the sketch/estimate generate; a key column with one of
+    * these names would be silently clobbered and produce wrong groups
+    * with no error, so reject it up front (same guard as QuantileSketch). */
+  private[operators] val reserved = Set("j", "idx", "c", "cell", "est", "__v")
+
+  private def checkKeys(keyCols: Seq[String]): Unit = {
+    val clash = keyCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"key columns ${clash.mkString(", ")} collide with CmsSketch " +
+        s"internal/output names (${reserved.toSeq.sorted.mkString(", ")}); rename them first")
+  }
+
   /** Counter index for hash row j: value of the first 3 hex chars of
     * md5("j:" ++ value). */
   private def idx(j: Int, value: Column): Column =
@@ -45,6 +57,7 @@ object CmsSketch {
     * partition before any exchange — map-side combine is the whole
     * point of the fixed-size layout. */
   def sketch(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
+    checkKeys(keyCols)
     val keys = keyCols.map(col)
     val cells = array((0 until Depth).map(j =>
       struct(lit(j).as("j"), idx(j, value).as("idx"))): _*)
@@ -59,6 +72,7 @@ object CmsSketch {
     * EQUAL to sketching the concatenated inputs (integer sums commute;
     * the merge property that makes shard-then-merge free). */
   def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    checkKeys(keyCols)
     val keys = keyCols.map(col)
     a.unionByName(b)
       .groupBy(keys :+ col("j") :+ col("idx"): _*)
@@ -68,10 +82,11 @@ object CmsSketch {
   /** Point estimates for a candidate column: `cand` ++ (est BIGINT),
     * est = min over the Depth rows of the matching counters. The
     * sketch is counter-bounded (≤ 16 384 rows per group) so the join
-    * broadcasts; candidates stream through it scan-side. Candidates
-    * absent from the sketch entirely (no counter row at ANY of their
-    * cells — possible only if the sketched input was empty) estimate
-    * 0. */
+    * broadcasts; candidates stream through it scan-side. A counter row
+    * ABSENT from the sketch is a zero cell (never incremented), so the
+    * per-cell count coalesces to 0 BEFORE the min — a candidate with
+    * any empty cell correctly estimates 0 (min over nulls would
+    * instead report pure collision mass; pinned-vector spec). */
   def estimate(sk: DataFrame, candidates: DataFrame, cand: Column): DataFrame = {
     val cells = array((0 until Depth).map(j =>
       struct(lit(j).as("j"), idx(j, cand).as("idx"))): _*)
@@ -80,7 +95,7 @@ object CmsSketch {
       .select(col("__v"), col("cell.j").as("j"), col("cell.idx").as("idx"))
       .join(broadcast(sk), Seq("j", "idx"), "left")
       .groupBy(col("__v"))
-      .agg(coalesce(min(col("c")), lit(0L)).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 
   /** Heavy hitters: the distinct values whose sketch estimate is at

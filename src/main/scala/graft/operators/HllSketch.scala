@@ -29,11 +29,24 @@ import org.apache.spark.sql.functions._
   * (registers are exact, the estimate is an interpretation of them). */
 object HllSketch {
 
+  /** Column names the sketch/estimator generate; a key column with one
+    * of these names would be silently clobbered and produce wrong groups
+    * with no error (same guard as CmsSketch/QuantileSketch). */
+  private[operators] val reserved = Set("bucket", "r", "s", "nb", "raw", "estimate")
+
+  private def checkKeys(keyCols: Seq[String]): Unit = {
+    val clash = keyCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"key columns ${clash.mkString(", ")} collide with HllSketch " +
+        s"internal/output names (${reserved.toSeq.sorted.mkString(", ")}); rename them first")
+  }
+
   /** Register table: keyCols ++ (bucket INT, r INT), one row per
     * non-empty bucket per group, r = max rank. NULL values are
     * skipped (a sketch counts values, not their absence). */
   def registers(df: DataFrame, keyCols: Seq[String],
                 value: Column): DataFrame = {
+    checkKeys(keyCols)
     val h = md5(value.cast("string"))
     val hex15 = substring(h, 3, 15)
     val stripped = ltrim(hex15, "0")
@@ -55,6 +68,7 @@ object HllSketch {
   /** Union-max of two register tables with identical key columns —
     * register-wise EQUAL to sketching the concatenated inputs. */
   def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    checkKeys(keyCols)
     val keys = keyCols.map(col)
     a.unionByName(b).groupBy(keys :+ col("bucket"): _*)
       .agg(max(col("r")).as("r"))
@@ -64,6 +78,7 @@ object HllSketch {
     * linear-counting correction below 2.5·m (m = 256 fixed by the
     * 2-hex-char bucket). One aggregate over ≤ m rows per group. */
   def estimate(registers: DataFrame, keyCols: Seq[String]): DataFrame = {
+    checkKeys(keyCols)
     val m = 256
     val alpha = 0.7213 / (1 + 1.079 / m)
     val keys = keyCols.map(col)

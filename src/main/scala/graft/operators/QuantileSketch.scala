@@ -34,6 +34,19 @@ object QuantileSketch {
   /** Sub-buckets per octave: 16 = top-4 mantissa bits. */
   val K = 16
 
+  /** Column names the sketch/readout generate; a key column with one of
+    * these names would be silently clobbered by withColumn/select and
+    * produce wrong groups with no error, so reject it up front. */
+  private[operators] val reserved =
+    Set("bucket", "c", "cum", "n", "q_pct", "est", "__qs_v", "__qs_e")
+
+  private def checkKeys(keyCols: Seq[String]): Unit = {
+    val clash = keyCols.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"key columns ${clash.mkString(", ")} collide with QuantileSketch " +
+        s"internal/output names (${reserved.toSeq.sorted.mkString(", ")}); rename them first")
+  }
+
   /** The sketch as a table: keyCols ++ (bucket INT, c BIGINT), one row
     * per non-empty bucket per group (absent buckets are zero, the
     * HLL/CMS convention). NULL and negative values are skipped. One
@@ -41,6 +54,7 @@ object QuantileSketch {
     * before any exchange — map-side combine is the point of the
     * bounded layout. */
   def sketch(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
+    checkKeys(keyCols)
     val keys = keyCols.map(col)
     df.where(value.isNotNull && value >= 0)
       .select(keys :+ value.cast("long").as("__qs_v"): _*)
@@ -60,6 +74,7 @@ object QuantileSketch {
   /** Bucket-wise sum of two sketches with identical key columns —
     * EQUAL to sketching the concatenated inputs. */
   def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    checkKeys(keyCols)
     val keys = keyCols.map(col)
     a.unionByName(b).groupBy(keys :+ col("bucket"): _*)
       .agg(sum(col("c")).as("c"))
@@ -85,6 +100,7 @@ object QuantileSketch {
     * estimator this readout IS oracle-gated. Runs on the bounded bucket
     * table only: the window partitions carry <= ~1000 rows per group. */
   def quantiles(sk: DataFrame, keyCols: Seq[String], pcts: Seq[Int]): DataFrame = {
+    checkKeys(keyCols)
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100]: $pcts")
     val keys = keyCols.map(col)

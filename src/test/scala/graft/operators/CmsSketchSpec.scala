@@ -83,4 +83,44 @@ class CmsSketchSpec extends SparkSpec {
     assert(CmsSketch.sketch(df.where(lit(false)), Nil, col("v"))
       .count() === 0)
   }
+
+  // Pinned point-query vectors: the expected estimate for every candidate
+  // (present AND absent) is computed by an INDEPENDENT in-spec CMS built
+  // from java MessageDigest — min over depth rows of the summed collision
+  // cells, the Cormode & Muthukrishnan 2005 readout evaluated outside
+  // Spark. Exact equality pins the whole md5 → idx → left-join → min
+  // channel, not just the no-underestimate inequality.
+  test("point estimates equal the independent reference CMS exactly") {
+    val stream = (0 until 3000).map(i => s"tok-${i % 250}")
+    val truthCells: Map[(Int, Int), Long] = stream
+      .flatMap(v => (0 until CmsSketch.Depth).map(j => (j, refIdx(j, v))))
+      .groupBy(identity).map { case (k, xs) => (k, xs.size.toLong) }
+    def refEstimate(v: String): Long =
+      (0 until CmsSketch.Depth)
+        .map(j => truthCells.getOrElse((j, refIdx(j, v)), 0L)).min
+
+    val candidates = ((0 until 250).map(i => s"tok-$i") ++
+      (0 until 50).map(i => s"absent-$i")).toDF("v")
+    val got = CmsSketch.estimate(
+        CmsSketch.sketch(stream.toDF("v"), Nil, col("v")),
+        candidates, col("v"))
+      .collect().map(r => (r.getAs[String]("__v"), r.getAs[Long]("est")))
+      .toMap
+    assert(got.size === 300)
+    got.foreach { case (v, e) =>
+      assert(e === refEstimate(v), s"estimate mismatch for $v")
+    }
+    // absent candidates may only read collision mass, never negative
+    (0 until 50).foreach(i => assert(got(s"absent-$i") >= 0L))
+  }
+
+  test("key columns colliding with internal names are rejected") {
+    val df = Seq((1, "x")).toDF("j", "v")
+    intercept[IllegalArgumentException] {
+      CmsSketch.sketch(df, Seq("j"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      CmsSketch.merge(df, df, Seq("idx"))
+    }
+  }
 }

@@ -62,4 +62,39 @@ class HllSketchSpec extends SparkSpec {
     assert(HllSketch.registers(df.where(lit(false)), Seq("g"),
       col("v")).count() === 0)
   }
+
+  // The float estimator is deliberately outside the oracle gate; these
+  // pinned vectors give it a non-oracle truth anchor. Each register
+  // table is hand-built and the expected estimate is the closed form of
+  // Flajolet et al. 2007 §4 evaluated by hand (m = 256,
+  // alpha = 0.7213 / (1 + 1.079/m)), NOT re-derived from the code.
+  test("estimator matches hand-computed closed forms on synthetic register tables") {
+    def estOf(regs: Seq[(String, Int, Int)]): Double =
+      HllSketch.estimate(regs.toDF("g", "bucket", "r"), Seq("g"))
+        .collect()(0).getAs[Double]("estimate")
+
+    // 32 of 256 buckets present: raw ≈ 196.1 ≤ 2.5m and nb < m, so the
+    // linear-counting branch fires: 256·ln(256/224).
+    val lc = estOf((0 until 32).map(b => ("g", b, 1)))
+    assert(math.abs(lc - 34.18403651187778) < 1e-9, s"linear-counting $lc")
+
+    // All 256 buckets rank 8: s = 256·2⁻⁸ = 1, estimate = α·m² exactly.
+    val full = estOf((0 until 256).map(b => ("g", b, 8)))
+    assert(math.abs(full - 47072.71267120224) < 1e-8, s"raw-branch $full")
+
+    // All 256 buckets rank 1: raw = α·m²/128 ≈ 367.8 ≤ 2.5m BUT nb = m,
+    // so linear counting must NOT fire (it would divide by zero).
+    val sat = estOf((0 until 256).map(b => ("g", b, 1)))
+    assert(math.abs(sat - 367.7555677437675) < 1e-9, s"saturated $sat")
+  }
+
+  test("key columns colliding with internal names are rejected") {
+    val df = Seq((1, "x")).toDF("bucket", "v")
+    intercept[IllegalArgumentException] {
+      HllSketch.registers(df, Seq("bucket"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      HllSketch.estimate(df.toDF("r", "v"), Seq("r"))
+    }
+  }
 }

@@ -98,4 +98,17 @@ class QuantileSketchSpec extends SparkSpec {
     val sk = QuantileSketch.sketch(df, Seq("g"), col("v")).collect()
     assert(sk.length === 1 && sk(0).getAs[Long]("c") === 1L)
   }
+
+  test("key columns colliding with internal/output names are rejected") {
+    val df = Seq(("g", 1L)).toDF("bucket", "v")
+    intercept[IllegalArgumentException] {
+      QuantileSketch.sketch(df, Seq("bucket"), col("v"))
+    }
+    intercept[IllegalArgumentException] {
+      QuantileSketch.quantiles(df.toDF("n", "v"), Seq("n"), Seq(50))
+    }
+    intercept[IllegalArgumentException] {
+      QuantileSketch.merge(df, df, Seq("c"))
+    }
+  }
 }
