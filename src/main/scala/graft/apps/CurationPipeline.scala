@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{ConnectedComponents, Dedup}
+import graft.operators.{ConnectedComponents, Dedup, HtmlExtract, LineScrub,
+  ParaDedup, TextNormalize}
 
 /** End-to-end training-data curation: the composition a user of this
   * engine runs over a raw document corpus —
@@ -114,6 +115,55 @@ object CurationPipeline {
       .select(col("doc_id"), col("lang"), col("rn"))
       .orderBy(col("lang"), col("rn"))
   }
+
+  /** Crawl pre-pass: raw HTML pages → clean paragraph-structured text,
+    * the composition a crawl snapshot runs BEFORE [[curate]] —
+    *
+    *   1. main-content extraction ([[HtmlExtract.extract]]: block
+    *      segmentation + text/link-density classification),
+    *   2. encoding repair / normalization ([[TextNormalize.clean]]:
+    *      mojibake, controls, invisibles, NFC, space collapse),
+    *   3. paragraph structure: content blocks become blank-line-
+    *      separated paragraphs (each block is one whitespace-collapsed
+    *      line, so '\n' → '\n\n' is exact),
+    *   4. corpus-wide repeated-line scrub ([[LineScrub.scrub]]: a
+    *      block whose text recurs in > `lineMaxDocFreq` distinct
+    *      documents is cross-site boilerplate the density heuristics
+    *      could not see),
+    *   5. optionally ([[crawlPrePassWithParaDedup]]) paragraph-level
+    *      MinHash near-dup scrub ([[ParaDedup.scrub]]) for the
+    *      template variants exact matching misses.
+    *
+    * Output: (doc_id, text, n_lines, n_kept) — scrubbed text with
+    * paragraph breaks preserved (feed `.curate()` after joining back
+    * page metadata). Oracled end-to-end as `t67_crawl_pipeline`.
+    *
+    * Scale shape: stages 1-3 are ONE scan-stage projection (no UDF, no
+    * shuffle — the plan stays FileScan → Project until the scrub's
+    * `repartition(line)`, asserted in CurationPipelineSpec); stage 4
+    * shuffles line text once and kept text once. At 100 TB the whole
+    * pre-pass is two exchanges over post-extraction bytes. */
+  def crawlPrePass(pages: DataFrame, idCol: String, htmlCol: String,
+                   lineMaxDocFreq: Int = 50): DataFrame = {
+    val cleaned = HtmlExtract.extract(pages, idCol, htmlCol)
+      .select(col("doc_id"),
+        regexp_replace(TextNormalize.clean(col("extracted_text")),
+          "\n", "\n\n").as("text"))
+    LineScrub.scrub(cleaned, "doc_id", "text", lineMaxDocFreq)
+  }
+
+  /** [[crawlPrePass]] + the paragraph near-dup scrub (stage 5): the
+    * scrubbed text is already blank-line-paragraphed, so ParaDedup's
+    * granularity is exactly the surviving content blocks. Returns
+    * (doc_id, n_paras, n_kept, clean_text). */
+  def crawlPrePassWithParaDedup(pages: DataFrame, idCol: String,
+      htmlCol: String, lineMaxDocFreq: Int = 50,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame =
+    ParaDedup.scrub(
+      crawlPrePass(pages, idCol, htmlCol, lineMaxDocFreq),
+      "doc_id", "text",
+      numHashes = numHashes, bands = bands, threshold = threshold)
 
   /** Run the full curation flow and also report per-stage survivor
     * counts. Returns the curated documents (original columns).

@@ -78,17 +78,23 @@ object TextNormalize {
   def collapseSpaces(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, " {2,}", " "), " *\n *", "\n"))
 
+  /** The full cleaning chain (stages 1-5) as one Column — the unit the
+    * crawl pre-pass composes between extraction and the line scrub
+    * without paying [[normalize]]'s fixed output schema. */
+  def clean(c: Column): Column =
+    collapseSpaces(
+      call_function("graft_nfc",
+        stripInvisibles(normalizeControls(repairMojibake(c)))))
+
   /** (doc_id, n_repairs, changed, clean_text): the full pipeline, with
     * the mojibake diagnostic count and a changed flag (NULL text
     * normalizes to '' and reads unchanged). */
   def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = coalesce(col(textCol), lit(""))
-    val clean = collapseSpaces(
-      call_function("graft_nfc",
-        stripInvisibles(normalizeControls(repairMojibake(base)))))
+    val cleaned = clean(base)
     df.select(col(idCol).as("doc_id"),
         repairCount(base).as("n_repairs"),
-        clean.as("__clean"), base.as("__base"))
+        cleaned.as("__clean"), base.as("__base"))
       .select(col("doc_id"), col("n_repairs"),
         (col("__clean") =!= col("__base")).as("changed"),
         col("__clean").as("clean_text"))

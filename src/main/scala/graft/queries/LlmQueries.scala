@@ -223,6 +223,18 @@ object LlmQueries {
           (x, i) => when(i === 0, x + lit(0.05f)).otherwise(x)).as("embedding")))
     }
 
+  /** Materialize the shared corpus checkpoints ([[plantedCorpus]] +
+    * [[plantedEmbeddings]]) outside any timed region. Bench calls this in
+    * its untimed warm-up so the one-off checkpoint cost stops being
+    * attributed to whichever query happens to run first (it wandered
+    * between t16/t22/t30 across rounds, making per-query comparison
+    * noisy). Verify/specs don't need it — correctness is unaffected by
+    * who pays the materialization. */
+  def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    plantedCorpus(s, d).count()
+    plantedEmbeddings(s, d).count()
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     sql("t01_token_stats")(
@@ -2922,6 +2934,86 @@ object LlmQueries {
       val sk = graft.operators.QuantileSketch.sketch(docs, Seq("source"), col("v"))
       graft.operators.QuantileSketch.quantiles(sk, Seq("source"), Seq(50, 90, 99))
         .orderBy(col("source"), col("q_pct"))
+    },
+
+    // E2E crawl pre-pass (apps/CurationPipeline.crawlPrePass): the t56
+    // HTML extraction, t59 normalization, and t63 repeated-line scrub
+    // COMPOSED over the HTML fixture — raw pages in, clean paragraph-
+    // structured text out. The oracle replays all three stages in one
+    // SQL (same extraction rules, same clean chain, same df>50 cut on
+    // the post-extraction block lines); the plan contract (scan-stage
+    // until the scrub's line repartition) is asserted in
+    // CurationPipelineSpec. Templates the density heuristics keep
+    // (the %11 entity paragraph, %13 remark — content by text/link
+    // density) are exactly what the frequency cut then removes once
+    // their doc-frequency crosses 50, which scale itself decides.
+    sql("t67_crawl_pipeline")(
+      raw"""WITH fixture AS (
+        |  SELECT doc_id, ($HtmlFixtureSql) AS html
+        |  FROM documents),
+        |bl AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(
+        |        string_split_regex(html, '(?i)</(?:p|div|nav|footer|header|li|h[1-6]|ul|ol|table|section|article|aside)>'),
+        |        b -> struct_pack(
+        |          text := trim(regexp_replace(
+        |            replace(replace(replace(replace(replace(replace(
+        |              regexp_replace(b, '<[^>]*>', ' ', 'g'),
+        |              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |            '\s+', ' ', 'g')),
+        |          link_chars := coalesce(list_sum(list_transform(
+        |            regexp_extract_all(b, '(?i)<a[^>]*>([^<]*)</a>', 1),
+        |            a -> length(trim(regexp_replace(
+        |              replace(replace(replace(replace(replace(replace(a,
+        |                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |              '\s+', ' ', 'g'))))), 0))),
+        |      s -> length(s.text) > 0) AS blocks
+        |  FROM fixture),
+        |ex AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_transform(
+        |      list_filter(blocks, s -> length(s.text) >= ${graft.operators.HtmlExtract.MinChars}
+        |        AND s.link_chars / (length(s.text) * 1.0) <= ${graft.operators.HtmlExtract.MaxLinkDensity}),
+        |      s -> s.text), chr(10)), '') AS et
+        |  FROM bl),
+        |norm AS (
+        |  SELECT doc_id,
+        |    replace(
+        |      trim(regexp_replace(regexp_replace(
+        |        nfc_normalize(
+        |          replace(regexp_replace(
+        |            regexp_replace(
+        |              replace(replace(replace(${normRepairSql("et")},
+        |                chr(13) || chr(10), chr(10)), chr(13), chr(10)), chr(9), ' '),
+        |              '${graft.operators.TextNormalize.ControlClass}', '', 'g'),
+        |            '${graft.operators.TextNormalize.InvisibleClass}', '', 'g'),
+        |          chr(160), ' ')),
+        |        ' {2,}', ' ', 'g'), ' *' || chr(10) || ' *', chr(10), 'g')),
+        |      chr(10), chr(10) || chr(10)) AS text
+        |  FROM ex),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS line_idx,
+        |    unnest(list_transform(string_split(text, chr(10)), x -> trim(x))) AS line
+        |  FROM norm),
+        |hot AS (
+        |  SELECT line FROM lines WHERE length(line) > 0
+        |  GROUP BY line HAVING count(DISTINCT doc_id) > 50),
+        |marked AS (
+        |  SELECT l.doc_id, l.line_idx, l.line, h.line IS NOT NULL AS hot
+        |  FROM lines l LEFT JOIN hot h ON h.line = l.line)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10) ORDER BY line_idx), '') AS text,
+        |  (count(*) FILTER (WHERE length(line) > 0))::BIGINT AS n_lines,
+        |  (count(*) FILTER (WHERE length(line) > 0 AND NOT hot))::BIGINT AS n_kept
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      graft.apps.CurationPipeline.crawlPrePass(
+          Tables.documents(s, d).select(col("doc_id"),
+            htmlFixture.as("html")),
+          "doc_id", "html", lineMaxDocFreq = 50)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -89,6 +89,81 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  // ---- crawl pre-pass (t67): extract -> normalize -> line scrub ----
+
+  private def pages = {
+    // 8 pages: chrome on all (nav pure-link, heading short), a unique
+    // body paragraph, a shared disclaimer block on every page (df=8 >
+    // maxDocFreq=3 -> scrubbed), mojibake in the body of doc 2
+    val body = (i: Long) =>
+      s"<p>Body paragraph number $i with enough characters to count.</p>"
+    (0L until 8L).map { i =>
+      val moji = if (i == 2) "<p>It was cafÃ© fresh donâ€™t argue with the text here.</p>" else ""
+      (i, "<header><h1>T</h1></header>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+        body(i) + moji +
+        "<div>This exact legal disclaimer appears on every single page.</div>")
+    }.toDF("doc_id", "html")
+  }
+
+  test("crawl pre-pass composes extract, normalize, and line scrub") {
+    val out = CurationPipeline.crawlPrePass(pages, "doc_id", "html",
+      lineMaxDocFreq = 3).orderBy("doc_id").collect()
+    assert(out.length == 8)
+    // chrome never extracted; shared disclaimer scrubbed by frequency
+    val t0 = out(0).getAs[String]("text")
+    // trailing blank line: the paragraph separator is structure and
+    // survives even when the paragraph after it was scrubbed (the
+    // LineScrub blank-line contract)
+    assert(t0 == "Body paragraph number 0 with enough characters to count.\n")
+    assert(out(0).getAs[Long]("n_lines") == 2L) // body + disclaimer
+    assert(out(0).getAs[Long]("n_kept") == 1L)
+    // doc 2: mojibake repaired by the normalize stage, both paragraphs
+    // kept (unique), blank-line paragraph structure preserved
+    val t2 = out(2).getAs[String]("text")
+    assert(t2.contains("café fresh don’t argue"))
+    assert(t2.contains("\n\n"), "paragraph breaks must survive the scrub")
+    assert(out(2).getAs[Long]("n_kept") == 2L)
+  }
+
+  test("crawl pre-pass stays scan-stage until the line-scrub shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+    // extraction + normalization alone: ZERO exchanges — one projection
+    val prePass = graft.operators.HtmlExtract.extract(pages, "doc_id", "html")
+      .select(col("doc_id"),
+        graft.operators.TextNormalize.clean(col("extracted_text")).as("text"))
+    prePass.collect()
+    def collectPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => collectPlans(a.executedPlan)
+        case s: QueryStageExec => collectPlans(s.plan)
+        case _ => Nil
+      }
+      p +: (inner ++ p.children.flatMap(collectPlans))
+    }
+    val preNodes = collectPlans(prePass.queryExecution.executedPlan)
+    assert(!preNodes.exists(_.isInstanceOf[Exchange]),
+      "extract+normalize must not shuffle")
+
+    // full pre-pass: the FIRST exchange (bottom-most) must be the line
+    // scrub's hashpartitioning(line) — nothing upstream shuffles
+    val full = CurationPipeline.crawlPrePass(pages, "doc_id", "html",
+      lineMaxDocFreq = 3)
+    full.collect()
+    val shuffles = collectPlans(full.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    // every shuffle key is either the line text or the doc regroup —
+    // no other exchange sneaks in
+    shuffles.foreach { e =>
+      val expr = e.outputPartitioning.toString
+      assert(expr.contains("line") || expr.contains("doc_id"),
+        s"unexpected exchange: $expr")
+    }
+  }
+
   test("density knobs bound candidate volume without losing planted near-dups") {
     // a tight doc-frequency cap prunes the candidate space hard...
     val (sampled, report) = CurationPipeline.run(corpus,
