@@ -3,9 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Comparator
 
-/** Regenerates (a) the golden expected-output parquet file for the one
-  * query whose semantics are not DuckDB-expressible (u11: HMAC-SHA256
-  * over raw bytes) and (b) the TRAINED-MODEL / signature artifacts
+/** Regenerates the TRAINED-MODEL / signature artifacts
   * (t25 k-means centroids, t40 PQ codebooks, t12 LSH hyperplane signs,
   * t07 MinHash / t08 SimHash / t13 LSH-bucket signature tables, t28
   * centroids, t52 BPE merges) from which those queries' candidate
@@ -30,16 +28,17 @@ import java.util.Comparator
   */
 object GoldenGen {
 
-  /** The queries gated by golden OUTPUT files. Down to ONE: u11
-    * (HMAC-SHA256 over raw bytes is not DuckDB-expressible;
-    * javax.crypto parity + the GoldenSpec status spot-check gate it).
-    * Every other formerly-golden query (t07/t08/t12/t13/t25/t28/t40)
-    * is replayed by FULL DuckDB SQL from a committed model/signature
-    * artifact — t07's oracle re-derives band collisions by SLICE
-    * equality from the per-doc signature table and re-verifies exact
-    * Jaccard from the corpus text, so only the xxhash64 signature
-    * itself stays artifact-gated. */
-  val goldenQueries: Seq[String] = Seq("u11_webhook_gate")
+  /** The queries gated by golden OUTPUT files. Down to ZERO: every
+    * formerly-golden query (t07/t08/t12/t13/t25/t28/t40, finally u11)
+    * is replayed by FULL DuckDB SQL — either from a committed
+    * model/signature artifact (t07's oracle re-derives band collisions
+    * by SLICE equality from the per-doc signature table and re-verifies
+    * exact Jaccard from the corpus text, so only the xxhash64 signature
+    * itself stays artifact-gated) or closed-form from the corpus (u11:
+    * on its fixture the HMAC check's outcome is decided by
+    * construction, so the status table derives from the modulus rules
+    * alone — WebhookQueries). */
+  val goldenQueries: Seq[String] = Seq.empty
 
   /** Trained-model artifacts exported per SF so the ANN queries'
     * SCORING + top-k can be replayed independently in DuckDB
@@ -94,16 +93,15 @@ object GoldenGen {
 
   def hyperplanePath: String = s"$goldenRoot/models/$hyperplaneArtifact.parquet"
 
-  /** Oracle SQL selecting the golden matching the runtime corpus, with a
-    * deterministic outer ordering. A final sentinel branch (schema
-    * borrowed from the first golden, rows impossible) raises a DuckDB
-    * `error(...)` when the corpus size matches NO golden slot — without
-    * it every branch is silently false and an un-goldened SF surfaces as
-    * a baffling zero-row hash mismatch instead of a diagnosable failure.
-    * The CASE is what defers `error` evaluation to the no-slot case
-    * (AND operand order is not guaranteed; CASE branches are). */
-  /** SF-branched `read_parquet` union over `goldenPath(sf, name)` —
-    * shared by the golden-output oracles and the model-artifact CTEs. */
+  /** SF-branched `read_parquet` union over `goldenPath(sf, name)` — the
+    * model-artifact CTE selecting the artifact matching the runtime
+    * corpus. A final sentinel branch (schema borrowed from the first
+    * slot, rows impossible) raises a DuckDB `error(...)` when the
+    * corpus size matches NO slot — without it every branch is silently
+    * false and an un-goldened SF surfaces as a baffling zero-row hash
+    * mismatch instead of a diagnosable failure. The CASE is what defers
+    * `error` evaluation to the no-slot case (AND operand order is not
+    * guaranteed; CASE branches are). */
   private def branchedRead(name: String): String = {
     val branches = sfTags.map { case (tag, nCust) =>
       s"""SELECT * FROM read_parquet('${goldenPath(tag, name)}')
@@ -117,9 +115,6 @@ object GoldenGen {
          |                 (SELECT count(*) FROM customer)::VARCHAR)) END""".stripMargin
     (branches :+ sentinel).mkString("\nUNION ALL\n")
   }
-
-  def oracleSql(name: String, orderBy: String): String =
-    s"SELECT * FROM (\n${branchedRead(name)}\n) ORDER BY $orderBy"
 
   /** The per-SF model artifact as a subquery usable inside a WITH
     * clause: `<cte> AS (SELECT * FROM (...branched...))`. */

@@ -20,17 +20,48 @@ import QueryDef.sql
   *
   * Overlapping ids resolve by the reference's check order (415 before
   * token before signature before parse — `sevenio/app.py:40-60`).
-  * HMAC-SHA256 is not DuckDB-expressible (sha256 there is VARCHAR-only;
-  * the inner digest is raw bytes), so the gate is golden-oracled like
-  * the xxhash64 detectors; `WebhookGateSpec` pins the MAC bit-identical
-  * to javax.crypto.Mac and the precedence table closed-form. */
+  *
+  * The oracle is FULL closed-form SQL: on this fixture the signature
+  * check's outcome is decided by CONSTRUCTION (sig is the MAC of the
+  * received body except on %5, where it was computed over a body the
+  * receiver never saw), so the oracle re-derives every status from the
+  * modulus rules + the reference's check order + DuckDB's own
+  * json_valid — no engine output feeds it. That is a STRONGER gate
+  * than a golden replay: an HMAC implementation that collapsed
+  * (constant digest) would admit the %5 rows and go red here, while a
+  * golden generated from the same engine would stay green.
+  * `WebhookGateSpec` separately pins the MAC bit-identical to
+  * javax.crypto.Mac and the precedence table closed-form.
+  *
+  * Parity caveats, both corpus-checked: DuckDB `json_valid` rejects
+  * the NaN/Infinity literals `graft_json_strict` accepts (json.loads
+  * parity) — the corpus contains none — and a NULL props would 401 in
+  * the engine (NULL sig never matches) where the mirror branch below
+  * keeps the same verdict. */
 object WebhookQueries {
 
   private val Secret = "graft-webhook-secret"
 
   val all: Seq[QueryDef] = Seq(
     sql("u11_webhook_gate")(
-      graft.GoldenGen.oracleSql("u11_webhook_gate", "event_id")) { (s, d) =>
+      """WITH req AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN props || 'x' ELSE props END AS body
+        |  FROM events),
+        |v AS (
+        |  SELECT event_id, coalesce(body, '') AS body,
+        |    CASE WHEN event_id % 11 = 0 THEN 415
+        |         WHEN event_id % 7 = 0 THEN 401
+        |         WHEN strlen(coalesce(body, '')) > 16384 THEN 413
+        |         WHEN event_id % 5 = 0 THEN 401
+        |         WHEN body IS NULL THEN 401
+        |         WHEN NOT json_valid(coalesce(body, '')) THEN 400
+        |         ELSE 200 END AS status
+        |  FROM req)
+        |SELECT event_id, status,
+        |  CASE WHEN status = 200 THEN 1 ELSE 0 END AS admitted,
+        |  CASE WHEN status = 200 THEN body ELSE '' END AS payload
+        |FROM v ORDER BY event_id""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
       val body = when(col("event_id") % 3 === 0, concat(col("props"), lit("x")))
         .otherwise(col("props"))

@@ -63,42 +63,29 @@ class GoldenSpec extends SparkSpec {
         s"sign row ($t, $b) drifted")
   }
 
-  test("u11 golden spot-check: statuses recomputed from the fault-injection rules") {
-    // independent of WebhookGate.admit: re-derive the expected status of
-    // a sample of event ids straight from the modulus rules and the
-    // reference's check order (415 → 401 token → 401 sig → 400 parse →
-    // 200), and compare against the committed golden rows
+  test("u11 closed-form check: live statuses match the fault-injection rules") {
+    // independent of WebhookGate.admit AND of the DuckDB oracle: every
+    // status of the LIVE query must follow from the modulus rules and
+    // the reference's check order (415 → 401 token → 401 sig → 400
+    // parse → 200) — the in-engine half of the gate now that u11's
+    // oracle is closed-form SQL (goldenQueries is empty)
     def expectedStatus(id: Long): Int =
       if (id % 11 == 0) 415
       else if (id % 7 == 0) 401
       else if (id % 5 == 0) 401
       else if (id % 3 == 0) 400
       else 200
-    val golden = spark.read.parquet(GoldenGen.goldenPath("sf0.001", "u11_webhook_gate"))
+    val live = SparkEntry.queries("u11_webhook_gate")(spark, "/root/testdata/sf0.001")
       .select("event_id", "status", "admitted").collect()
-    assert(golden.nonEmpty)
-    // cover every branch: the first 3 ids of each modulus class + 200s
-    val byClass = golden.groupBy(r => expectedStatus(r.getLong(0)))
+    assert(live.nonEmpty)
+    val byClass = live.groupBy(r => expectedStatus(r.getLong(0)))
     assert(byClass.keySet == Set(200, 400, 401, 415), "a branch is unexercised")
-    byClass.values.flatMap(_.take(3)).foreach { r =>
+    live.foreach { r =>
       val (id, status, admitted) = (r.getLong(0), r.getInt(1), r.getInt(2))
       assert(status == expectedStatus(id),
-        s"golden status for event $id disagrees with the modulus rules")
+        s"live status for event $id disagrees with the modulus rules")
       assert(admitted == (if (status == 200) 1 else 0),
         s"admitted flag inconsistent for event $id")
-    }
-  }
-
-  test("golden oracle SQL selects per-SF goldens by corpus size") {
-    GoldenGen.goldenQueries.foreach { name =>
-      val sql = SparkEntry.oracleSql.getOrElse(name,
-        fail(s"$name has no oracle entry"))
-      GoldenGen.sfTags.foreach { case (sfTag, nCust) =>
-        assert(sql.contains(GoldenGen.goldenPath(sfTag, name)),
-          s"$name oracle does not read its $sfTag golden")
-        assert(sql.contains(s"= $nCust"),
-          s"$name oracle does not guard on the $sfTag corpus size")
-      }
     }
   }
 }
