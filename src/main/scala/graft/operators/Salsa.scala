@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SALSA hub/authority scoring over a link graph (Lempel & Moran 2000,
+  * "The Stochastic Approach for Link-Structure Analysis") — the
+  * degree-normalized sibling of HITS that large link-analysis systems
+  * actually deploy (it is the classic who-to-crawl / link-spam signal
+  * next to PageRank's t62): authority mass flows backward along links
+  * from hubs, hub mass forward from authorities, each step normalized
+  * by the LOCAL degree, so no global norm is ever needed.
+  *
+  * INTEGER-EXACT fixpoint, the t62 discipline: score mass lives in
+  * integer units of `unit`, every division is a BIGINT floor —
+  *
+  *   h₀(u)   = unit div N
+  *   aₖ(v)   = Σ_{u→v} (hₖ₋₁(u) div outdeg(u))
+  *   hₖ(u)   = Σ_{u→v} (aₖ(v)   div indeg(v))
+  *
+  * — a pure integer recurrence, bit-identical in any engine, any
+  * partitioning, any summation order. Unlike HITS proper there is no
+  * global L2 rescale (whose sqrt would poison integer exactness and
+  * whose 128-bit products would overflow BIGINT on large graphs):
+  * local degree normalization keeps every score ≤ the total mass
+  * `unit`, so the arithmetic never leaves Long range at ANY graph
+  * size. Floor truncation loses ≤ deg units per node per half-step
+  * (~10^-12 relative) — deterministic, documented, mirrored by the
+  * oracle.
+  *
+  * Scale shape: edges with both degrees attached are materialized ONCE
+  * (lazy localCheckpoint — 2·iters consumers must not re-derive the
+  * edge subtree); each half-step is one join (scores ⋈ edges) and one
+  * aggregation shuffle over (id, long)-thin rows. The recurrence is
+  * pure lineage — no per-iteration action; the only driver scalar is
+  * the node count. */
+object Salsa {
+
+  /** (node, hub, auth) for every node of `edges` (columns src, dst).
+    * Self-loops and duplicate edges are ignored. Nodes with no
+    * out-links have hub 0 after one iteration; no in-links, auth 0 —
+    * both still appear in the output (a scorer must not drop nodes). */
+  def scores(edges: DataFrame, iters: Int = 6,
+             unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val ed = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .join(e.groupBy(col("dst")).agg(count(lit(1)).as("indeg")), "dst")
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    // scalar count action — control-plane, never row data to the driver
+    val n = nodes.count()
+    require(n > 0, "SALSA needs a non-empty graph")
+    var h = nodes.select(col("node"), lit(unit / n).as("h"))
+    var a = nodes.select(col("node"), lit(0L).as("a"))
+    var i = 0
+    while (i < iters) {
+      a = nodes.join(
+          ed.join(h, ed("src") === h("node"))
+            .select(ed("dst"), floor(h("h") / ed("outdeg")).cast("long").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("s")),
+          nodes("node") === col("dst"), "left")
+        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("a"))
+      h = nodes.join(
+          ed.join(a, ed("dst") === a("node"))
+            .select(ed("src"), floor(a("a") / ed("indeg")).cast("long").as("c"))
+            .groupBy(col("src")).agg(sum(col("c")).as("s")),
+          nodes("node") === col("src"), "left")
+        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("h"))
+      i += 1
+    }
+    h.join(a.withColumnRenamed("node", "__an"), col("node") === col("__an"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+}

@@ -3014,6 +3014,67 @@ object LlmQueries {
             htmlFixture.as("html")),
           "doc_id", "html", lineMaxDocFreq = 50)
         .orderBy(col("doc_id"))
+    },
+
+    // SALSA hub/authority scores (operators/Salsa) over the same
+    // planted link graph as t62 — the degree-normalized HITS sibling
+    // (local normalization keeps the fixpoint integer-exact where
+    // HITS' global L2 rescale could not be). Replay = 6 chained CTE
+    // pairs generated from the same constants, bit-identical (DuckDB
+    // // vs Spark floor-div on non-negative BIGINTs).
+    sql("t68_salsa") {
+      val iters = 6
+      val cand =
+        """cand AS (
+          |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+          |  WHERE doc_id % 3 = 0)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""a$k AS (
+           |  SELECT v.node, coalesce(s.s, 0)::BIGINT AS a
+           |  FROM nodes v
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(h.h // d.outdeg)::BIGINT AS s
+           |    FROM edges e
+           |    JOIN h${k - 1} h ON h.node = e.src
+           |    JOIN odeg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = v.node),
+           |h$k AS (
+           |  SELECT v.node, coalesce(s.s, 0)::BIGINT AS h
+           |  FROM nodes v
+           |  LEFT JOIN (
+           |    SELECT e.src AS node, sum(a.a // i.indeg)::BIGINT AS s
+           |    FROM edges e
+           |    JOIN a$k a ON a.node = e.dst
+           |    JOIN ideg i ON i.dst = e.dst
+           |    GROUP BY e.src) s ON s.node = v.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cand,
+        |edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+        |odeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+        |ideg AS (SELECT dst, count(*)::BIGINT AS indeg FROM edges GROUP BY dst),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |n AS (SELECT count(*)::BIGINT AS c FROM nodes),
+        |h0 AS (SELECT node, (1000000000000 // n.c)::BIGINT AS h
+        |       FROM nodes CROSS JOIN n),
+        |$rounds
+        |SELECT h.node, h.h AS hub, a.a AS auth
+        |FROM h$iters h JOIN a$iters a ON a.node = h.node
+        |ORDER BY h.node""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+      graft.operators.Salsa.scores(edges, iters = 6)
+        .orderBy(col("node"))
     }
   )
 }
