@@ -74,6 +74,18 @@ object HllSketch {
       .agg(max(col("r")).as("r"))
   }
 
+  /** Collapse grouping keys: the rolled-up sketch over the union of the
+    * dropped groups — register-wise MAX, equal to sketching the
+    * concatenated raw inputs (the distributed pattern: sketch per
+    * shard/day/source, roll up without touching raw data again; t70
+    * oracles the path against a direct global computation). `keepKeys`
+    * retains a key prefix. */
+  def rollup(registers: DataFrame, keepKeys: Seq[String] = Nil): DataFrame = {
+    checkKeys(keepKeys)
+    registers.groupBy(keepKeys.map(col) :+ col("bucket"): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
   /** keyCols ++ (estimate DOUBLE): the HLL cardinality estimate with
     * linear-counting correction below 2.5·m (m = 256 fixed by the
     * 2-hex-char bucket). One aggregate over ≤ m rows per group. */

@@ -80,6 +80,19 @@ object QuantileSketch {
       .agg(sum(col("c")).as("c"))
   }
 
+  /** Collapse grouping keys: the rolled-up sketch over the union of the
+    * dropped groups — bucket-wise integer SUM, equal to sketching the
+    * concatenated raw inputs (the distributed pattern: sketch per
+    * shard/partition/day, roll up without ever touching raw data
+    * again; t69 oracles the whole path against a direct global
+    * computation). `keepKeys` retains a key prefix (e.g. roll daily
+    * sketches up to monthly). */
+  def rollup(sk: DataFrame, keepKeys: Seq[String] = Nil): DataFrame = {
+    checkKeys(keepKeys)
+    sk.groupBy(keepKeys.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Lower bound of the column literally named `bucket` — pure shifts,
     * the readout estimate: (16+sub)·2^(e-4), computed as a left shift
     * for e >= 4 and a right shift below (exact: sub is then a multiple

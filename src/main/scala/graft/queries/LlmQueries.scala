@@ -3075,6 +3075,102 @@ object LlmQueries {
             ((id * 31 + 7) % 1000).as("dst")))
       graft.operators.Salsa.scores(edges, iters = 6)
         .orderBy(col("node"))
+    },
+
+    // Sketch ROLLUP, quantile family (operators/QuantileSketch.rollup):
+    // the distributed pattern the mergeable layout exists for — sketch
+    // per source shard, roll up to a global sketch by bucket-wise sum
+    // WITHOUT touching raw data again, read out corpus-wide
+    // percentiles. The oracle computes the same percentiles DIRECTLY
+    // from every document globally, so the whole per-shard + merge
+    // path is proven equal to the one-pass computation at corpus
+    // scale (the spec's merge property, elevated to the oracle gate).
+    sql("t69_quantile_rollup")(
+      raw"""WITH d AS (
+        |  SELECT (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+        |     END)::BIGINT AS v
+        |  FROM documents),
+        |b AS (
+        |  SELECT CASE WHEN v = 0 THEN -1
+        |         ELSE (length(bin(v)) - 1) * 16 +
+        |           CASE WHEN length(bin(v)) - 1 >= 4
+        |                THEN ((v >> (length(bin(v)) - 5)) - 16)::INTEGER
+        |                ELSE ((v - (1::BIGINT << (length(bin(v)) - 1)))
+        |                      << (5 - length(bin(v))))::INTEGER END
+        |    END AS bucket
+        |  FROM d),
+        |c AS (SELECT bucket, count(*)::BIGINT AS c FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT bucket,
+        |    sum(c) OVER (ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER ()::BIGINT AS n
+        |  FROM c),
+        |q AS (SELECT w.*, q_pct
+        |      FROM w CROSS JOIN (VALUES (25), (50), (75), (90), (99)) qq(q_pct)),
+        |sel AS (
+        |  SELECT q_pct, n, min(bucket) AS bucket
+        |  FROM q WHERE cum >= (q_pct * n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT q_pct,
+        |  CASE WHEN bucket = -1 THEN 0::BIGINT
+        |       WHEN bucket // 16 >= 4
+        |         THEN (16 + bucket % 16)::BIGINT << (bucket // 16 - 4)
+        |       ELSE (16 + bucket % 16)::BIGINT >> (4 - bucket // 16)
+        |  END AS est, n
+        |FROM sel
+        |ORDER BY q_pct""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("v"))
+      val perSource =
+        graft.operators.QuantileSketch.sketch(docs, Seq("source"), col("v"))
+      val global = graft.operators.QuantileSketch.rollup(perSource)
+      graft.operators.QuantileSketch
+        .quantiles(global, Seq.empty, Seq(25, 50, 75, 90, 99))
+        .orderBy(col("q_pct"))
+    },
+
+    // Sketch ROLLUP, HLL family (operators/HllSketch.rollup): global
+    // distinct-token registers obtained by register-wise MAX over the
+    // per-source sketches — the oracle derives the global registers
+    // directly from every token, proving merge(sketch(shards)) ==
+    // sketch(union) at corpus scale.
+    sql("t70_hll_rollup")(
+      raw"""WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT md5(tok) AS h FROM toks WHERE length(tok) > 0),
+        |f AS (
+        |  SELECT
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket,
+        |    ltrim(substr(h, 3, 15), '0') AS st
+        |  FROM h),
+        |r AS (
+        |  SELECT bucket,
+        |    CASE WHEN length(st) = 0 THEN 61
+        |         ELSE (15 - length(st)) * 4 +
+        |           CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |                WHEN substr(st, 1, 1) IN ('2', '3') THEN 2
+        |                WHEN substr(st, 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                ELSE 0 END + 1 END AS rank
+        |  FROM f)
+        |SELECT bucket::INTEGER AS bucket, max(rank)::INTEGER AS r
+        |FROM r GROUP BY bucket
+        |ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+            .as("tok"))
+        .where(length(col("tok")) > 0)
+      val perSource =
+        graft.operators.HllSketch.registers(toks, Seq("source"), col("tok"))
+      graft.operators.HllSketch.rollup(perSource)
+        .orderBy(col("bucket"))
     }
   )
 }

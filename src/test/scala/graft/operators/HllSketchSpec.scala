@@ -40,6 +40,16 @@ class HllSketchSpec extends SparkSpec {
     assert(whole.except(merged).count() === 0)
   }
 
+  test("rollup collapses keys to the sketch of the concatenated groups") {
+    val df = (0 until 3000).map(i => (s"src${i % 5}", s"t-${i % 900}"))
+      .toDF("g", "v")
+    val rolled = HllSketch.rollup(HllSketch.registers(df, Seq("g"), col("v")))
+    val direct = HllSketch.registers(
+      df.withColumn("g", lit("all")), Seq("g"), col("v")).drop("g")
+    assert(rolled.except(direct).count() === 0)
+    assert(direct.except(rolled).count() === 0)
+  }
+
   test("registers are partition-independent") {
     val df = (0 until 2000).map(i => ("g", s"x-$i")).toDF("g", "v")
     val one = HllSketch.registers(df.coalesce(1), Seq("g"), col("v"))

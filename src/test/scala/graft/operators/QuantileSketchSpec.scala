@@ -60,6 +60,24 @@ class QuantileSketchSpec extends SparkSpec {
     assert(whole.except(merged).count() === 0)
   }
 
+  test("rollup collapses keys to the sketch of the concatenated groups") {
+    val df = (1 to 5000)
+      .map(i => (s"src${i % 4}", (i * 7919L) % 20000)).toDF("g", "v")
+    val rolled = QuantileSketch.rollup(
+      QuantileSketch.sketch(df, Seq("g"), col("v")))
+    val direct = QuantileSketch.sketch(
+      df.withColumn("g", lit("all")), Seq("g"), col("v")).drop("g")
+    assert(rolled.except(direct).count() === 0)
+    assert(direct.except(rolled).count() === 0)
+    // keepKeys retains a prefix: per-g rollup of (g, v%2)-keyed sketches
+    val two = QuantileSketch.sketch(
+      df.withColumn("h", col("v") % 2), Seq("g", "h"), col("v"))
+    val kept = QuantileSketch.rollup(two, Seq("g"))
+    val perG = QuantileSketch.sketch(df, Seq("g"), col("v"))
+    assert(kept.except(perG).count() === 0)
+    assert(perG.except(kept).count() === 0)
+  }
+
   test("sketch is partition-independent") {
     val df = (1 to 2000).map(i => ("g", i.toLong * 13)).toDF("g", "v")
     val one = QuantileSketch.sketch(df.coalesce(1), Seq("g"), col("v"))
