@@ -3171,6 +3171,73 @@ object LlmQueries {
         graft.operators.HllSketch.registers(toks, Seq("source"), col("tok"))
       graft.operators.HllSketch.rollup(perSource)
         .orderBy(col("bucket"))
+    },
+
+    // ANN index-quality audit (operators/AnnEval): recall@20 of the
+    // IVF probe path vs exact brute-force cosine, per query point
+    // (vec_id % 97 — a sample-sized broadcast set). The oracle replays
+    // assignment + probing from the committed t25 centroid artifact,
+    // both rank-within-query top-k sets at the rounded-sim/id-tiebreak
+    // convention, and the hit count — a pruning regression (bad
+    // centroids, too-narrow nprobe) surfaces as a recall drop here
+    // while t25 alone could stay green on its single query.
+    sql("t71_ivf_recall") {
+      val cos = (a: String, b: String) =>
+        s"""CASE WHEN sqrt(list_dot_product($a, $a))
+           |          * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+           |     ELSE list_dot_product($a, $b)
+           |          / (sqrt(list_dot_product($a, $a))
+           |             * sqrt(list_dot_product($b, $b))) END""".stripMargin
+      s"""WITH cents AS (${graft.GoldenGen.artifactSql("t25_centroids")}),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings WHERE vec_id % 97 = 0),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC,
+        |        c.cluster) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT q.qid, c.cluster,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        ${cos("q.qv", "c.centroid")} DESC, c.cluster) AS rn
+        |    FROM q CROSS JOIN cents c) t
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, a.cluster,
+        |    round(${cos("e.embedding::DOUBLE[]", "q.qv")}, 4) AS s
+        |  FROM embeddings e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+        |    FROM scored) t
+        |  WHERE rn <= 20),
+        |ivf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT sc.qid, sc.vec_id,
+        |      row_number() OVER (PARTITION BY sc.qid ORDER BY sc.s DESC, sc.vec_id) AS rn
+        |    FROM scored sc JOIN probes p ON p.qid = sc.qid AND p.cluster = sc.cluster) t
+        |  WHERE rn <= 20)
+        |SELECT x.qid, count(i.vec_id)::BIGINT AS n_hit,
+        |  round(count(i.vec_id) / 20.0, 4) AS recall
+        |FROM exact x
+        |LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+        |GROUP BY x.qid
+        |ORDER BY x.qid""".stripMargin
+    } { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      graft.operators.AnnEval.ivfRecall(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = Dims,
+          queryPred = col("vec_id") % 97 === 0, k = 20,
+          kClusters = IvfClusters, iters = IvfIters, nprobe = IvfProbe)
+        .orderBy(col("qid"))
     }
   )
 }

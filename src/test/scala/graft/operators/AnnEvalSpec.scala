@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall semantics of the ANN evaluation harness on planted
+  * geometries where the right answer is known by construction. */
+class AnnEvalSpec extends SparkSpec {
+  import testImplicits._
+
+  private val dims = 8
+
+  /** Two well-separated axis clusters of 30 vectors each, queries in
+    * both: probing enough clusters must give perfect recall. */
+  private def twoClusters = {
+    val rows = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(dims)(d =>
+        if (d == 0) 10f else (i % 3) * 0.01f))
+    } ++ (0 until 30).map { i =>
+      (100L + i, Array.tabulate(dims)(d =>
+        if (d == 1) 10f else (i % 3) * 0.01f))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("probing all clusters recovers exact top-k: recall 1.0 everywhere") {
+    val out = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
+        queryPred = col("vec_id") % 29 === 0, k = 5,
+        kClusters = 2, iters = 2, nprobe = 2)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") == 5L, s"query ${r.getLong(0)} missed")
+      assert(r.getAs[Double]("recall") == 1.0)
+    }
+  }
+
+  test("nprobe=1 on separated clusters still finds same-cluster neighbors") {
+    // neighbors of an axis-0 query live in its own cluster: pruning to
+    // one probe must not cost recall on this geometry
+    val out = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
+        queryPred = col("vec_id") === 0, k = 5,
+        kClusters = 2, iters = 2, nprobe = 1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("recall") == 1.0)
+  }
+
+  test("recall degrades when the probe misses a relevant cluster") {
+    // query halfway between the two clusters: its true top-k straddles
+    // both, so nprobe=1 must lose some of them (and the harness must
+    // SAY so rather than report 1.0)
+    val straddler = Seq((500L,
+      Array.tabulate(dims)(d => if (d <= 1) 7f else 0f)))
+      .toDF("vec_id", "embedding")
+    val df = twoClusters.unionAll(straddler)
+    val full = AnnEval.ivfRecall(df, "vec_id", "embedding", dims,
+        queryPred = col("vec_id") === 500, k = 20,
+        kClusters = 2, iters = 2, nprobe = 2).collect().head
+    val pruned = AnnEval.ivfRecall(df, "vec_id", "embedding", dims,
+        queryPred = col("vec_id") === 500, k = 20,
+        kClusters = 2, iters = 2, nprobe = 1).collect().head
+    assert(full.getAs[Double]("recall") == 1.0)
+    assert(pruned.getAs[Double]("recall") < 1.0)
+    assert(pruned.getAs[Long]("n_hit") < 20L)
+  }
+
+  test("deterministic: repartitioned input gives identical recall rows") {
+    val a = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
+        queryPred = col("vec_id") % 7 === 0, k = 5,
+        kClusters = 2, iters = 2, nprobe = 1)
+      .orderBy("qid").collect().toSeq
+    val b = AnnEval.ivfRecall(twoClusters.repartition(13), "vec_id",
+        "embedding", dims,
+        queryPred = col("vec_id") % 7 === 0, k = 5,
+        kClusters = 2, iters = 2, nprobe = 1)
+      .orderBy("qid").collect().toSeq
+    assert(a == b)
+  }
+}
