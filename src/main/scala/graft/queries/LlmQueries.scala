@@ -3238,6 +3238,49 @@ object LlmQueries {
           queryPred = col("vec_id") % 97 === 0, k = 20,
           kClusters = IvfClusters, iters = IvfIters, nprobe = IvfProbe)
         .orderBy(col("qid"))
+    },
+
+    // Embedding-space decontamination (operators/EmbedDecontaminate):
+    // the semantic complement of t24/t36's n-gram overlap — benchmark =
+    // the original %83 slice of the planted embedding corpus, so each
+    // benchmark row's planted near-copy (+1,000,000, first component
+    // nudged) is a GUARANTEED contaminated positive at the 0.95
+    // near-dup threshold while unrelated vectors stay below it. FULL
+    // SQL oracle replays the planting, the broadcast-side max, and the
+    // threshold on rounded sims.
+    sql("t72_embedding_decontamination") {
+      val thr = graft.GoldenGen.ModelParams.NearDupThreshold
+      s"""WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    ([ (embedding[1]::FLOAT + 0.05::FLOAT) ] || embedding[2:])::DOUBLE[] AS v
+        |  FROM embeddings),
+        |bench AS (
+        |  SELECT v FROM emb WHERE vec_id % 83 = 0 AND vec_id < 1000000),
+        |corp AS (
+        |  SELECT vec_id, v FROM emb
+        |  WHERE NOT (vec_id % 83 = 0 AND vec_id < 1000000)),
+        |s AS (
+        |  SELECT c.vec_id,
+        |    max(round(
+        |      CASE WHEN sqrt(list_dot_product(c.v, c.v))
+        |                * sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |           ELSE list_dot_product(c.v, b.v)
+        |                / (sqrt(list_dot_product(c.v, c.v))
+        |                   * sqrt(list_dot_product(b.v, b.v))) END, 4)) AS m
+        |  FROM corp c CROSS JOIN bench b
+        |  GROUP BY c.vec_id)
+        |SELECT vec_id, m AS max_benchmark_sim, (m >= $thr) AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin
+    } { (s, d) =>
+      val emb = plantedEmbeddings(s, d)
+      val isBench = col("vec_id") % 83 === 0 && col("vec_id") < 1000000L
+      graft.operators.EmbedDecontaminate.flag(
+          emb.filter(!isBench), emb.filter(isBench),
+          "vec_id", "embedding",
+          threshold = graft.GoldenGen.ModelParams.NearDupThreshold)
+        .orderBy(col("vec_id"))
     }
   )
 }
