@@ -41,26 +41,38 @@ object HllSketch {
         s"internal/output names (${reserved.toSeq.sorted.mkString(", ")}); rename them first")
   }
 
-  /** Register table: keyCols ++ (bucket INT, r INT), one row per
-    * non-empty bucket per group, r = max rank. NULL values are
-    * skipped (a sketch counts values, not their absence). */
-  def registers(df: DataFrame, keyCols: Seq[String],
-                value: Column): DataFrame = {
-    checkKeys(keyCols)
-    val h = md5(value.cast("string"))
-    val hex15 = substring(h, 3, 15)
+  /** The register BUCKET of a value (value of the first 2 md5 hex
+    * chars, 0..255) — exposed so compositions that cannot group by
+    * plain column names (streaming time windows) build the same
+    * layout. */
+  def bucketCol(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 2), 16, 10).cast("int")
+
+  /** The register RANK of a value (leading zero bits of the next 60
+    * md5 bits + 1, 1..61) — same bit contract as [[registers]]. */
+  def rankCol(value: Column): Column = {
+    val hex15 = substring(md5(value.cast("string")), 3, 15)
     val stripped = ltrim(hex15, "0")
     val first = substring(stripped, 1, 1)
     val extra = when(first === "1", 3)
       .when(first.isin("2", "3"), 2)
       .when(first.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
-    val rank = when(length(stripped) === 0, 61)
+    when(length(stripped) === 0, 61)
       .otherwise((lit(15) - length(stripped)) * 4 + extra + 1)
+      .cast("int")
+  }
+
+  /** Register table: keyCols ++ (bucket INT, r INT), one row per
+    * non-empty bucket per group, r = max rank. NULL values are
+    * skipped (a sketch counts values, not their absence). */
+  def registers(df: DataFrame, keyCols: Seq[String],
+                value: Column): DataFrame = {
+    checkKeys(keyCols)
     val keys = keyCols.map(col)
     df.where(value.isNotNull)
-      .select(keys :+ conv(substring(h, 1, 2), 16, 10).cast("int")
-        .as("bucket") :+ rank.cast("int").as("r"): _*)
+      .select(keys :+ bucketCol(value).as("bucket")
+        :+ rankCol(value).as("r"): _*)
       .groupBy(keys :+ col("bucket"): _*)
       .agg(max(col("r")).as("r"))
   }
