@@ -3281,6 +3281,49 @@ object LlmQueries {
           "vec_id", "embedding",
           threshold = graft.GoldenGen.ModelParams.NearDupThreshold)
         .orderBy(col("vec_id"))
+    },
+
+    // Systematic PPS sampling (operators/PpsSample): ~100 documents
+    // drawn proportional to the t02 quality score (scaled to integer
+    // 1e4 weights) — integer-exact threshold crossings over the
+    // distributed prefix sum, so the DuckDB replay (one global window,
+    // fine at oracle scale) is bit-identical to the engine's
+    // chunked two-level formulation.
+    sql("t73_pps_sample")(
+      raw"""WITH q AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens / 50.0, 1.0)
+        |         + (1.0 - least(symbol_ratio * 5.0, 1.0))
+        |         + least(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE cast(len(toks) AS BIGINT) END AS n_tokens,
+        |      CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+        |             / length(text)::DOUBLE END AS symbol_ratio,
+        |      CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))
+        |             / len(toks)::DOUBLE END AS stop_ratio
+        |    FROM (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |          FROM documents) x) y),
+        |w AS (SELECT doc_id, round(quality * 10000)::BIGINT AS w FROM q),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id)::BIGINT AS cum_w,
+        |    greatest(sum(w) OVER () // 100, 1)::BIGINT AS step
+        |  FROM w)
+        |SELECT doc_id AS id, w, cum_w,
+        |  (cum_w // step - (cum_w - w) // step)::BIGINT AS n_picks,
+        |  (cum_w // step > (cum_w - w) // step) AS selected
+        |FROM c ORDER BY id""".stripMargin
+    ) { (s, d) =>
+      graft.operators.PpsSample.systematic(
+          Tables.documents(s, d),
+          "doc_id",
+          round(TextFunctions.qualityScore(col("text")) * 10000),
+          n = 100)
+        .orderBy(col("id"))
     }
   )
 }
