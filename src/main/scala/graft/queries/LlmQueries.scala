@@ -3324,6 +3324,48 @@ object LlmQueries {
           round(TextFunctions.qualityScore(col("text")) * 10000),
           n = 100)
         .orderBy(col("id"))
+    },
+
+    // Per-node triangle counts (operators/Triangles) over the t62/t68
+    // link graph — the local-clustering (link-farm/clique) signal next
+    // to the global rank scores. Canonical a<b orientation finds each
+    // triangle {x<y<z} exactly once via two integer equality joins;
+    // the replay is the identical three-way join in DuckDB.
+    sql("t74_triangles")(
+      """WITH cand AS (
+        |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM cand WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pern AS (
+        |  SELECT node, count(*)::BIGINT AS t FROM (
+        |    SELECT unnest([x, y, z]) AS node FROM tri) u
+        |  GROUP BY node),
+        |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+        |SELECT n.node, coalesce(p.t, 0)::BIGINT AS n_triangles
+        |FROM nodes n LEFT JOIN pern p ON p.node = n.node
+        |ORDER BY n.node""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+      graft.operators.Triangles.perNode(edges)
+        .orderBy(col("node"))
     }
   )
 }
