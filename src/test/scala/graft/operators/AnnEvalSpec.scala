@@ -65,6 +65,30 @@ class AnnEvalSpec extends SparkSpec {
     assert(pruned.getAs[Long]("n_hit") < 20L)
   }
 
+  test("plan shape: query set broadcasts, no cartesian product") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
+      queryPred = col("vec_id") % 29 === 0, k = 5,
+      kClusters = 2, iters = 2, nprobe = 2)
+    df.collect()
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case _ => Nil
+      }
+      p +: (inner ++ p.children.flatMap(walk))
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val names = nodes.map(_.nodeName).toSet
+    assert(!names.exists(_.contains("CartesianProduct")),
+      s"corpus-vs-query scoring must broadcast, got: $names")
+    assert(names.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+      n.contains("BroadcastHashJoin")),
+      s"expected a broadcast join in: $names")
+  }
+
   test("deterministic: repartitioned input gives identical recall rows") {
     val a = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
         queryPred = col("vec_id") % 7 === 0, k = 5,
