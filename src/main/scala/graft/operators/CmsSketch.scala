@@ -121,4 +121,36 @@ object CmsSketch {
       .select(col("__v").as("v"), col("est"))
       .orderBy(col("est").desc, col("v"))
   }
+
+  /** Per-GROUP heavy hitters: values whose estimate is at least
+    * `minShare` of their OWN group's stream — keyCols ++ (v, est),
+    * (group, estimate-desc) ordered. Same no-false-negative guarantee
+    * per group. The sketch is ≤ Depth·Width rows PER GROUP and each
+    * group's total rides out of its own j=0 row, so the extra cost
+    * over the global pass is only the key columns on the shuffles; the
+    * candidate join keys on (group, j, idx) and AQE broadcasts the
+    * sketch side whenever the group count keeps it small. */
+  def heavyHittersBy(df: DataFrame, keyCols: Seq[String], value: Column,
+                     minShare: Double): DataFrame = {
+    require(keyCols.nonEmpty, "use heavyHitters for the global pass")
+    checkKeys(keyCols)
+    val keys = keyCols.map(col)
+    val sk = sketch(df, keyCols, value).localCheckpoint(eager = false)
+    val total = sk.where(col("j") === 0)
+      .groupBy(keys: _*).agg(sum(col("c")).as("n"))
+    val cells = array((0 until Depth).map(j =>
+      struct(lit(j).as("j"), idx(j, col("__v")).as("idx"))): _*)
+    df.where(value.isNotNull)
+      .select(keys :+ value.as("__v"): _*).distinct()
+      .select(keys :+ col("__v") :+ explode(cells).as("cell"): _*)
+      .select(keys :+ col("__v") :+ col("cell.j").as("j")
+        :+ col("cell.idx").as("idx"): _*)
+      .join(sk, keyCols ++ Seq("j", "idx"), "left")
+      .groupBy(keys :+ col("__v"): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .join(total, keyCols)
+      .where(col("est") >= ceil(col("n") * minShare))
+      .select(keys :+ col("__v").as("v") :+ col("est"): _*)
+      .orderBy(keys :+ col("est").desc :+ col("v"): _*)
+  }
 }

@@ -3366,6 +3366,48 @@ object LlmQueries {
             ((id * 31 + 7) % 1000).as("dst")))
       graft.operators.Triangles.perNode(edges)
         .orderBy(col("node"))
+    },
+
+    // Per-SOURCE CMS heavy hitters (operators/CmsSketch.heavyHittersBy):
+    // t65's global pass keyed by source — "top terms per domain,
+    // approximately" with the same per-group no-false-negative
+    // guarantee, each group thresholded against its OWN stream total
+    // (Σ of its j=0 counters). The oracle is t65's replay with the
+    // source key carried through every stage.
+    sql("t75_cms_heavy_by_source")(
+      raw"""WITH t AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS tok
+        |    FROM documents) x
+        |  WHERE length(tok) > 0),
+        |cells AS (
+        |  SELECT source, r.j,
+        |    ('0x' || substr(md5(r.j::VARCHAR || ':' || tok), 1, 3))::BIGINT AS idx,
+        |    count(*) AS c
+        |  FROM t CROSS JOIN range(4) r(j)
+        |  GROUP BY 1, 2, 3),
+        |total AS (
+        |  SELECT source, sum(c)::BIGINT AS n FROM cells WHERE j = 0 GROUP BY source),
+        |vocab AS (SELECT DISTINCT source, tok FROM t),
+        |est AS (
+        |  SELECT v.source, v.tok, min(coalesce(c.c, 0))::BIGINT AS est
+        |  FROM vocab v CROSS JOIN range(4) r(j)
+        |  LEFT JOIN cells c ON c.source = v.source AND c.j = r.j
+        |    AND c.idx = ('0x' || substr(md5(r.j::VARCHAR || ':' || v.tok), 1, 3))::BIGINT
+        |  GROUP BY v.source, v.tok)
+        |SELECT e.source, tok AS v, est
+        |FROM est e JOIN total USING (source)
+        |WHERE est >= ceil(n * 0.01)
+        |ORDER BY e.source, est DESC, v""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+            .as("tok"))
+        .where(length(col("tok")) > 0)
+      graft.operators.CmsSketch.heavyHittersBy(toks, Seq("source"),
+        col("tok"), minShare = 0.01)
     }
   )
 }

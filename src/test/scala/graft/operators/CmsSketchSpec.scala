@@ -77,6 +77,23 @@ class CmsSketchSpec extends SparkSpec {
     got.values.foreach(e => assert(e >= math.ceil(n * 0.005).toLong))
   }
 
+  test("per-group heavy hitters threshold against each group's OWN total") {
+    // group a: "big" is 50% of a small stream; group b: the same token
+    // is 0.5% of a much larger stream — heavy in a only
+    val a = Seq.fill(50)(("a", "big")) ++ (0 until 50).map(i => ("a", s"x$i"))
+    val b = Seq.fill(10)(("b", "big")) ++ (0 until 1990).map(i => ("b", s"y${i % 800}"))
+    val df = (a ++ b).toDF("g", "v")
+    val got = CmsSketch.heavyHittersBy(df, Seq("g"), col("v"), minShare = 0.3)
+      .collect().map(r => (r.getString(0), r.getAs[String]("v"))).toSet
+    assert(got.contains(("a", "big")))
+    assert(!got.exists(_._1 == "b"), s"group b has no 30%-heavy value: $got")
+    // and per-group results equal the global pass run on each slice
+    val aOnly = CmsSketch.heavyHitters(a.toDF("g", "v").select(col("v")),
+        col("v"), minShare = 0.3)
+      .collect().map(_.getAs[String]("v")).toSet
+    assert(got.collect { case ("a", v) => v } == aOnly)
+  }
+
   test("NULL values are skipped, empty input yields no cells") {
     val df = Seq("x", null: String).toDF("v")
     assert(CmsSketch.sketch(df, Nil, col("v")).count() === CmsSketch.Depth)
