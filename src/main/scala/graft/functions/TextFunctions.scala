@@ -114,6 +114,56 @@ object TextFunctions {
         / size(ts).cast("double"))
   }
 
+  /** Share of whitespace tokens appearing in `words` (case-insensitive,
+    * occurrence count not distinct) — the word-list toxicity/NSFW gate
+    * every public curation stack ships (a blocklist tagger, not a
+    * classifier: deterministic, auditable, oracle-checkable). */
+  def blocklistShare(text: Column, words: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    val hits = size(filter(ts, (t: Column) => t.isInCollection(words)))
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(ts).cast("double"))
+  }
+
+  /** Occurrences of blocklisted tokens (the numerator of
+    * [[blocklistShare]], exposed for reporting). */
+  def blocklistHits(text: Column, words: Seq[String]): Column =
+    when(tokenCount(text) === 0, 0L)
+      .otherwise(size(filter(tokens(lower(text)),
+        (t: Column) => t.isInCollection(words))).cast("long"))
+
+  /** Sentence count: `[.!?]+` segments with non-blank content, floored
+    * at 1 for non-blank text (a fragment without terminal punctuation
+    * is one sentence). Blank text → 0. */
+  def sentenceCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0L)
+      .otherwise(greatest(
+        size(filter(split(text, "[.!?]+"),
+          (s: Column) => length(trim(s)) > 0)).cast("long"),
+        lit(1L)))
+
+  /** Vowel-group syllable estimate: one syllable per maximal
+    * `[aeiouy]+` run — the standard cheap approximation for
+    * readability formulas (vowelless tokens contribute 0; both engines
+    * count the same runs, so the estimate is oracle-exact even where
+    * it deviates from dictionary syllabification). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+
+  /** Flesch reading ease (Flesch 1948) with the vowel-group syllable
+    * estimate: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), rounded to 4 dp; blank text → 0.0. Unbounded on both ends
+    * like the original formula. */
+  def fleschScore(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    when(w === 0, 0.0)
+      .otherwise(round(
+        lit(206.835) - lit(1.015) * w / s - lit(84.6) * sy / w, 4))
+  }
+
   /** Composite quality score in [0,1]: rewards moderate length, low symbol
     * noise, and a natural-language stopword ratio. Deterministic arithmetic
     * only, so it is oracle-checkable. */

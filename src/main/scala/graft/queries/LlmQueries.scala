@@ -3408,6 +3408,81 @@ object LlmQueries {
         .where(length(col("tok")) > 0)
       graft.operators.CmsSketch.heavyHittersBy(toks, Seq("source"),
         col("tok"), minShare = 0.01)
+    },
+
+    // Word-list toxicity/NSFW gate (TextFunctions.blocklistShare) —
+    // the deterministic blocklist tagger of the public curation
+    // stacks, planted by modulus fault-injection (%13 one hit, %17
+    // two more) so flagged and clean documents both exist at any SF.
+    sql("t76_blocklist_gate")(
+      raw"""WITH fixture AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' zzztoxic' ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' zzztoxic zzzslur' ELSE '' END AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(lower(t)), '\s+')) END AS n,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE len(list_filter(string_split_regex(trim(lower(t)), '\s+'),
+        |                x -> x IN ('zzztoxic', 'zzzslur'))) END AS hits
+        |  FROM fixture)
+        |SELECT doc_id,
+        |  n::BIGINT AS n_tokens, hits::BIGINT AS n_blocked,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE round(hits / n::DOUBLE, 4) END AS blocked_share,
+        |  (CASE WHEN n = 0 THEN 0.0 ELSE round(hits / n::DOUBLE, 4) END) >= 0.05 AS flagged
+        |FROM tok ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val id = col("doc_id")
+      val fixture = concat(coalesce(col("text"), lit("")),
+        when(id % 13 === 0, " zzztoxic").otherwise(""),
+        when(id % 17 === 0, " zzztoxic zzzslur").otherwise(""))
+      val words = Seq("zzztoxic", "zzzslur")
+      Tables.documents(s, d)
+        .select(id, fixture.as("t"))
+        .select(id,
+          TextFunctions.tokenCount(col("t")).as("n_tokens"),
+          TextFunctions.blocklistHits(col("t"), words).as("n_blocked"),
+          round(TextFunctions.blocklistShare(col("t"), words), 4)
+            .as("blocked_share"))
+        .withColumn("flagged", col("blocked_share") >= 0.05)
+        .orderBy(id)
+    },
+
+    // Flesch reading ease (TextFunctions.fleschScore) — the classic
+    // readability quality signal: sentences = non-blank [.!?]+
+    // segments floored at 1, syllables = vowel-group runs; every term
+    // integer-derived then one rounded double formula, identical in
+    // both engines.
+    sql("t77_readability")(
+      raw"""WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(t), '\s+')) END AS w,
+        |    CASE WHEN length(trim(t)) = 0 THEN 0
+        |         ELSE greatest(len(list_filter(string_split_regex(t, '[.!?]+'),
+        |                s -> length(trim(s)) > 0)), 1) END AS s,
+        |    len(regexp_extract_all(lower(t), '[aeiouy]+')) AS sy
+        |  FROM d)
+        |SELECT doc_id,
+        |  w::BIGINT AS n_words, s::BIGINT AS n_sentences, sy::BIGINT AS n_syllables,
+        |  CASE WHEN w = 0 THEN 0.0
+        |       ELSE round(206.835 - 1.015 * w / s - 84.6 * sy / w, 4)
+        |  END AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val t = coalesce(col("text"), lit(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(t).as("n_words"),
+          TextFunctions.sentenceCount(t).as("n_sentences"),
+          TextFunctions.syllableCount(t).as("n_syllables"),
+          TextFunctions.fleschScore(t).as("flesch"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -9,6 +9,44 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import testImplicits._
 
+  test("blocklistShare: occurrence-counted, case-insensitive, blank-safe") {
+    val df = Seq(
+      (1L, "the BAD word bad again"), // 2 of 5 blocked (case-folded)
+      (2L, "clean text only"),
+      (3L, ""),
+      (4L, "bad")
+    ).toDF("id", "t")
+    val words = Seq("bad")
+    val out = df.select(col("id"),
+        TextFunctions.blocklistHits(col("t"), words).as("h"),
+        round(TextFunctions.blocklistShare(col("t"), words), 4).as("s"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(2) == 0.4)
+    assert(out(1).getLong(1) == 0L && out(1).getDouble(2) == 0.0)
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(2) == 0.0)
+    assert(out(3).getLong(1) == 1L && out(3).getDouble(2) == 1.0)
+  }
+
+  test("sentence/syllable/flesch: closed forms on known text") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran! Did it run?"), // 3 sentences, 9 words
+      (2L, "no terminal punctuation here"),          // floored to 1 sentence
+      (3L, "")
+    ).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextFunctions.sentenceCount(col("t")).as("s"),
+        TextFunctions.syllableCount(col("t")).as("sy"),
+        TextFunctions.fleschScore(col("t")).as("f"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 3L)
+    // vowel groups: e,a,a,e,o,a,i,i,u -> 9
+    assert(out(0).getLong(2) == 9L)
+    // 206.835 - 1.015*(9/3) - 84.6*(9/9) = 119.19
+    assert(out(0).getDouble(3) == 119.19)
+    assert(out(1).getLong(1) == 1L)
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(3) == 0.0)
+  }
+
   test("subwordCount: BPE-ish pre-tokenization splits on class changes") {
     val df = Seq(
       ("hello world", 2L),       // two letter runs
