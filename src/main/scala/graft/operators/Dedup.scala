@@ -258,6 +258,42 @@ object Dedup {
     * sorted doc list, keep rare shingles (the skew guard), enumerate the
     * ≤ maxDocFreq·(maxDocFreq−1)/2 ordered pairs per shingle in-place.
     * Only (shingle, doc_id) rides the shuffle. */
+  /** Exact SHINGLE-set Jaccard pairs — the ground truth for evaluating
+    * shingle-based sketches: MinHash signatures estimate exactly this
+    * set similarity (word-set Jaccard, `jaccardPairs`, is a different
+    * measure that ignores order — a permuted document has word-Jaccard
+    * 1.0 but near-zero shingle overlap). Same rare-shingle blocking;
+    * verification joins sorted distinct shingle arrays through the
+    * same native two-pointer kernel. */
+  def shingleJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, shingleSize: Int = 3,
+                          maxDocFreq: Int = 20): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val candidates = shingleCandidates(docs, shingleSize, maxDocFreq)
+    val ss = docs.select(col("doc_id"),
+        sort_array(array_distinct(
+          TextFunctions.shingles(col("text"), shingleSize))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .repartition(col("doc_id"))
+    // provable length prefilter (the verifyJaccard idiom): J <=
+    // min(|A|,|B|)/max(|A|,|B|)
+    val ln = ss.select(col("doc_id").as("left_id"), col("n").as("__ln"))
+    val rn = ss.select(col("doc_id").as("right_id"), col("n").as("__rn"))
+    val sized = candidates.join(ln, Seq("left_id")).join(rn, Seq("right_id"))
+      .filter(least(col("__ln"), col("__rn")).cast("double")
+        >= greatest(col("__ln"), col("__rn")) * threshold)
+      .drop("__ln", "__rn")
+    val lw = ss.select(col("doc_id").as("left_id"), col("sh").as("__lw"))
+    val rw = ss.select(col("doc_id").as("right_id"), col("sh").as("__rw"))
+    sized.join(lw, Seq("left_id")).join(rw, Seq("right_id"))
+      .withColumn("jaccard",
+        round(call_function("graft_jaccard_sorted",
+          col("__lw"), col("__rw")), 4))
+      .drop("__lw", "__rw")
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   private def shingleCandidates(docs: DataFrame, shingleSize: Int,
                                 maxDocFreq: Int): DataFrame =
     docs.select(col("doc_id"),

@@ -3483,6 +3483,100 @@ object LlmQueries {
           TextFunctions.syllableCount(t).as("n_syllables"),
           TextFunctions.fleschScore(t).as("flesch"))
         .orderBy(col("doc_id"))
+    },
+
+    // LSH recall audit — the t71 index-quality idea applied to the
+    // DEDUP detectors: per true-SHINGLE-Jaccard decile, what fraction
+    // of the exact pairs does banded MinHash surface as candidates?
+    // Truth is exact Jaccard over the SAME set family the signatures
+    // sketch (distinct 3-shingles — word-set Jaccard would measure a
+    // different similarity: a permuted document scores 1.0 there and
+    // ~0 here, and MinHash would rightly miss it). The S-curve is the
+    // banding theory's promise (collision threshold (1/b)^(1/r) ≈ 0.59
+    // at b=8, r=4) measured on the actual corpus, so a banding
+    // regression (wrong slice width, broken hash) shows up as a recall
+    // drop instead of staying invisible behind t07's own green oracle.
+    // Truth replays the rare-shingle blocking + shingle-set verify;
+    // candidates replay slice-equality banding from the committed t07
+    // signature artifact.
+    sql("t78_lsh_recall_eval") {
+      val nh = graft.GoldenGen.ModelParams.MinHashes
+      val bands = graft.GoldenGen.ModelParams.MinHashBands
+      val rows = nh / bands
+      s"""WITH sigs AS (${graft.GoldenGen.artifactSql("t07_sigs")}),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents
+        |),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM corpus
+        |),
+        |shingles AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+        |                i -> array_to_string(ts[i:i+2], ' ')))
+        |    END AS sh
+        |  FROM toks
+        |),
+        |doc_sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+        |rare AS (
+        |  SELECT shingle FROM doc_sh GROUP BY shingle
+        |  HAVING count(*) BETWEEN 2 AND 20),
+        |blocked AS (
+        |  SELECT d.doc_id, d.shingle FROM doc_sh d JOIN rare r USING (shingle)),
+        |candT AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |  FROM blocked l JOIN blocked r USING (shingle)
+        |  WHERE l.doc_id < r.doc_id),
+        |ss AS (SELECT doc_id, sh, len(sh) AS n FROM shingles),
+        |truth AS (
+        |  SELECT c.left_id, c.right_id,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) AS j
+        |  FROM candT c
+        |  JOIN ss a ON a.doc_id = c.left_id
+        |  JOIN ss b ON b.doc_id = c.right_id
+        |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / (a.n + b.n - len(list_intersect(a.sh, b.sh))), 4) >= 0.6),
+        |banded AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(sig, b.band * $rows + 1, b.band * $rows + $rows), ',') AS slice,
+        |    b.band AS band
+        |  FROM sigs, (SELECT unnest(range($bands)) AS band) b),
+        |candM AS (
+        |  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.slice = r.slice
+        |  WHERE l.doc_id < r.doc_id),
+        |marked AS (
+        |  SELECT t.j, (m.left_id IS NOT NULL) AS found
+        |  FROM truth t
+        |  LEFT JOIN candM m ON m.left_id = t.left_id AND m.right_id = t.right_id)
+        |SELECT floor(j * 10)::INTEGER AS j_bucket,
+        |  count(*)::BIGINT AS n_true,
+        |  (count(*) FILTER (WHERE found))::BIGINT AS n_found,
+        |  round((count(*) FILTER (WHERE found)) / count(*)::DOUBLE, 4) AS recall
+        |FROM marked GROUP BY 1 ORDER BY j_bucket""".stripMargin
+    } { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      val corpus = plantedCorpus(s, d)
+      val truth = Dedup.shingleJaccardPairs(corpus, "text", "doc_id",
+        threshold = 0.6)
+      val cand = Dedup.minHashPairs(corpus, "text", "doc_id",
+          numHashes = MinHashes, bands = MinHashBands)
+        .select(col("left_id").as("__ml"), col("right_id").as("__mr"))
+      truth.join(cand,
+          col("left_id") === col("__ml") && col("right_id") === col("__mr"),
+          "left")
+        .select(floor(col("jaccard") * 10).cast("int").as("j_bucket"),
+          col("__ml").isNotNull.as("found"))
+        .groupBy(col("j_bucket"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+        .select(col("j_bucket"), col("n_true"), col("n_found"),
+          round(col("n_found") / col("n_true"), 4).as("recall"))
+        .orderBy(col("j_bucket"))
     }
   )
 }

@@ -143,6 +143,31 @@ class DedupSpec extends SparkSpec {
     verified.foreach(r => assert(r.getDouble(2) >= 0.6))
   }
 
+  test("shingleJaccardPairs measures ORDER-sensitive similarity") {
+    // same word set, permuted order: word-set jaccard is 1.0 but the
+    // 3-shingle sets are nearly disjoint — the measure MinHash sketches
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val permuted = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val near = a + " lambda" // shares all of a's shingles plus one more
+    val docs = Seq((1L, a), (2L, permuted), (3L, near)).toDF("doc_id", "text")
+    val pairs = Dedup.shingleJaccardPairs(docs, "text", "doc_id",
+        threshold = 0.5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 3L)), s"near-dup by shingles missing: $pairs")
+    assert(pairs((1L, 3L)) > 0.8)
+    assert(!pairs.contains((1L, 2L)),
+      "permuted doc must NOT be shingle-similar despite word-jaccard 1.0")
+    // and the word-set measure disagrees by design (computed directly:
+    // jaccardPairs' shingle BLOCKING would never pair order-disjoint
+    // docs — its documented recall contract)
+    val wj = docs.as("l").join(docs.as("r"),
+        col("l.doc_id") === 1L && col("r.doc_id") === 2L)
+      .select(graft.functions.TextFunctions.jaccard(
+        col("l.text"), col("r.text")).as("j"))
+      .collect().head.getDouble(0)
+    assert(wj == 1.0, s"permuted doc must have word-set jaccard 1.0, got $wj")
+  }
+
   test("containmentPairs recovers planted wrappers and reports only true inclusions") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
