@@ -47,6 +47,14 @@ object CmsSketch {
     conv(substring(md5(concat(lit(s"$j:"), value)), 1, 3), 16, 10)
       .cast("int")
 
+  /** The Depth (j, idx) cells of a value as an array column — exposed
+    * so compositions that cannot group by plain column names
+    * (streaming time windows) build the same bit-exact counter layout
+    * (the HllSketch.bucketCol/rankCol convention). */
+  def cellsCol(value: Column): Column =
+    array((0 until Depth).map(j =>
+      struct(lit(j).as("j"), idx(j, value).as("idx"))): _*)
+
   /** The sketch as a table: keyCols ++ (j INT, idx INT, c BIGINT), one
     * row per non-empty counter per group (absent cells are zero, as in
     * the HLL register convention). NULL values are skipped — a
@@ -59,10 +67,8 @@ object CmsSketch {
   def sketch(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
     checkKeys(keyCols)
     val keys = keyCols.map(col)
-    val cells = array((0 until Depth).map(j =>
-      struct(lit(j).as("j"), idx(j, value).as("idx"))): _*)
     df.where(value.isNotNull)
-      .select(keys :+ explode(cells).as("cell"): _*)
+      .select(keys :+ explode(cellsCol(value)).as("cell"): _*)
       .select(keys :+ col("cell.j").as("j") :+ col("cell.idx").as("idx"): _*)
       .groupBy(keys :+ col("j") :+ col("idx"): _*)
       .agg(count(lit(1)).as("c"))
