@@ -154,14 +154,28 @@ object TextFunctions {
   /** Flesch reading ease (Flesch 1948) with the vowel-group syllable
     * estimate: 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
     * words), rounded to 4 dp; blank text → 0.0. Unbounded on both ends
-    * like the original formula. */
+    * like the original formula.
+    *
+    * The rounding is EXACT-INTEGER, not floating (the t57 margin
+    * lesson, re-learned here when the sf0.1 replay found five rows
+    * sitting exactly on a …5·10⁻⁵ boundary where the two engines'
+    * double formulas rounded apart): the score is the exact rational
+    * T/D with T = 206835·s·w − 1015·w² − 84600·sy·s and D = 1000·s·w
+    * in decimal(38) arithmetic, and its 4-dp half-away rounding is the
+    * pure integer sign(T)·((|T|·10⁴ + D/2) div D) — bit-identical in
+    * any engine (DuckDB replays it in HUGEINT). */
   def fleschScore(text: Column): Column = {
-    val w = tokenCount(text).cast("double")
-    val s = sentenceCount(text).cast("double")
-    val sy = syllableCount(text).cast("double")
-    when(w === 0, 0.0)
-      .otherwise(round(
-        lit(206.835) - lit(1.015) * w / s - lit(84.6) * sy / w, 4))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val w = dec(tokenCount(text))
+    val s = dec(sentenceCount(text))
+    val sy = dec(syllableCount(text))
+    val t = dec(lit(206835)) * s * w - dec(lit(1015)) * w * w -
+      dec(lit(84600)) * sy * s
+    val d = dec(lit(1000)) * s * w
+    val half = dec(lit(500)) * s * w
+    val m4 = when(t < 0, lit(-1L)).otherwise(lit(1L)) *
+      call_function("div", abs(t) * dec(lit(10000)) + half, d)
+    when(w === 0, 0.0).otherwise(m4.cast("double") / 10000.0)
   }
 
   /** Composite quality score in [0,1]: rewards moderate length, low symbol

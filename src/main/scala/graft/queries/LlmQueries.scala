@@ -3453,9 +3453,11 @@ object LlmQueries {
 
     // Flesch reading ease (TextFunctions.fleschScore) — the classic
     // readability quality signal: sentences = non-blank [.!?]+
-    // segments floored at 1, syllables = vowel-group runs; every term
-    // integer-derived then one rounded double formula, identical in
-    // both engines.
+    // segments floored at 1, syllables = vowel-group runs. The score
+    // is the exact rational T/D with its 4-dp rounding done in PURE
+    // INTEGERS (HUGEINT here, decimal(38) in the engine) — the double
+    // formula sat exactly on …5e-5 boundaries for a handful of sf0.1
+    // rows and the engines rounded apart (the t57 margin lesson).
     sql("t77_readability")(
       raw"""WITH d AS (
         |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
@@ -3467,13 +3469,21 @@ object LlmQueries {
         |         ELSE greatest(len(list_filter(string_split_regex(t, '[.!?]+'),
         |                s -> length(trim(s)) > 0)), 1) END AS s,
         |    len(regexp_extract_all(lower(t), '[aeiouy]+')) AS sy
-        |  FROM d)
+        |  FROM d),
+        |f AS (
+        |  SELECT doc_id, w, s, sy,
+        |    (206835::HUGEINT * s * w - 1015::HUGEINT * w * w
+        |      - 84600::HUGEINT * sy * s) AS tt,
+        |    (1000::HUGEINT * s * w) AS dd
+        |  FROM m)
         |SELECT doc_id,
         |  w::BIGINT AS n_words, s::BIGINT AS n_sentences, sy::BIGINT AS n_syllables,
         |  CASE WHEN w = 0 THEN 0.0
-        |       ELSE round(206.835 - 1.015 * w / s - 84.6 * sy / w, 4)
+        |       ELSE (CASE WHEN tt < 0 THEN -1 ELSE 1 END
+        |             * ((abs(tt) * 10000 + 500::HUGEINT * s * w) // dd))::DOUBLE
+        |            / 10000.0
         |  END AS flesch
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val t = coalesce(col("text"), lit(""))
       Tables.documents(s, d)
