@@ -53,20 +53,26 @@ object QuantileSketch {
     * scan; partial aggregation collapses to the fixed bucket space
     * before any exchange — map-side combine is the point of the
     * bounded layout. */
+  /** The log-linear bucket id of a non-negative integral value — the
+    * same pure-integer bit arithmetic as [[sketch]], exposed as a
+    * self-contained Column so compositions that cannot group by plain
+    * column names (streaming time windows) build the same layout (the
+    * HllSketch.bucketCol / CmsSketch.cellsCol convention). */
+  def bucketCol(value: Column): Column = {
+    val v = value.cast("long")
+    val e = (length(bin(v)) - 1).cast("int")
+    val sub = when(e >= 4,
+        call_function("shiftright", v, e - lit(4)) - 16)
+      .otherwise(call_function("shiftleft",
+        v - call_function("shiftleft", lit(1L), e), lit(4) - e))
+    when(v === 0, lit(-1)).otherwise(e * K + sub).cast("int")
+  }
+
   def sketch(df: DataFrame, keyCols: Seq[String], value: Column): DataFrame = {
     checkKeys(keyCols)
     val keys = keyCols.map(col)
     df.where(value.isNotNull && value >= 0)
-      .select(keys :+ value.cast("long").as("__qs_v"): _*)
-      .withColumn("__qs_e", (length(bin(col("__qs_v"))) - 1).cast("int"))
-      .withColumn("bucket",
-        when(col("__qs_v") === 0, lit(-1))
-          .otherwise(col("__qs_e") * K +
-            when(col("__qs_e") >= 4,
-              expr("shiftright(__qs_v, __qs_e - 4) - 16"))
-              .otherwise(expr(
-                "shiftleft(__qs_v - shiftleft(1L, __qs_e), 4 - __qs_e)")))
-          .cast("int"))
+      .select(keys :+ bucketCol(value).as("bucket"): _*)
       .groupBy(keys :+ col("bucket"): _*)
       .agg(count(lit(1)).as("c"))
   }
