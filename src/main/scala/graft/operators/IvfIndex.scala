@@ -122,7 +122,7 @@ object IvfIndex {
 
   /** Driver-side nearest-`nprobe` centroid ranking for one query vector
     * (k cosines over doubles — control plane by construction). */
-  private def rankClusters(centroids: Seq[(Int, Seq[Double])],
+  private[operators] def rankClusters(centroids: Seq[(Int, Seq[Double])],
                            queryVec: Array[Float], nprobe: Int): Seq[Int] = {
     val q = queryVec.map(_.toDouble)
     val qn = math.sqrt(q.map(x => x * x).sum)

@@ -34,7 +34,7 @@ object PqIndex {
   private def flat(cb: Seq[Seq[Seq[Double]]]): Seq[Double] =
     cb.flatten.flatten
 
-  private def encodeCol(vec: Column, cb: Seq[Seq[Seq[Double]]],
+  private[operators] def encodeCol(vec: Column, cb: Seq[Seq[Seq[Double]]],
                         m: Int, k: Int): Column =
     call_function("graft_pq_encode", vec, typedLit(flat(cb)), lit(m), lit(k))
 

@@ -3587,6 +3587,80 @@ object LlmQueries {
         .select(col("j_bucket"), col("n_true"), col("n_found"),
           round(col("n_found") / col("n_true"), 4).as("recall"))
         .orderBy(col("j_bucket"))
+    },
+
+    // IVF-PQ composed ANN (operators/IvfPq): the IVFADC layout —
+    // coarse centroids prune to nprobe=2 of 16 cells, PQ ADC scores
+    // ONLY the probed rows (m=8 table lookups each), exact L2 re-ranks
+    // the k·refine=80 best. Oracled from the SAME committed artifacts
+    // as t25 + t40 (no new goldens): the oracle replays probe ranking,
+    // assignment (first-min ties), encoding, the ADC table, the
+    // rounded candidate cut, and the exact re-rank in FULL DuckDB SQL.
+    sql("t79_ivfpq_topk")(
+      s"""WITH cents AS (${graft.GoldenGen.artifactSql("t25_centroids")}),
+        |cbs AS (${graft.GoldenGen.artifactSql("t40_codebooks")}),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |csim AS (
+        |  SELECT c.cluster,
+        |    CASE WHEN sqrt(list_dot_product(q.qv, q.qv))
+        |              * sqrt(list_dot_product(c.centroid, c.centroid)) = 0 THEN 0.0
+        |         ELSE list_dot_product(q.qv, c.centroid)
+        |              / (sqrt(list_dot_product(q.qv, q.qv))
+        |                 * sqrt(list_dot_product(c.centroid, c.centroid))) END AS sim
+        |  FROM cents c, q),
+        |probes AS (
+        |  SELECT cluster FROM (
+        |    SELECT cluster, row_number() OVER (ORDER BY sim DESC, cluster) AS rn
+        |    FROM csim) t
+        |  WHERE rn <= 2),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                  * sqrt(list_dot_product(c.centroid, c.centroid)) = 0 THEN 0.0
+        |             ELSE list_dot_product(e.embedding::DOUBLE[], c.centroid)
+        |                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+        |                     * sqrt(list_dot_product(c.centroid, c.centroid))) END DESC,
+        |        c.cluster) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |probed AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  WHERE a.cluster IN (SELECT cluster FROM probes) AND e.vec_id <> 0),
+        |enc AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT e.vec_id, cb.j, cb.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, cb.j ORDER BY
+        |        list_sum(list_transform(range(8), d ->
+        |          (e.embedding[cb.j*8 + d + 1]::DOUBLE - cb.cw[d + 1])^2)),
+        |        cb.code) AS rn
+        |    FROM probed e CROSS JOIN cbs cb) t
+        |  WHERE rn = 1),
+        |adc AS (
+        |  SELECT cb.j, cb.code,
+        |    list_sum(list_transform(range(8), d ->
+        |      (q.qv[cb.j*8 + d + 1] - cb.cw[d + 1])^2)) AS dist
+        |  FROM cbs cb, q),
+        |approx AS (
+        |  SELECT en.vec_id, round(sum(a.dist), 4) AS approx_l2sq
+        |  FROM enc en JOIN adc a ON en.j = a.j AND en.code = a.code
+        |  GROUP BY en.vec_id),
+        |cand AS (
+        |  SELECT vec_id, approx_l2sq FROM approx
+        |  ORDER BY approx_l2sq, vec_id LIMIT 80)
+        |SELECT c.vec_id, c.approx_l2sq,
+        |  round(list_sum(list_transform(range(64), d ->
+        |    (e.embedding[d + 1]::DOUBLE - q.qv[d + 1])^2)), 4) AS l2_sq
+        |FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id, q
+        |ORDER BY l2_sq, c.vec_id
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      graft.operators.IvfPq.scanTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = Dims, queryId = 0L, k = 20,
+        kClusters = IvfClusters, ivfIters = IvfIters, nprobe = IvfProbe,
+        m = PqM, kCodes = PqCodes, pqIters = PqIters, refine = PqRefine)
     }
   )
 }
