@@ -3661,6 +3661,47 @@ object LlmQueries {
         "vec_id", "embedding", dims = Dims, queryId = 0L, k = 20,
         kClusters = IvfClusters, ivfIters = IvfIters, nprobe = IvfProbe,
         m = PqM, kCodes = PqCodes, pqIters = PqIters, refine = PqRefine)
+    },
+
+    // Winnowing fingerprints (operators/Winnowing — Schleimer et al.
+    // SIGMOD 2003, the MOSS algorithm): k=4-gram md5 hashes, w=5
+    // window minima, fingerprint VALUE set per doc + corpus df. The
+    // value-set formulation (distinct window minima) sidesteps tied-
+    // position bookkeeping, so window-min + distinct expresses exact
+    // winnowing in both engines. FULL SQL oracle: md5 hex compares
+    // lexicographically identically in Java and DuckDB.
+    sql("t80_winnowing")(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ts
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, len(ts) - 3 AS g, i - 1 AS pos,
+        |    md5(array_to_string(ts[i:i+3], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(ts) - 2)) AS t(i)
+        |  WHERE len(ts) >= 4),
+        |sel AS (
+        |  SELECT doc_id, g, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |  FROM gr),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM sel
+        |  WHERE pos <= greatest(0, g - 5)),
+        |fdf AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+        |per AS (
+        |  SELECT f.doc_id, count(*) AS n_fps,
+        |    sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS shared_fps
+        |  FROM fps f JOIN fdf d USING (fp) GROUP BY f.doc_id)
+        |SELECT t.doc_id,
+        |  cast(CASE WHEN len(t.ts) >= 4 THEN len(t.ts) - 3 ELSE 0 END AS BIGINT) AS n_grams,
+        |  cast(coalesce(p.n_fps, 0) AS BIGINT) AS n_fps,
+        |  cast(coalesce(p.shared_fps, 0) AS BIGINT) AS shared_fps
+        |FROM toks t LEFT JOIN per p USING (doc_id)
+        |ORDER BY t.doc_id""") { (s, d) =>
+      graft.operators.Winnowing.profile(
+          Tables.documents(s, d), "doc_id", "text", k = 4, w = 5)
+        .orderBy(col("doc_id"))
     }
   )
 }
