@@ -26,16 +26,28 @@ import org.apache.spark.sql.functions._
   * the join order, and AQE's skew splitting covers the middle ground. */
 object Triangles {
 
+  /** Canonical undirected edge set (a < b), deduplicated, self-loops
+    * dropped, materialized once for its multiple consumers. */
+  private def canonical(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .where(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint(false)
+
   /** (node, n_triangles) for every node of `edges` (columns src, dst);
     * direction, duplicates, and self-loops are ignored. Nodes in no
     * triangle report 0 — a structural score must not drop nodes. */
   def perNode(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(false)
+    val und = canonical(edges)
+    allNodes(und)
+      .join(triCounts(und), Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Per-node triangle counts over a canonical edge set (nodes in no
+    * triangle absent — callers left-join against [[allNodes]]). */
+  private def triCounts(und: DataFrame): DataFrame = {
     val tri = und.as("e1")
       .join(und.as("e2"),
         col("e1.a") === col("e2.a") && col("e2.b") > col("e1.b"))
@@ -43,12 +55,39 @@ object Triangles {
       .join(und.as("e3"),
         col("e3.a") === col("y") && col("e3.b") === col("z"))
       .select(col("x"), col("y"), col("z"))
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("t"))
+  }
+
+  private def allNodes(und: DataFrame): DataFrame =
     und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .distinct()
-      .join(perNode, Seq("node"), "left")
-      .select(col("node"), coalesce(col("t"), lit(0L)).as("n_triangles"))
+
+  /** Local clustering coefficient (Watts & Strogatz 1998):
+    * c(v) = 2·t(v) / (deg(v)·(deg(v)−1)), the share of a node's
+    * neighbor pairs that are themselves linked — the per-node
+    * link-farm/clique signal t74's raw counts feed. Emitted as the
+    * INTEGER fixed-point `coeff_e4` = round(c·10⁴), computed with the
+    * half-away integer identity (20000·t + d(d−1)/2) div (d(d−1)) —
+    * d(d−1) is even, so the rounding is pure BIGINT arithmetic and
+    * bit-identical in any engine (the t77 exact-rounding lesson
+    * applied from the start instead of retrofitted). deg ≤ 1 nodes
+    * report 0. Same scale shape as [[perNode]]: the canonical edge
+    * set is materialized once for its four consumers, the degree
+    * aggregation rides the same thin (node) rows as the count. */
+  def clustering(edges: DataFrame): DataFrame = {
+    val und = canonical(edges)
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triCounts(und), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"))
+      // `div`, not `/`: SQL `/` on integers is DOUBLE division
+      .withColumn("coeff_e4",
+        when(col("degree") >= 2,
+          expr("(20000 * n_triangles + ((degree * (degree - 1)) div 2))" +
+            " div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).cast("long"))
   }
 }

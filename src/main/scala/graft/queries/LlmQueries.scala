@@ -3702,6 +3702,88 @@ object LlmQueries {
       graft.operators.Winnowing.profile(
           Tables.documents(s, d), "doc_id", "text", k = 4, w = 5)
         .orderBy(col("doc_id"))
+    },
+
+    // Crawl-frontier politeness scheduling (operators/Frontier): one
+    // fetch per host per slot, higher priority first — the
+    // Mercator-style per-host queue flattened into a rank column, with
+    // a per-host budget cap. Same single-sourced URL fixture as
+    // t53/t55; planted priority = (doc_id·37) % 100. ONE exchange (the
+    // host window partition, the t33 shape). FULL SQL oracle.
+    sql("t81_frontier_schedule")(
+      raw"""WITH urls AS (
+        |  SELECT doc_id, ($UrlFixtureSql) AS url FROM documents),
+        |pr AS (
+        |  SELECT doc_id, url, (doc_id * 37) % 100 AS priority,
+        |    lower(regexp_extract(url, '^(?i)(https?)://([^/:?#]+)', 2)) AS host
+        |  FROM urls),
+        |sched AS (
+        |  SELECT doc_id, host, priority,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, url, doc_id) AS slot
+        |  FROM pr)
+        |SELECT doc_id, host, cast(priority AS BIGINT) AS priority,
+        |  cast(slot AS BIGINT) AS slot
+        |FROM sched WHERE slot <= 10
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Frontier.schedule(
+          Tables.documents(s, d).select(col("doc_id"),
+            urlFixture.as("url"), ((col("doc_id") * 37) % 100).as("priority")),
+          "url", "priority", tieCols = Seq("url", "doc_id"),
+          maxPerHost = Some(10))
+        .select(col("doc_id"), col("host"), col("priority"), col("slot"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Local clustering coefficient (operators/Triangles.clustering —
+    // Watts & Strogatz 1998) over the same planted link graph as t74:
+    // c(v) = 2·t/(deg·(deg−1)) as the INTEGER fixed point coeff_e4 via
+    // the half-away identity (20000·t + q/2) div q — pure BIGINT
+    // arithmetic, bit-identical across engines by construction (the
+    // t77 exact-rounding lesson applied from the start). FULL SQL
+    // oracle extends t74's replay with the degree aggregation.
+    sql("t82_clustering_coeff")(
+      """WITH cand AS (
+        |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM cand WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pern AS (
+        |  SELECT node, count(*)::BIGINT AS t FROM (
+        |    SELECT unnest([x, y, z]) AS node FROM tri) u
+        |  GROUP BY node),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) n
+        |  GROUP BY node)
+        |SELECT d.node, d.degree, coalesce(p.t, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN d.degree >= 2 THEN
+        |    (20000 * coalesce(p.t, 0) + ((d.degree * (d.degree - 1)) // 2))
+        |      // (d.degree * (d.degree - 1))
+        |  ELSE 0 END::BIGINT AS coeff_e4
+        |FROM deg d LEFT JOIN pern p ON p.node = d.node
+        |ORDER BY d.node""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+      graft.operators.Triangles.clustering(edges)
+        .orderBy(col("node"))
     }
   )
 }
