@@ -3784,6 +3784,64 @@ object LlmQueries {
             ((id * 31 + 7) % 1000).as("dst")))
       graft.operators.Triangles.clustering(edges)
         .orderBy(col("node"))
+    },
+
+    // k-core decomposition (operators/KCore — Seidman 1983, synchronous
+    // peeling): BOUNDED-ROUND semantics — both sides compute exactly 8
+    // peel rounds, so the gate can never desync on a data-dependent
+    // round count; peeling is monotone, so rounds past the fixpoint are
+    // identity (KCoreSpec pins convergence ≤ 8 on the planted graph).
+    // Fixture = the t74 sparse background (affine-mod edges are
+    // FUNCTIONAL in doc_id's residue, so background degree is bounded
+    // by the generator count at any SF — probed, it peels away
+    // entirely) + a planted 25-node dense core from two INDEPENDENT
+    // residues (doc_id % 25 vs (doc_id div 25) % 25), which survives at
+    // every SF. Oracle = 8 generated chained CTE rounds (t62
+    // convention). Pure integer arithmetic throughout.
+    sql("t83_kcore") {
+      val k = 8
+      val rounds = 8
+      // MATERIALIZED: round r references e(r-1) three times (degree,
+      // u-filter, v-filter) — inlined, the replay is 3^rounds scans
+      // (the same blowup KCore.peel's per-round checkpoint cuts)
+      val rs = (1 to rounds).map { r =>
+        s"""s$r AS MATERIALIZED (
+           |  SELECT u FROM (
+           |    SELECT u, count(*) AS deg FROM e${r - 1} GROUP BY u) d
+           |  WHERE deg >= $k),
+           |e$r AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM e${r - 1} e
+           |  JOIN s$r a ON a.u = e.u
+           |  JOIN s$r b ON b.u = e.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS (
+        |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id % 25, (doc_id // 25) % 25 FROM documents),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM cand WHERE src <> dst),
+        |e0 AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM und
+        |  UNION ALL SELECT b AS u, a AS v FROM und),
+        |$rs
+        |SELECT u AS node, count(*)::BIGINT AS degree
+        |FROM e$rounds GROUP BY u
+        |ORDER BY node""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.where(id % 2 === 0).select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.select((id % 25).as("src"),
+            (expr("doc_id div 25") % 25).as("dst")))
+      graft.operators.KCore.peel(edges, k = 8, rounds = 8)
+        .orderBy(col("node"))
     }
   )
 }
