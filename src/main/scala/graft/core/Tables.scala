@@ -53,6 +53,27 @@ object Tables {
       case _ => df
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  /** Conform drift-prone columns to their canonical types (the NTZ
+    * lesson generalized): a regenerated corpus that writes int32 ids or
+    * float64 embeddings must not break or silently re-type downstream
+    * operators. Only listed columns are touched; a cast is added only
+    * when the read type differs, so the common case is a no-op plan. */
+  private def conform(df: DataFrame, want: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
+    want.foldLeft(df) { case (acc, (c, t)) =>
+      if (acc.columns.contains(c) && acc.schema(c).dataType != t)
+        acc.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
+      else acc
+    }
+
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    conform(apply(s, d, "documents"),
+      Map("doc_id" -> LongType, "n_chars" -> LongType))
+  }
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    conform(apply(s, d, "embeddings"),
+      Map("vec_id" -> LongType, "label" -> IntegerType,
+        "embedding" -> ArrayType(FloatType)))
+  }
 }

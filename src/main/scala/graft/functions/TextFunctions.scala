@@ -132,6 +132,21 @@ object TextFunctions {
       .otherwise(size(filter(tokens(lower(text)),
         (t: Column) => t.isInCollection(words))).cast("long"))
 
+  /** Characters of one Unicode script, counted by stripping the
+    * complement class — scan-stage regex, no explode. Counts UTF-16
+    * units, which equals code points for BMP scripts (Latin, Cyrillic,
+    * Greek, BMP Han — the corpus invariant the t88 fixture keeps), so
+    * a code-point-counting replay (DuckDB) is value-identical.
+    * `script` is the Java binary-property name (`Latin`, `Cyrillic`,
+    * `Greek`, `Han`). */
+  def scriptCount(text: Column, script: String): Column =
+    length(regexp_replace(coalesce(text, lit("")), "\\P{Is" + script + "}", ""))
+      .cast("long")
+
+  /** Digit characters (0-9). */
+  def digitCount(text: Column): Column =
+    length(regexp_replace(coalesce(text, lit("")), "[^0-9]", "")).cast("long")
+
   /** Sentence count: `[.!?]+` segments with non-blank content, floored
     * at 1 for non-blank text (a fragment without terminal punctuation
     * is one sentence). Blank text → 0. */

@@ -3842,6 +3842,299 @@ object LlmQueries {
             (expr("doc_id div 25") % 25).as("dst")))
       graft.operators.KCore.peel(edges, k = 8, rounds = 8)
         .orderBy(col("node"))
+    },
+
+    // HyperBall neighborhood function (operators/HyperBall — Boldi,
+    // Rosa & Vigna 2011): per-node HLL counters iterated over the t62
+    // link graph, B_r(v) = B_{r-1}(v) ∪max neighbors' B_{r-1}. The
+    // oracle-gated surface is pure register algebra (nb, rsum) under
+    // the established md5 bucket/rank bit contract (t64); rounds are
+    // fixed on both sides so the gate cannot desync (t83 convention).
+    // Oracle = chained MATERIALIZED CTE rounds, each b_r referenced
+    // twice (self-merge + neighbor join) — the same double-reference
+    // that makes the engine's per-round checkpoint load-bearing.
+    sql("t84_hyperball") {
+      val rounds = 4
+      val b0 =
+        """b0 AS MATERIALIZED (
+          |  SELECT node,
+          |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+          |     (strpos('0123456789abcdef', substr(h, 2, 1)) - 1))::INTEGER AS bucket,
+          |    (CASE WHEN length(ltrim(substr(h, 3, 15), '0')) = 0 THEN 61
+          |          ELSE (15 - length(ltrim(substr(h, 3, 15), '0'))) * 4 +
+          |            CASE WHEN substr(ltrim(substr(h, 3, 15), '0'), 1, 1) = '1' THEN 3
+          |                 WHEN substr(ltrim(substr(h, 3, 15), '0'), 1, 1) IN ('2', '3') THEN 2
+          |                 WHEN substr(ltrim(substr(h, 3, 15), '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+          |                 ELSE 0 END + 1 END)::INTEGER AS r
+          |  FROM (SELECT node, md5(node::VARCHAR) AS h FROM nodes) x)""".stripMargin
+      val rs = (1 to rounds).map { k =>
+        s"""b$k AS MATERIALIZED (
+           |  SELECT node, bucket, max(r) AS r FROM (
+           |    SELECT node, bucket, r FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node, b.bucket, b.r
+           |    FROM edges e JOIN b${k - 1} b ON b.node = e.dst) u
+           |  GROUP BY node, bucket)""".stripMargin
+      }.mkString(",\n")
+      val summaries = (0 to rounds).map { k =>
+        s"""SELECT node, $k AS radius, count(*)::BIGINT AS nb,
+           |  sum(r)::BIGINT AS rsum FROM b$k GROUP BY node""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH cand AS (
+        |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |$b0,
+        |$rs
+        |SELECT node, radius, nb, rsum FROM (
+        |  $summaries)
+        |ORDER BY node, radius""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+      graft.operators.HyperBall.neighborhoods(edges, rounds = 4)
+        .orderBy(col("node"), col("radius"))
+    },
+
+    // Label-propagation communities (operators/LabelProp — Raghavan et
+    // al. 2007, deterministic min-label tie-break): two planted dense
+    // blocks (independent-residue construction, the t83 core pattern)
+    // + rare bridge edges that must NOT merge them. BOUNDED-ROUND
+    // semantics (t83 convention): both sides run exactly 4 synchronous
+    // updates — even an oscillation would be bit-identical. Oracle =
+    // chained count/argmax CTE rounds; argmax = min(label) among the
+    // max-count labels, replayed as a max-join (no window on either
+    // side).
+    sql("t85_label_prop") {
+      val rounds = 4
+      val rs = (1 to rounds).map { k =>
+        s"""c$k AS (
+           |  SELECT e.u, l.label, count(*) AS c
+           |  FROM adj e JOIN l${k - 1} l ON l.node = e.v
+           |  GROUP BY e.u, l.label),
+           |m$k AS (SELECT u, max(c) AS mc FROM c$k GROUP BY u),
+           |l$k AS MATERIALIZED (
+           |  SELECT c.u AS node, min(c.label) AS label
+           |  FROM c$k c JOIN m$k m ON m.u = c.u AND c.c = m.mc
+           |  GROUP BY c.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS (
+        |  SELECT doc_id % 25 AS src, (doc_id // 25) % 25 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 100 + (doc_id * 3 + 1) % 25, 100 + ((doc_id // 25) + 7) % 25 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 25, 100 + doc_id % 25 FROM documents WHERE doc_id % 97 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM cand WHERE src <> dst),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM und
+        |  UNION ALL SELECT b AS u, a AS v FROM und),
+        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM adj),
+        |$rs
+        |SELECT node, label FROM l$rounds
+        |ORDER BY node""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 25).as("src"), (expr("doc_id div 25") % 25).as("dst"))
+          .union(docs.select((lit(100) + (id * 3 + 1) % 25).as("src"),
+            (lit(100) + (expr("doc_id div 25") + 7) % 25).as("dst")))
+          .union(docs.where(id % 97 === 0)
+            .select((id % 25).as("src"), (lit(100) + id % 25).as("dst")))
+      graft.operators.LabelProp.communities(edges, rounds = 4)
+        .orderBy(col("node"))
+    },
+
+    // Robots-exclusion gate (operators/RobotsGate — RFC 9309 longest-
+    // match): the t53 URL fixture against a per-host rule fixture that
+    // exercises every semantic branch — shadowing Disallow '/p' beaten
+    // by a longer Allow '/p/1', an equal-length Allow/Disallow tie on
+    // '/p/3' (Allow wins), a whole-host Disallow '/', and rule-free
+    // hosts (default allowed). One host equi-join + one max(struct)
+    // argmax on the engine; the oracle replays via max-length join then
+    // allow-max (equal-length distinct prefixes cannot both match, so
+    // the two formulations agree by construction).
+    sql("t86_robots_gate")(
+      raw"""WITH urls AS (
+        |  SELECT doc_id, ($UrlFixtureSql) AS url FROM documents),
+        |parsed AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1) = '' THEN NULL
+        |         ELSE lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) END AS host,
+        |    CASE WHEN regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1) = '' THEN NULL
+        |         WHEN regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(url, '^(?i)https?://[^/?#]+([^?#]*)', 1) END AS path
+        |  FROM urls),
+        |rules AS (
+        |  SELECT 'example-' || r::VARCHAR || '.com' AS host, false AS allow, '/p' AS prefix
+        |  FROM range(50) t(r) WHERE r % 2 = 0
+        |  UNION ALL SELECT 'example-' || r::VARCHAR || '.com', true, '/p/1'
+        |  FROM range(50) t(r) WHERE r % 2 = 0
+        |  UNION ALL SELECT 'example-' || r::VARCHAR || '.com', false, '/p/3'
+        |  FROM range(50) t(r) WHERE r % 5 = 0
+        |  UNION ALL SELECT 'example-' || r::VARCHAR || '.com', true, '/p/3'
+        |  FROM range(50) t(r) WHERE r % 10 = 0
+        |  UNION ALL SELECT 'example-' || r::VARCHAR || '.com', false, '/'
+        |  FROM range(50) t(r) WHERE r % 7 = 0),
+        |matches AS (
+        |  SELECT p.doc_id, r.allow, r.prefix
+        |  FROM parsed p JOIN rules r ON r.host = p.host
+        |  WHERE starts_with(p.path, r.prefix)),
+        |ml AS (SELECT doc_id, max(len(prefix)) AS l FROM matches GROUP BY doc_id),
+        |won AS (
+        |  SELECT m.doc_id, max(m.allow) AS rule_allow, max(m.prefix) AS rule_prefix
+        |  FROM matches m JOIN ml ON ml.doc_id = m.doc_id AND len(m.prefix) = ml.l
+        |  GROUP BY m.doc_id)
+        |SELECT p.doc_id, p.host, p.path,
+        |  coalesce(w.rule_allow, true) AS allowed, w.rule_prefix
+        |FROM parsed p LEFT JOIN won w ON w.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin
+    ) { (s, d) =>
+      val r = s.range(50).toDF("id")
+      val host = concat(lit("example-"), col("id"), lit(".com"))
+      def rule(mod: Int, allow: Boolean, prefix: String) =
+        r.where(col("id") % mod === 0).select(host.as("host"),
+          lit(allow).as("allow"), lit(prefix).as("prefix"))
+      val rules = rule(2, allow = false, "/p")
+        .union(rule(2, allow = true, "/p/1"))
+        .union(rule(5, allow = false, "/p/3"))
+        .union(rule(10, allow = true, "/p/3"))
+        .union(rule(7, allow = false, "/"))
+      graft.operators.RobotsGate.gate(
+          Tables.documents(s, d).select(col("doc_id"), urlFixture.as("url")),
+          "doc_id", "url", rules)
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental near-dup vs a persisted signature index
+    // (operators/IncrementalDedup): the planted corpus split into
+    // "history" (doc_id < 1e6, index = signatures only) and the
+    // arriving "increment" (the planted near-copies). Confidence is
+    // the signature ESTIMATE — the index has no text to verify
+    // against, which is exactly the production trade-off. Oracle
+    // replays banding + estimate from the SAME committed t07_sigs
+    // artifact (no new goldens, t07 convention).
+    sql("t87_incremental_dedup") {
+      val nh = graft.GoldenGen.ModelParams.MinHashes
+      val bands = graft.GoldenGen.ModelParams.MinHashBands
+      val rows = nh / bands
+      s"""WITH sigs AS (${graft.GoldenGen.artifactSql("t07_sigs")}),
+        |banded AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(sig, b.band * $rows + 1, b.band * $rows + $rows), ',') AS slice,
+        |    b.band AS band
+        |  FROM sigs, (SELECT unnest(range($bands)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+        |  FROM banded l JOIN banded r ON l.band = r.band AND l.slice = r.slice
+        |  WHERE l.doc_id >= 1000000 AND r.doc_id < 1000000)
+        |SELECT c.new_id, c.old_id,
+        |  round(len(list_filter(range($nh), i -> a.sig[i+1] = b.sig[i+1])) / $nh.0, 4) AS est_jaccard
+        |FROM cand c
+        |JOIN sigs a ON a.doc_id = c.new_id
+        |JOIN sigs b ON b.doc_id = c.old_id
+        |WHERE round(len(list_filter(range($nh), i -> a.sig[i+1] = b.sig[i+1])) / $nh.0, 4) >= 0.5
+        |ORDER BY new_id, old_id""".stripMargin
+    } { (s, d) =>
+      val corpus = plantedCorpus(s, d)
+      val history = corpus.where(col("doc_id") < 1000000L)
+      val increment = corpus.where(col("doc_id") >= 1000000L)
+      graft.operators.IncrementalDedup.newVersusIndex(
+          increment, "text", "doc_id",
+          graft.operators.IncrementalDedup.signatureIndex(history, "text", "doc_id",
+            numHashes = graft.GoldenGen.ModelParams.MinHashes),
+          numHashes = graft.GoldenGen.ModelParams.MinHashes,
+          bands = graft.GoldenGen.ModelParams.MinHashBands,
+          minEst = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    },
+
+    // Unicode script-mix profile (functions/TextFunctions.scriptCount):
+    // per-document character counts by script + dominant script +
+    // mixed-script flag (≥10% of letters outside the dominant script —
+    // the spoofing/OCR-noise gate multilingual curation runs before
+    // language-ID). Scan-stage regex stripping only, no explode. The
+    // modulus fixture plants Cyrillic/Greek/Han substrings (all BMP, so
+    // Spark's UTF-16-unit length == DuckDB's code-point length for
+    // every KEPT character); Java \p{IsX} and RE2 \p{X} are
+    // independent spellings of the same script property. Dominance
+    // ties break by the fixed latin>cyrillic>greek>han CASE priority
+    // on both sides.
+    sql("t88_script_mix")(
+      raw"""WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN 'Пример текста на русском языке'
+        |         ELSE coalesce(text, '') END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' Советский союз' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ελληνικά κείμενο' ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' 中文文本 2024' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(t, '[^\p{Latin}]', '', 'g'))::BIGINT AS n_latin,
+        |    length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g'))::BIGINT AS n_cyrillic,
+        |    length(regexp_replace(t, '[^\p{Greek}]', '', 'g'))::BIGINT AS n_greek,
+        |    length(regexp_replace(t, '[^\p{Han}]', '', 'g'))::BIGINT AS n_han,
+        |    length(regexp_replace(t, '[^0-9]', '', 'g'))::BIGINT AS n_digit
+        |  FROM f),
+        |x AS (
+        |  SELECT *, n_latin + n_cyrillic + n_greek + n_han AS letters,
+        |    greatest(n_latin, n_cyrillic, n_greek, n_han) AS biggest
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_digit,
+        |  CASE WHEN letters = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_han THEN 'latin'
+        |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han THEN 'cyrillic'
+        |       WHEN n_greek >= n_han THEN 'greek'
+        |       ELSE 'han' END AS dominant,
+        |  (letters > 0 AND (letters - biggest) * 10 >= letters) AS mixed
+        |FROM x ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextFunctions
+      val id = col("doc_id")
+      val fix = concat(
+        when(id % 31 === 0, lit("Пример текста на русском языке"))
+          .otherwise(coalesce(col("text"), lit(""))),
+        when(id % 7 === 0, " Советский союз").otherwise(""),
+        when(id % 11 === 0, " ελληνικά κείμενο").otherwise(""),
+        when(id % 13 === 0, " 中文文本 2024").otherwise(""))
+      val c = Tables.documents(s, d).select(id, fix.as("t"))
+        .select(id,
+          TextFunctions.scriptCount(col("t"), "Latin").as("n_latin"),
+          TextFunctions.scriptCount(col("t"), "Cyrillic").as("n_cyrillic"),
+          TextFunctions.scriptCount(col("t"), "Greek").as("n_greek"),
+          TextFunctions.scriptCount(col("t"), "Han").as("n_han"),
+          TextFunctions.digitCount(col("t")).as("n_digit"))
+        .withColumn("letters",
+          col("n_latin") + col("n_cyrillic") + col("n_greek") + col("n_han"))
+        .withColumn("biggest",
+          greatest(col("n_latin"), col("n_cyrillic"), col("n_greek"), col("n_han")))
+      c.select(id, col("n_latin"), col("n_cyrillic"), col("n_greek"),
+          col("n_han"), col("n_digit"),
+          when(col("letters") === 0, "none")
+            .when(col("n_latin") >= col("n_cyrillic") &&
+              col("n_latin") >= col("n_greek") &&
+              col("n_latin") >= col("n_han"), "latin")
+            .when(col("n_cyrillic") >= col("n_greek") &&
+              col("n_cyrillic") >= col("n_han"), "cyrillic")
+            .when(col("n_greek") >= col("n_han"), "greek")
+            .otherwise("han").as("dominant"),
+          (col("letters") > 0 &&
+            (col("letters") - col("biggest")) * 10 >= col("letters")).as("mixed"))
+        .orderBy(id)
     }
   )
 }

@@ -600,6 +600,59 @@ object RelationalQueries {
           (round(sum(col("value")), 4) + 0.0).as("value_sum"))
         .select(unix_micros(col("w.start")).as("ws_us"), col("n"), col("value_sum"))
         .orderBy(col("ws_us"))
+    },
+
+    // SCD2 dimension build (Kimball slowly-changing-dimension type 2)
+    // from the event stream: collapse each user's CONSECUTIVE equal
+    // event_type observations (gaps-and-islands via lag + running
+    // change count), emit half-open validity intervals; the current
+    // interval's valid_to is NULL. Everything — both windows, the
+    // island aggregation, and the interval-chaining lead — partitions
+    // by user_id, so the whole build is ONE user_id exchange; no
+    // global window anywhere (unique (ts, event_id) ordering makes the
+    // default window frames equal across engines).
+    sql("q28_scd2_intervals")(
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM o),
+        |iv AS (
+        |  SELECT user_id, grp, min(event_type) AS event_type,
+        |    min(ts) AS vf, count(*) AS n_events
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, grp::BIGINT AS version, event_type,
+        |  epoch_us(vf) AS valid_from_us,
+        |  epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY grp)) AS valid_to_us,
+        |  n_events::BIGINT AS n_events
+        |FROM iv
+        |ORDER BY user_id, version""") { (s, d) =>
+      // the island index IS the SCD2 version number; chaining and the
+      // output order key on it, not valid_from, so several same-ts
+      // events in one user can never make the result order-ambiguous
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("grp",
+          sum(when(col("prev").isNull || col("prev") =!= col("event_type"), 1)
+            .otherwise(0)).over(wrun))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("event_type")).as("event_type"), min(col("ts")).as("vf"),
+          count(lit(1)).as("n_events"))
+      val chain = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+      iv.select(col("user_id"), col("grp").cast("long").as("version"),
+          col("event_type"),
+          unix_micros(col("vf")).as("valid_from_us"),
+          unix_micros(lead(col("vf"), 1).over(chain)).as("valid_to_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("version"))
     }
   )
 }

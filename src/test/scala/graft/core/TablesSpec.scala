@@ -65,6 +65,29 @@ class TablesSpec extends SparkSpec {
       == 1700000000000000L)
   }
 
+  test("documents/embeddings conform drift-prone columns (int32 ids, float64 embeddings)") {
+    val dir = tmpSfDir()
+    // a corpus writer that emits int32 ids and double embeddings
+    Seq((1, "hello", 5)).toDF("doc_id", "text", "n_chars")
+      .select(col("doc_id").cast("int"), col("text"), col("n_chars").cast("int"))
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((7, Seq(0.5d, 0.25d), 3)).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id").cast("int"), col("embedding"), col("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.schema("n_chars").dataType == LongType)
+    val embs = Tables.embeddings(spark, dir)
+    assert(embs.schema("vec_id").dataType == LongType)
+    assert(embs.schema("embedding").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(embs.select(element_at(col("embedding"), 1)).as[Float].head() == 0.5f)
+    // canonical corpus stays a no-op: no cast nodes on the real tables
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(real.schema("doc_id").dataType == LongType)
+    assert(!real.queryExecution.analyzed.toString.toLowerCase.contains("cast(doc_id"),
+      "canonical corpus must not pay a conforming cast")
+  }
+
   test("time-based operators analyze against an NTZ corpus (window/session_window/unix_micros)") {
     val dir = tmpSfDir()
     Seq(

@@ -94,6 +94,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.sameElements(Array("en", "de", "es", "fr", "und")))
   }
 
+  test("scriptCount/digitCount: per-script character counts, null-safe") {
+    val df = Seq(
+      (1L, "abc Где 42 ελ 中文"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = df.select(col("id"),
+        TextFunctions.scriptCount(col("t"), "Latin").as("nl"),
+        TextFunctions.scriptCount(col("t"), "Cyrillic").as("nc"),
+        TextFunctions.scriptCount(col("t"), "Greek").as("ng"),
+        TextFunctions.scriptCount(col("t"), "Han").as("nh"),
+        TextFunctions.digitCount(col("t")).as("nd"))
+      .orderBy("id").collect()
+    assert(out(0).toSeq.drop(1) === Seq(3L, 3L, 2L, 2L, 2L))
+    assert(out(1).toSeq.drop(1) === Seq(0L, 0L, 0L, 0L, 0L))
+    assert(out(2).toSeq.drop(1) === Seq(0L, 0L, 0L, 0L, 0L), "null text counts as empty")
+  }
+
   test("ngramsRaw preserves duplicates, yields n-k+1 grams, empty when too short") {
     val df = Seq("a b a b a", "a b", "").toDF("text")
     val out = df.select(TextFunctions.ngramsRaw(col("text"), 2))
