@@ -147,6 +147,32 @@ object TextFunctions {
   def digitCount(text: Column): Column =
     length(regexp_replace(coalesce(text, lit("")), "[^0-9]", "")).cast("long")
 
+  private def docLines(text: Column): Column =
+    split(coalesce(text, lit("")), "\n", -1)
+
+  private def isCodeLine(l: Column): Column =
+    length(trim(l)) > 0 && (
+      l.startsWith("    ") || l.startsWith("\t") ||
+        substring(trim(l), -1, 1).isin("{", "}", ";") ||
+        trim(l).startsWith("```"))
+
+  /** Non-blank line count — pure array arithmetic over the split text,
+    * scan-stage (no explode, no shuffle). */
+  def nonblankLines(text: Column): Column =
+    size(filter(docLines(text), l => length(trim(l)) > 0)).cast("long")
+
+  /** Code-looking non-blank lines: ≥4-space or tab indent, a trimmed
+    * line ending in one of `{` `}` `;`, or a markdown fence marker —
+    * the structure signals code-vs-prose corpus routing keys on (the
+    * Stack-style pipelines gate source files in, C4-style pipelines
+    * gate stray code out of prose). */
+  def codeLines(text: Column): Column =
+    size(filter(docLines(text), isCodeLine(_))).cast("long")
+
+  /** Whether any line opens/closes a markdown code fence. */
+  def hasCodeFence(text: Column): Column =
+    exists(docLines(text), l => trim(l).startsWith("```"))
+
   /** Sentence count: `[.!?]+` segments with non-blank content, floored
     * at 1 for non-blank text (a fragment without terminal punctuation
     * is one sentence). Blank text → 0. */

@@ -34,8 +34,8 @@ object IncrementalDedup {
     df.select(col(idCol).as("doc_id"),
       Dedup.minHashSignature(col(textCol), numHashes).as("sig"))
 
-  private def banded(sigs: DataFrame, idOut: String, sigOut: String,
-                     numHashes: Int, bands: Int): DataFrame = {
+  private[graft] def banded(sigs: DataFrame, idOut: String, sigOut: String,
+                            numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     sigs.select(col("doc_id").as(idOut), col("sig").as(sigOut),
         explode(transform(sequence(lit(0), lit(bands - 1)),

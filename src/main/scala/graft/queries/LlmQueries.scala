@@ -4135,6 +4135,99 @@ object LlmQueries {
           (col("letters") > 0 &&
             (col("letters") - col("biggest")) * 10 >= col("letters")).as("mixed"))
         .orderBy(id)
+    },
+
+    // Vocabulary growth curve (Heaps' law, empirically): new distinct
+    // SHINGLE types (word 3-grams, the t09 unit — the synthetic word
+    // vocabulary saturates within the first docs, 3-gram types do not)
+    // introduced per 50-doc corpus-order bucket, plus the cumulative
+    // type count — the diminishing-returns signal corpus acquisition
+    // decisions key on. Type first-sight = min(doc_id) per shingle
+    // (one shuffle), bucketing integer division; the cumsum window runs
+    // over ≤ corpus/50 BUCKET rows — a global window over the bounded
+    // aggregate, never the data.
+    sql("t89_vocab_growth")(
+      raw"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+        |      ELSE list_transform(range(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]) END) AS s
+        |  FROM toks),
+        |firstseen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+        |b AS (
+        |  SELECT first_doc // 50 AS bucket, count(*) AS new_types
+        |  FROM firstseen GROUP BY 1)
+        |SELECT bucket::BIGINT AS bucket, new_types::BIGINT AS new_types,
+        |  (sum(new_types) OVER (ORDER BY bucket
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_types
+        |FROM b ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(coalesce(col("text"), lit("")), 3)).as("s"))
+      val cum = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+        .select(col("bucket"), col("new_types"),
+          sum(col("new_types")).over(cum).cast("long").as("cum_types"))
+        .orderBy(col("bucket"))
+    },
+
+    // Code-vs-prose structure profile (TextFunctions.codeLines): line
+    // counts, code-line share, fence flag — all pure array arithmetic
+    // over the split text in the scan stage (no explode, no shuffle;
+    // the whole query is Scan → Project → Sort). Fixture plants
+    // indented/braced/fenced lines by modulus.
+    sql("t90_code_share")(
+      """WITH f AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '    indented_code(x);' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'int main() {' || chr(10) || '}' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || '```' || chr(10) || 'fenced code' || chr(10) || '```' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(t, chr(10)),
+        |      l -> length(trim(l)) > 0))::BIGINT AS nonblank,
+        |    len(list_filter(string_split(t, chr(10)),
+        |      l -> length(trim(l)) > 0 AND (
+        |        starts_with(l, '    ') OR starts_with(l, chr(9)) OR
+        |        substr(trim(l), -1, 1) IN ('{', '}', ';') OR
+        |        starts_with(trim(l), '```'))))::BIGINT AS code_lines,
+        |    len(list_filter(string_split(t, chr(10)),
+        |      l -> starts_with(trim(l), '```'))) > 0 AS has_fence
+        |  FROM f)
+        |SELECT doc_id, nonblank, code_lines,
+        |  CASE WHEN nonblank = 0 THEN 0.0
+        |       ELSE round(code_lines / nonblank::DOUBLE, 4) END AS code_share,
+        |  has_fence
+        |FROM c ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextFunctions
+      val id = col("doc_id")
+      val fix = concat(coalesce(col("text"), lit("")),
+        when(id % 5 === 0, "\n    indented_code(x);").otherwise(""),
+        when(id % 7 === 0, "\nint main() {\n}").otherwise(""),
+        when(id % 11 === 0, "\n```\nfenced code\n```").otherwise(""))
+      Tables.documents(s, d).select(id, fix.as("t"))
+        .select(id,
+          TextFunctions.nonblankLines(col("t")).as("nonblank"),
+          TextFunctions.codeLines(col("t")).as("code_lines"),
+          TextFunctions.hasCodeFence(col("t")).as("has_fence"))
+        .select(id, col("nonblank"), col("code_lines"),
+          when(col("nonblank") === 0, 0.0)
+            .otherwise(round(col("code_lines") / col("nonblank").cast("double"), 4))
+            .as("code_share"),
+          col("has_fence"))
+        .orderBy(id)
     }
   )
 }

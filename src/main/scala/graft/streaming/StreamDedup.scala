@@ -77,4 +77,35 @@ object StreamDedup {
       .filter(col("owned_bands") === bands)
       .select(col(idCol), col("window.start").as("window_start"))
   }
+
+  /** Near-dup flags against a PERSISTED signature index — the t87
+    * incremental-dedup shape on a stream: history was curated once and
+    * kept as signatures; each arriving document is banded and checked
+    * against it. STATELESS by design: a stream-static equi-join on
+    * (band, bucket) plus the estimate filter — no watermark, no state
+    * store, so it composes under any output mode. One row is emitted
+    * PER BAND COLLISION (a pair colliding in k bands appears k times);
+    * collapsing to one decision per document is the downstream sink's
+    * job (per-batch distinct in foreachBatch, or the K6 idempotent
+    * store) — the stateless-join contract of Structured Streaming.
+    *
+    * Scale shape: the banded index is a static frame the caller should
+    * `.cache()` (it is re-read every micro-batch otherwise); small
+    * indexes broadcast, large ones hash-join on (band, bucket). The
+    * stream side adds `bands` thin rows per document, signatures
+    * computed scan-stage by the native expression. */
+  def againstIndex(docs: DataFrame, textCol: String, idCol: String,
+      index: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      minEst: Double = 0.5): DataFrame = {
+    val inc = graft.operators.IncrementalDedup.banded(
+      graft.operators.IncrementalDedup.signatureIndex(docs, textCol, idCol, numHashes),
+      "new_id", "new_sig", numHashes, bands)
+    val idx = graft.operators.IncrementalDedup.banded(
+      index.select(col("doc_id"), col("sig")), "old_id", "old_sig", numHashes, bands)
+    inc.join(idx, Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id"),
+        round(call_function("graft_match_frac", col("new_sig"), col("old_sig")), 4)
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= minEst)
+  }
 }

@@ -111,6 +111,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2).toSeq.drop(1) === Seq(0L, 0L, 0L, 0L, 0L), "null text counts as empty")
   }
 
+  test("code-line detection: indent, trailing brace/semicolon, fences, blank-safe") {
+    val doc = "prose line one\n    indented();\nint main() {\n}\n\n```\ncode\n```\nmore prose"
+    val out = Seq(doc).toDF("t").select(
+      TextFunctions.nonblankLines(col("t")),
+      TextFunctions.codeLines(col("t")),
+      TextFunctions.hasCodeFence(col("t"))).head()
+    assert(out.getLong(0) === 8, "blank line excluded")
+    // indented();  main() {  }  ``` ×2  and 'code' is NOT code-ish
+    assert(out.getLong(1) === 5)
+    assert(out.getBoolean(2))
+    val none = Seq("just prose\nanother line").toDF("t").select(
+      TextFunctions.codeLines(col("t")), TextFunctions.hasCodeFence(col("t"))).head()
+    assert(none.getLong(0) === 0 && !none.getBoolean(1))
+  }
+
   test("ngramsRaw preserves duplicates, yields n-k+1 grams, empty when too short") {
     val df = Seq("a b a b a", "a b", "").toDF("text")
     val out = df.select(TextFunctions.ngramsRaw(col("text"), 2))

@@ -178,4 +178,42 @@ class StreamDedupSpec extends SparkSpec {
         s"near-dup must be dropped; got ${ids.mkString(",")}")
     } finally q.stop()
   }
+
+  test("againstIndex: stream flags match the batch incremental dedup, stateless") {
+    import graft.operators.IncrementalDedup
+    val dir = Files.createTempDirectory("sai_src").toString
+    val ckpt = Files.createTempDirectory("sai_ckpt").toString
+    val histText = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different text about distributed query engines and shuffles"),
+      (3L, "a third historical document with its own distinctive words inside"))
+    val index = IncrementalDedup.signatureIndex(
+      histText.toDF("doc_id", "text"), "text", "doc_id").cache()
+
+    val arriving = Seq(
+      (10L, histText(0)._2 + " extra"),              // near-dup of 1
+      (11L, "totally novel content with zero overlap against the history"),
+      (12L, histText(2)._2))                         // exact copy of 3
+    arriving.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/batch1")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(s"$dir/*")
+    val q = StreamDedup.againstIndex(stream, "text", "doc_id", index)
+      .writeStream.format("memory").queryName("sai_out")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // per-band rows collapse to pair decisions downstream — distinct here
+      val got = spark.table("sai_out").select("new_id", "old_id")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = IncrementalDedup.newVersusIndex(
+          arriving.toDF("doc_id", "text"), "text", "doc_id", index)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batch, "stream-static flags must equal the batch operator")
+      assert(got.contains((10L, 1L)) && got.contains((12L, 3L)))
+      assert(!got.exists(_._1 == 11L))
+    } finally q.stop()
+  }
 }
