@@ -36,7 +36,14 @@ object HyperBall {
     * Output: (node, radius, nb, rsum) — nb = non-empty registers of
     * the radius-ball sketch, rsum = sum of register maxima. Both are
     * monotone in radius (register max-merge only grows). */
-  def neighborhoods(edges: DataFrame, rounds: Int): DataFrame = {
+  def neighborhoods(edges: DataFrame, rounds: Int): DataFrame =
+    iterate(edges, rounds)
+      .map { case (radius, regs) => summarize(regs, radius) }
+      .reduce(_ unionByName _)
+
+  /** The per-radius register tables (radius → (node, bucket, r)) the
+    * summaries and estimates both read. */
+  private def iterate(edges: DataFrame, rounds: Int): Seq[(Int, DataFrame)] = {
     require(rounds >= 0 && rounds <= 32, "hyperball: rounds must be in [0, 32]")
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -51,8 +58,8 @@ object HyperBall {
         HllSketch.bucketCol(col("node")).as("bucket"),
         HllSketch.rankCol(col("node")).as("r"))
       .localCheckpoint(false)
-    val out = Seq.newBuilder[DataFrame]
-    out += summarize(regs, 0)
+    val out = Seq.newBuilder[(Int, DataFrame)]
+    out += 0 -> regs
     var k = 1
     while (k <= rounds) {
       val fromNbrs = e.join(regs.withColumnRenamed("node", "dst"), "dst")
@@ -61,10 +68,10 @@ object HyperBall {
         .groupBy(col("node"), col("bucket"))
         .agg(max(col("r")).as("r"))
         .localCheckpoint(false)
-      out += summarize(regs, k)
+      out += k -> regs
       k += 1
     }
-    out.result().reduce(_ unionByName _)
+    out.result()
   }
 
   private def summarize(regs: DataFrame, radius: Int): DataFrame =
@@ -72,4 +79,30 @@ object HyperBall {
       .agg(count(lit(1)).as("nb"), sum(col("r")).as("rsum"))
       .select(col("node"), lit(radius).as("radius"),
         col("nb").cast("long").as("nb"), col("rsum").cast("long").as("rsum"))
+
+  /** Harmonic centrality ESTIMATES — the application HyperBall was
+    * built for (Boldi & Vigna 2014, "Axioms for centrality"):
+    *   H(v) = Σ_{r=1..rounds} (|B_r(v)| − |B_{r−1}(v)|) / r
+    * with ball sizes read from the float HLL estimator. Deliberately
+    * OUTSIDE the oracle gate (t64 convention: registers are exact, an
+    * estimate is an interpretation of them) — spec-anchored against
+    * exact BFS harmonic centrality on planted graphs instead. Deltas
+    * are clamped at 0: the raw/linear-counting estimator switch can
+    * wobble a hair negative even though registers only grow. */
+  def harmonic(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perRadius = iterate(edges, rounds)
+      .map { case (radius, regs) =>
+        HllSketch.estimate(regs, Seq("node"))
+          .select(col("node"), lit(radius).as("radius"), col("estimate"))
+      }
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy(col("node")).orderBy(col("radius"))
+    perRadius
+      .withColumn("delta",
+        greatest(col("estimate") - lag(col("estimate"), 1).over(w), lit(0.0)))
+      .where(col("radius") >= 1)
+      .groupBy(col("node"))
+      .agg(round(sum(col("delta") / col("radius")), 4).as("harmonic_c"))
+  }
 }

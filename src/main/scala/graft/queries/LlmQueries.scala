@@ -4228,6 +4228,66 @@ object LlmQueries {
             .as("code_share"),
           col("has_fence"))
         .orderBy(id)
+    },
+
+    // Personalized PageRank / TrustRank (operators/PageRank.personalized
+    // — Gyöngyi et al. 2004) over the t62 link graph: teleport mass
+    // goes ONLY to the trusted seed set (every 10th node), so authority
+    // diffuses outward from the seeds and disconnected spam starves to
+    // rank 0. Same integer recurrence as t62 (bit-identical replay by
+    // construction); oracle = chained CTE rounds with the seed-gated
+    // teleport term.
+    sql("t91_trustrank") {
+      val iters = 8
+      val cand =
+        """cand AS (
+          |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+          |  UNION ALL
+          |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+          |  WHERE doc_id % 3 = 0)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT v.node,
+           |    ((CASE WHEN sd.node IS NULL THEN 0
+           |           ELSE (15 * (1000000000000 // ns.c)) // 100 END)
+           |     + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+           |  FROM nodes v
+           |  LEFT JOIN seeds sd ON sd.node = v.node
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.r // d.deg)::BIGINT AS s
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = v.node
+           |  CROSS JOIN ns)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cand,
+        |edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+        |deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |seeds AS (SELECT node FROM nodes WHERE node % 10 = 0),
+        |ns AS (SELECT count(*)::BIGINT AS c FROM seeds),
+        |r0 AS (SELECT v.node,
+        |         (CASE WHEN s.node IS NULL THEN 0
+        |               ELSE 1000000000000 // ns.c END)::BIGINT AS r
+        |       FROM nodes v LEFT JOIN seeds s ON s.node = v.node CROSS JOIN ns),
+        |$rounds
+        |SELECT node, r AS rank FROM r$iters
+        |ORDER BY node""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+      graft.operators.PageRank.personalized(edges,
+          s.range(0, 1000, 10).toDF("node"), iters = 8)
+        .orderBy(col("node"))
     }
   )
 }

@@ -78,6 +78,33 @@ class HyperBallSpec extends SparkSpec {
     assert(whole === full)
   }
 
+  test("harmonic estimates track exact BFS harmonic centrality within 5%") {
+    // directed path 1→2→3→4→5 plus a shortcut 1→3: exact distances known
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    def dists(src: Long): Map[Long, Int] = {
+      var d = Map(src -> 0); var frontier = Set(src); var k = 0
+      while (frontier.nonEmpty) {
+        k += 1
+        frontier = frontier.flatMap(m => adj.getOrElse(m, Set.empty)).filterNot(d.contains)
+        d ++= frontier.map(_ -> k)
+      }
+      d
+    }
+    val exact = nodes.map(v =>
+      v -> dists(v).collect { case (u, dd) if u != v => 1.0 / dd }.sum).toMap
+    val est = HyperBall.harmonic(edges.toDF("src", "dst"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { v =>
+      val (e0, h) = (exact(v), est(v))
+      assert(math.abs(h - e0) <= math.max(0.05 * e0, 0.06),
+        s"node $v: estimate $h vs exact $e0")
+    }
+    // the ordering signal survives the estimation: 1 reaches everything
+    assert(est(1L) > est(4L) && est(4L) > est(5L))
+  }
+
   test("partitioning-independent") {
     val edges = (0L until 200L).map(i => (i % 23, (i * 7 + 2) % 23))
     val a = run(edges, 3)

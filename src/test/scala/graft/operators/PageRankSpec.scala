@@ -69,4 +69,43 @@ class PageRankSpec extends SparkSpec {
     assert(withSink.values.sum < Unit0)
     assert(withSink.values.forall(_ > 0))
   }
+
+  private def runP(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                   iters: Int = 8): Map[Long, Long] =
+    PageRank.personalized(edges.toDF("src", "dst"), seeds.toDF("node"),
+      iters = iters).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalized with seeds = all nodes degenerates to global PageRank") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 3), (5, 1), (6, 5))
+    val all = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(runP(edges, all) === run(edges))
+  }
+
+  test("rank starves to zero outside the seeds' reach; seeds outside graph ignored") {
+    // two disjoint cycles; seeds only in the first (99 is not a node)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L))
+    val out = runP(edges, Seq(1L, 99L))
+    assert(out(10L) === 0L && out(11L) === 0L,
+      "the component unreachable from the seeds must starve")
+    assert(out(1L) > 0L && out(2L) > 0L && out(3L) > 0L)
+    // |S| counted after intersection: seed 1 alone owns the whole teleport
+    assert(out(1L) >= Unit0 * 15L / 100L / 2L, "seed teleport not diluted by ghost seeds")
+    intercept[IllegalArgumentException] {
+      runP(Seq((1L, 2L)), Seq(42L))
+    }
+  }
+
+  test("personalized is bit-deterministic across partitionings") {
+    val edges = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 40), (i, (i * 13 + 3) % 40)))
+    val seeds = (0L until 40L by 5L).toSeq
+    val a = PageRank.personalized(edges.toDF("src", "dst").repartition(7),
+        seeds.toDF("node"), iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = PageRank.personalized(edges.toDF("src", "dst").coalesce(1),
+        seeds.toDF("node"), iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a === b)
+  }
 }
