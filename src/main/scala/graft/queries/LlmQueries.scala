@@ -4288,6 +4288,51 @@ object LlmQueries {
       graft.operators.PageRank.personalized(edges,
           s.range(0, 1000, 10).toDF("node"), iters = 8)
         .orderBy(col("node"))
+    },
+
+    // Cross-source contamination matrix: for every source pair, how
+    // many exact-dup fingerprints they share — the "who syndicates
+    // whom" diagnostic that decides which sources are redundant before
+    // paying near-dup costs. Fixture plants syndicated templates
+    // (%9 → one of 4 wire stories, %13 → a shared disclaimer) so
+    // cross-source dups exist at every SF. One (source, fp) distinct +
+    // one fp equi-self-join (a<b) — fingerprints are the join key, so
+    // a shared wire story costs one aggregation row per source pair,
+    // never a payload shuffle.
+    sql("t92_source_overlap")(
+      raw"""WITH f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 9 = 0
+        |           THEN 'Syndicated wire story number ' || (doc_id % 4)::VARCHAR
+        |         WHEN doc_id % 13 = 0
+        |           THEN 'Common boilerplate disclaimer text for all mirrors'
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents),
+        |fp AS (
+        |  SELECT DISTINCT source,
+        |    md5(lower(regexp_replace(trim(t), '\s+', ' ', 'g'))) AS fp
+        |  FROM f)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*)::BIGINT AS shared_fp
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextFunctions
+      val id = col("doc_id")
+      val fix = when(id % 9 === 0,
+          concat(lit("Syndicated wire story number "), id % 4))
+        .when(id % 13 === 0,
+          lit("Common boilerplate disclaimer text for all mirrors"))
+        .otherwise(coalesce(col("text"), lit("")))
+      val fp = Tables.documents(s, d)
+        .select(col("source"), TextFunctions.fingerprint(fix).as("fp"))
+        .distinct()
+      fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_fp"))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 }

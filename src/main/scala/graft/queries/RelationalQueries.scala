@@ -653,6 +653,53 @@ object RelationalQueries {
           unix_micros(lead(col("vf"), 1).over(chain)).as("valid_to_us"),
           col("n_events"))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // Trailing-window anomaly detection: hourly event counts per type,
+    // z-scored against the PRECEDING 6 hours (frame excludes the
+    // current row — the classic monitoring baseline). The hourly
+    // aggregation and both window sums are pure integers; the mean /
+    // sample-variance / sqrt are row-local double arithmetic on those
+    // exact integers, so both engines compute identical bits. Windows
+    // partition by event_type — no global window; z is NULL until the
+    // baseline has ≥3 hours or when the baseline is constant.
+    sql("q29_event_anomaly")(
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour, n,
+        |    (sum(n) OVER trail)::BIGINT AS s,
+        |    (sum(n * n) OVER trail)::BIGINT AS s2,
+        |    (count(*) OVER trail)::BIGINT AS k
+        |  FROM h
+        |  WINDOW trail AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n,
+        |  CASE WHEN k >= 3 AND (k * s2 - s * s) > 0
+        |       THEN round((n - s / k::DOUBLE)
+        |            / sqrt((k * s2 - s * s) / (k::DOUBLE * (k - 1))), 4) + 0.0
+        |       ELSE NULL END AS z
+        |FROM w
+        |ORDER BY event_type, hour""") { (s, d) =>
+      val trail = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-6, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("hour"), col("n"),
+          sum(col("n")).over(trail).as("s"),
+          sum(col("n") * col("n")).over(trail).as("s2"),
+          count(lit(1)).over(trail).as("k"))
+        .select(col("event_type"), col("hour"), col("n"),
+          when(col("k") >= 3 && (col("k") * col("s2") - col("s") * col("s")) > 0,
+            round((col("n") - col("s") / col("k").cast("double")) /
+              sqrt((col("k") * col("s2") - col("s") * col("s")) /
+                (col("k").cast("double") * (col("k") - 1))), 4) + 0.0)
+            .otherwise(lit(null).cast("double")).as("z"))
+        .orderBy(col("event_type"), col("hour"))
     }
   )
 }
