@@ -4333,6 +4333,31 @@ object LlmQueries {
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("shared_fp"))
         .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // Integer-exact scaled Gram matrix (operators/Gram) — the
+    // PCA/covariance kernel over the embedding table. Fixed-point
+    // quantization (floor(x·1e6 + 0.5), float→double widening is
+    // exact) makes the reduction commutative-integer, so any
+    // partitioning and DuckDB's scan order produce identical bits; the
+    // engine folds each partition into one bounded 2,080-cell
+    // accumulator (mapPartitions — the justified pattern; an explode
+    // formulation multiplies corpus rows by dims²/2).
+    sql("t93_embedding_gram")(
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |    x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS q
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cells AS (
+        |  SELECT i.i AS i, j.j AS j, sum(q[i.i] * q[j.j])::BIGINT AS s
+        |  FROM v, range(1, 65) i(i), range(1, 65) j(j)
+        |  WHERE j.j >= i.i
+        |  GROUP BY 1, 2)
+        |SELECT (i - 1)::INTEGER AS i, (j - 1)::INTEGER AS j, s
+        |FROM cells ORDER BY i, j""".stripMargin
+    ) { (s, d) =>
+      graft.operators.Gram.scaled(Tables.embeddings(s, d), "embedding", dims = 64)
+        .orderBy(col("i"), col("j"))
     }
   )
 }
