@@ -4358,6 +4358,56 @@ object LlmQueries {
     ) { (s, d) =>
       graft.operators.Gram.scaled(Tables.embeddings(s, d), "embedding", dims = 64)
         .orderBy(col("i"), col("j"))
+    },
+
+    // Source-priority keep policy over exact-dup groups (the news-wire
+    // rule: among syndicated copies keep the most-trusted source's, tie
+    // → min doc_id). Quality-argmax is VACUOUS for exact dups — copies
+    // share the text, hence the score — so the policy dimension is
+    // metadata; priority here = the source's numeric suffix. One
+    // fingerprint exchange serves the argmin aggregate AND the
+    // join-back (the t63/t53 exchange-reuse shape). Fixture = the t92
+    // syndicated templates, so multi-source groups exist at every SF.
+    sql("t94_keep_policy")(
+      raw"""WITH f AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 9 = 0
+        |           THEN 'Syndicated wire story number ' || (doc_id % 4)::VARCHAR
+        |         WHEN doc_id % 13 = 0
+        |           THEN 'Common boilerplate disclaimer text for all mirrors'
+        |         ELSE coalesce(text, '') END AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, substr(source, 4)::INTEGER AS prio,
+        |    md5(lower(regexp_replace(trim(t), '\s+', ' ', 'g'))) AS fp
+        |  FROM f),
+        |g AS (SELECT fp, min(prio) AS mp FROM d GROUP BY fp),
+        |k AS (
+        |  SELECT d.fp, min(d.doc_id) AS keep_id
+        |  FROM d JOIN g ON g.fp = d.fp AND d.prio = g.mp
+        |  GROUP BY d.fp)
+        |SELECT d.doc_id, d.fp, k.keep_id, d.doc_id = k.keep_id AS kept
+        |FROM d JOIN k ON k.fp = d.fp
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextFunctions
+      val id = col("doc_id")
+      val fix = when(id % 9 === 0,
+          concat(lit("Syndicated wire story number "), id % 4))
+        .when(id % 13 === 0,
+          lit("Common boilerplate disclaimer text for all mirrors"))
+        .otherwise(coalesce(col("text"), lit("")))
+      val docs = Tables.documents(s, d)
+        .select(id, expr("cast(substring(source, 4, 10) as int)").as("prio"),
+          TextFunctions.fingerprint(fix).as("fp"))
+        .repartition(col("fp"))
+      val keep = docs.groupBy(col("fp"))
+        .agg(min(struct(col("prio"), col("doc_id"))).as("m"))
+        .select(col("fp"), col("m.doc_id").as("keep_id"))
+      docs.join(keep, Seq("fp"))
+        .select(col("doc_id"), col("fp"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("kept"))
+        .orderBy(col("doc_id"))
     }
   )
 }
