@@ -35,4 +35,27 @@ class FixtureInvariantSpec extends SparkSpec {
           "explicit [ \\t\\n\\f\\r] class on both engine and oracle sides")
     }
   }
+
+  test("documents.text is BMP-only at every generated SF") {
+    // Spark's length() counts UTF-16 code units, DuckDB's counts code
+    // points — they agree exactly on BMP text and diverge on every
+    // astral character (emoji, CJK extension B, musical symbols). Any
+    // length()-comparing oracle (t01 char counts, t88 script counts,
+    // t90 line rules, the symbol-ratio family) silently depends on
+    // this; assert it against the real corpora so a generator change
+    // surfaces as THIS named failure, not scattered hash mismatches.
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+      .map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+    sfs.foreach { dir =>
+      val astral = Tables.documents(spark, dir)
+        .filter(col("text").rlike("[\\x{10000}-\\x{10FFFF}]"))
+        .count()
+      assert(astral == 0L,
+        s"$dir/documents.parquet: $astral rows contain astral (non-BMP) " +
+          "characters — Spark UTF-16-unit length vs DuckDB code-point " +
+          "length diverge; length-based oracles need a code-point count " +
+          "on the Spark side (e.g. length(regexp_replace(text, '.', 'x')))")
+    }
+  }
 }
