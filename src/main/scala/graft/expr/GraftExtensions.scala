@@ -98,6 +98,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[GraftHilbert].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_hilbert expects (x, y, bits)")
+        GraftHilbert(children(0), children(1),
+          intArg(children(2), "graft_hilbert", 1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_argmax_cosine"),
       new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_argmax_cosine"),
       (children: Seq[Expression]) => {

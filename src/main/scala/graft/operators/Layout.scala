@@ -36,4 +36,14 @@ object Layout {
         shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
   }
+
+  /** Hilbert index of two non-negative bucket ids — the
+    * locality-better curve (every step is grid distance 1, no Z-curve
+    * jumps, so a value range bounds a tighter rectangle). Backed by
+    * the native [[graft.expr.GraftHilbert]] kernel: the per-bit
+    * rotation recurrence feeds each level's x/y into the next twice,
+    * which makes an unrolled Column tree exponential in `bits` — the
+    * codegen'd loop is O(bits) per row. */
+  def hilbertValue(x: Column, y: Column, bits: Int = 16): Column =
+    call_function("graft_hilbert", x.cast("long"), y.cast("long"), lit(bits))
 }

@@ -4408,6 +4408,57 @@ object LlmQueries {
         .select(col("doc_id"), col("fp"), col("keep_id"),
           (col("doc_id") === col("keep_id")).as("kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // Hilbert-curve layout (expr/GraftHilbert + Layout.hilbertValue) —
+    // the locality-better sibling of t48's Z-order: same bucketed
+    // (user, value) coordinates, same bucket/bbox report, but indexed
+    // by the Hilbert curve. Oracle replays the per-bit
+    // rotate-and-accumulate recurrence as 8 chained CTE rounds — the
+    // same double-reference structure that makes the engine side a
+    // native O(bits) kernel instead of an exponentially-unrolled
+    // Column tree.
+    sql("t95_hilbert_layout") {
+      val bits = 8
+      val rounds = (1 to bits).map { k =>
+        val sv = 1L << (bits - k)
+        s"""h$k AS (
+           |  SELECT xb, yb,
+           |    d + ${sv * sv} * xor(3 * rx, ry) AS d,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sv - 1} - y ELSE y END)
+           |         ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sv - 1} - x ELSE x END)
+           |         ELSE y END AS y
+           |  FROM (
+           |    SELECT xb, yb, x, y, d,
+           |      CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END AS rx,
+           |      CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END AS ry
+           |    FROM h${k - 1}) t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH coords AS (
+        |  SELECT user_id % 256 AS xb,
+        |    least(greatest(cast(floor(value) AS BIGINT), 0), 255) AS yb
+        |  FROM events),
+        |h0 AS (SELECT xb, yb, xb AS x, yb AS y, 0::BIGINT AS d FROM coords),
+        |$rounds
+        |SELECT d >> 10 AS hbucket,
+        |  cast(count(*) AS BIGINT) AS n,
+        |  min(xb) AS x_min, max(xb) AS x_max,
+        |  min(yb) AS y_min, max(yb) AS y_max
+        |FROM h$bits GROUP BY hbucket
+        |ORDER BY hbucket""".stripMargin
+    } { (s, d) =>
+      val ev = Tables.events(s, d)
+      val x = (col("user_id") % 256).cast("long")
+      val y = least(greatest(floor(col("value")).cast("long"), lit(0L)), lit(255L))
+      ev.select(x.as("xb"), y.as("yb"),
+          graft.operators.Layout.hilbertValue(x, y, bits = 8).as("hv"))
+        .withColumn("hbucket", shiftright(col("hv"), 10))
+        .groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .orderBy(col("hbucket"))
     }
   )
 }

@@ -271,6 +271,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("graft_hilbert: bijective on the grid, unit-step curve, masked inputs, null-safe") {
+    // bits=4: the 16×16 grid — the kernel must traverse all 256 cells
+    // with every consecutive pair grid-adjacent (THE Hilbert property;
+    // a Z-curve fails it at every quadrant seam)
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong, Hilbert.xy2d(4, x, y))
+    assert(cells.map(_._3).sorted == (0L until 256L), "bijection onto 0..255")
+    val byD = cells.map(c => c._3 -> ((c._1, c._2))).toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d -> ${d + 1} must be grid-adjacent")
+    }
+    // SQL surface parity with the kernel + masking + null propagation
+    val out = spark.sql(
+      """SELECT graft_hilbert(5, 9, 4),
+        |       graft_hilbert(5 + 16, 9, 4),
+        |       graft_hilbert(CAST(NULL AS BIGINT), 1, 4)""".stripMargin).head()
+    assert(out.getLong(0) == Hilbert.xy2d(4, 5, 9))
+    assert(out.getLong(1) == out.getLong(0), "out-of-range x is masked into the grid")
+    assert(out.isNullAt(2))
+  }
+
   test("minHashPairs and simHashPairs plans contain no aggregate exchange before banding") {
     // the signature stage must be shuffle-free: the only exchanges in
     // minHashPairs up to candidate generation are the self-join's
