@@ -4459,6 +4459,59 @@ object LlmQueries {
           min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
           min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
         .orderBy(col("hbucket"))
+    },
+
+    // CDC merge (Delta/Hudi MERGE INTO semantics): apply a changelog of
+    // sequenced upserts/deletes to a base snapshot — per key the
+    // HIGHEST-seq operation wins, a winning delete removes the row.
+    // The snapshot is seq-0 upserts, so the whole merge is ONE argmax
+    // aggregation on the key (max(struct(seq, op, text)) — seqs are
+    // unique per key, so lexicographic == max-seq) + a delete filter;
+    // no join against the base at all. Changelog fixture: updates
+    // (%7), deletes (%13, seq above the %7 update so D wins the
+    // overlap), inserts (new ids for %11).
+    sql("t96_cdc_merge")(
+      """WITH base AS (
+        |  SELECT doc_id, text, 0::BIGINT AS seq, 'U' AS op FROM documents),
+        |changes AS (
+        |  SELECT doc_id, 'rev2: ' || coalesce(text, '') AS text, 1::BIGINT, 'U'
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL, 2::BIGINT, 'D' FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'inserted doc ' || doc_id::VARCHAR, 1::BIGINT, 'U'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT * FROM base UNION ALL SELECT * FROM changes),
+        |m AS (SELECT doc_id, max(seq) AS ms FROM al GROUP BY doc_id),
+        |f AS (
+        |  SELECT a.doc_id, a.text, a.seq, a.op
+        |  FROM al a JOIN m ON m.doc_id = a.doc_id AND a.seq = m.ms)
+        |SELECT doc_id, text, seq AS last_seq
+        |FROM f WHERE op <> 'D'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val id = col("doc_id")
+      val base = docs.select(id, col("text"),
+        lit(0L).as("seq"), lit("U").as("op"))
+      val changes =
+        docs.where(id % 7 === 0).select(id,
+            concat(lit("rev2: "), coalesce(col("text"), lit(""))).as("text"),
+            lit(1L).as("seq"), lit("U").as("op"))
+          .unionAll(docs.where(id % 13 === 0).select(id,
+            lit(null).cast("string").as("text"), lit(2L).as("seq"),
+            lit("D").as("op")))
+          .unionAll(docs.where(id % 11 === 0).select(
+            (id + 1000000L).as("doc_id"),
+            concat(lit("inserted doc "), id).as("text"),
+            lit(1L).as("seq"), lit("U").as("op")))
+      base.unionAll(changes)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("seq"), col("op"), col("text"))).as("m"))
+        .where(col("m.op") =!= "D")
+        .select(col("doc_id"), col("m.text").as("text"),
+          col("m.seq").as("last_seq"))
+        .orderBy(col("doc_id"))
     }
   )
 }
