@@ -4512,6 +4512,85 @@ object LlmQueries {
         .select(col("doc_id"), col("m.text").as("text"),
           col("m.seq").as("last_seq"))
         .orderBy(col("doc_id"))
+    },
+
+    // Quantile-sketch accuracy audit (the t71/t78 audit family applied
+    // to t66): for each (source, percentile), the EXACT rank-r element
+    // — selected by the same ceil-rank convention the sketch readout
+    // uses — must land in the sketch's chosen bucket. That is a
+    // THEOREM for monotone buckets (the r-th smallest element lies in
+    // the first bucket whose cumulative count reaches r); the audit
+    // turns it into an oracled invariant, so any drift in bucket
+    // arithmetic, rank convention, or cumsum frame goes red HERE with
+    // est and exact side by side. `ok` is exact integer algebra
+    // (bucket(exact) == bucket(est)), never a float tolerance.
+    sql("t97_quantile_audit") {
+      val bucketSql = (v: String) =>
+        s"""CASE WHEN $v = 0 THEN -1
+           |  ELSE (length(bin($v)) - 1) * 16 +
+           |    CASE WHEN length(bin($v)) - 1 >= 4
+           |         THEN (($v >> (length(bin($v)) - 5)) - 16)::INTEGER
+           |         ELSE (($v - (1::BIGINT << (length(bin($v)) - 1)))
+           |               << (5 - length(bin($v))))::INTEGER END
+           |END""".stripMargin
+      raw"""WITH d AS (
+        |  SELECT source,
+        |    (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |          ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+        |     END)::BIGINT AS v
+        |  FROM documents),
+        |b AS (SELECT source, v, ${bucketSql("v")} AS bucket FROM d),
+        |c AS (SELECT source, bucket, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, bucket,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY source)::BIGINT AS n
+        |  FROM c),
+        |q AS (SELECT w.*, q_pct
+        |      FROM w CROSS JOIN (VALUES (50), (90), (99)) qq(q_pct)),
+        |sel AS (
+        |  SELECT source, q_pct, n, min(bucket) AS bucket
+        |  FROM q WHERE cum >= (q_pct * n + 99) // 100
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+        |  FROM d),
+        |exact AS (
+        |  SELECT s.source, s.q_pct, min(r.v) AS exact_v
+        |  FROM sel s JOIN ranked r
+        |    ON r.source = s.source AND r.rn = (s.q_pct * s.n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT s.source, s.q_pct,
+        |  CASE WHEN s.bucket = -1 THEN 0::BIGINT
+        |       WHEN s.bucket // 16 >= 4
+        |         THEN (16 + s.bucket % 16)::BIGINT << (s.bucket // 16 - 4)
+        |       ELSE (16 + s.bucket % 16)::BIGINT >> (4 - s.bucket // 16)
+        |  END AS est,
+        |  e.exact_v,
+        |  (${bucketSql("e.exact_v")}) = s.bucket AS ok
+        |FROM sel s JOIN exact e ON e.source = s.source AND e.q_pct = s.q_pct
+        |ORDER BY s.source, s.q_pct""".stripMargin
+    } { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("source"),
+          TextFunctions.tokenCount(coalesce(col("text"), lit(""))).as("v"))
+      val sk = graft.operators.QuantileSketch.sketch(docs, Seq("source"), col("v"))
+      val qs = graft.operators.QuantileSketch
+        .quantiles(sk, Seq("source"), Seq(50, 90, 99))
+      val ranked = docs.withColumn("rn",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("v"))))
+      val exact = qs.select(col("source"), col("q_pct"), col("n"))
+        .join(ranked, Seq("source"))
+        .where(col("rn") === expr("(q_pct * n + 99) div 100"))
+        .groupBy(col("source"), col("q_pct"))
+        .agg(min(col("v")).as("exact_v"))
+      qs.join(exact, Seq("source", "q_pct"))
+        .select(col("source"), col("q_pct"), col("est"), col("exact_v"),
+          (graft.operators.QuantileSketch.bucketCol(col("exact_v")) ===
+            graft.operators.QuantileSketch.bucketCol(col("est"))).as("ok"))
+        .orderBy(col("source"), col("q_pct"))
     }
   )
 }
