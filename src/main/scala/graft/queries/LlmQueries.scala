@@ -4591,6 +4591,91 @@ object LlmQueries {
           (graft.operators.QuantileSketch.bucketCol(col("exact_v")) ===
             graft.operators.QuantileSketch.bucketCol(col("est"))).as("ok"))
         .orderBy(col("source"), col("q_pct"))
+    },
+
+    // Link-graph health summary over the t62 graph: node/edge counts,
+    // reciprocity (directed: share of edges whose reverse exists, as
+    // an integer fixed point), and degree assortativity (Pearson over
+    // the symmetrized edge endpoints' degrees — Newman 2002's r, the
+    // simple-degree variant, stated as such). Every aggregation is an
+    // exact integer sum; the single-row Pearson readout is row-local
+    // float arithmetic on those integers (the q29 channel), so both
+    // engines compute identical bits.
+    sql("t98_graph_summary")(
+      """WITH cand AS (
+        |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |edges AS (SELECT DISTINCT src, dst FROM cand WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) x
+        |  GROUP BY node),
+        |sym AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b
+        |  UNION ALL
+        |  SELECT db.d, da.d
+        |  FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+        |sums AS (
+        |  SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM sym),
+        |rec AS (
+        |  SELECT count(*)::BIGINT AS rc FROM edges e
+        |  JOIN edges r ON r.src = e.dst AND r.dst = e.src)
+        |SELECT
+        |  (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+        |  (10000 * rec.rc // (SELECT count(*) FROM edges))::BIGINT AS recip_e4,
+        |  round((m * sxy - sx * sy) /
+        |    sqrt((m * sxx - sx * sx)::DOUBLE * (m * syy - sy * sy)), 4) + 0.0
+        |    AS assortativity
+        |FROM sums, rec""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val edges =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+          .where(col("src") =!= col("dst")).distinct()
+          .localCheckpoint(false)
+      val und = edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val deg = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val joined = und
+        .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+      val sym = joined.select(col("da").as("x"), col("db").as("y"))
+        .unionAll(joined.select(col("db").as("x"), col("da").as("y")))
+      val sums = sym.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val nNodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct().count()
+      val nEdges = edges.count()
+      val rc = edges.as("e").join(edges.as("r"),
+        col("r.src") === col("e.dst") && col("r.dst") === col("e.src")).count()
+      sums.select(
+        lit(nNodes).as("n_nodes"),
+        lit(nEdges).as("n_edges"),
+        lit(10000L * rc / nEdges).as("recip_e4"),
+        (round((col("m") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy"))), 4) + 0.0)
+          .as("assortativity"))
     }
   )
 }
