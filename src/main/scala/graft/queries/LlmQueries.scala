@@ -4676,6 +4676,60 @@ object LlmQueries {
           sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
             (col("m") * col("syy") - col("sy") * col("sy"))), 4) + 0.0)
           .as("assortativity"))
+    },
+
+    // Join-key skew diagnostics — the observability pass a cluster job
+    // runs BEFORE a big join to decide salting/AQE thresholds: per
+    // candidate key column, its cardinality, heaviest key, top-1
+    // share, and max/mean ratio as integer fixed points. One
+    // aggregation per key column; everything derives from exact
+    // integer counts ((10000·max·n_keys) div n_rows is max/mean·1e4
+    // without a float in sight).
+    sql("t99_skew_report")(
+      """WITH u AS (
+        |  SELECT user_id::VARCHAR AS k FROM events),
+        |t AS (
+        |  SELECT event_type AS k FROM events),
+        |s AS (
+        |  SELECT source AS k FROM documents),
+        |all_cols AS (
+        |  SELECT 'events.user_id' AS col_name, k FROM u
+        |  UNION ALL SELECT 'events.event_type', k FROM t
+        |  UNION ALL SELECT 'documents.source', k FROM s),
+        |cnt AS (
+        |  SELECT col_name, k, count(*)::BIGINT AS c
+        |  FROM all_cols GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT col_name, count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+        |    max(c)::BIGINT AS max_c, min(k) FILTER (WHERE hot) AS hottest
+        |  FROM (SELECT *, c = max(c) OVER (PARTITION BY col_name) AS hot FROM cnt) x
+        |  GROUP BY col_name)
+        |SELECT col_name, n_keys, n_rows, max_c, hottest,
+        |  (10000 * max_c // n_rows)::BIGINT AS top1_share_e4,
+        |  (10000 * max_c * n_keys // n_rows)::BIGINT AS max_over_mean_e4
+        |FROM agg ORDER BY col_name""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val all = ev.select(lit("events.user_id").as("col_name"),
+          col("user_id").cast("string").as("k"))
+        .unionAll(ev.select(lit("events.event_type").as("col_name"),
+          col("event_type").as("k")))
+        .unionAll(Tables.documents(s, d)
+          .select(lit("documents.source").as("col_name"), col("source").as("k")))
+      val cnt = all.groupBy(col("col_name"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      val agg = cnt
+        .withColumn("mx", max(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("col_name"))))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"),
+          min(when(col("c") === col("mx"), col("k"))).as("hottest"))
+      agg.select(col("col_name"), col("n_keys"), col("n_rows"), col("max_c"),
+          col("hottest"),
+          expr("10000 * max_c div n_rows").as("top1_share_e4"),
+          expr("10000 * max_c * n_keys div n_rows").as("max_over_mean_e4"))
+        .orderBy(col("col_name"))
     }
   )
 }
