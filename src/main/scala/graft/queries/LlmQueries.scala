@@ -4730,6 +4730,69 @@ object LlmQueries {
           expr("10000 * max_c div n_rows").as("top1_share_e4"),
           expr("10000 * max_c * n_keys div n_rows").as("max_over_mean_e4"))
         .orderBy(col("col_name"))
+    },
+
+    // Train-ready batches — the capstone composition of the training
+    // handoff: length gate → context-window chunking (t60 machinery)
+    // → sequence packing into 128-token contexts (t29 machinery, 4
+    // shards) → deterministic hash split (t34 convention). Everything
+    // stays the operators' own semantics; the oracle is the mechanical
+    // composition of their established replay formulations. Chunk ids
+    // are doc_id·1000 + idx (chunk counts are bounded far below 1000
+    // by corpus doc length), so doc/chunk recover by integer division
+    // and the pack ordering is the (doc, chunk) order.
+    sql("t100_train_batches")(
+      raw"""WITH gated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+        |         END) >= 10),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM gated),
+        |k AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) <= 64 THEN 1
+        |         ELSE ((len(ts) - 64 + 47) // 48) + 1 END AS k
+        |  FROM tok),
+        |w AS (SELECT doc_id, ts, unnest(range(k))::INT AS i FROM k),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + i AS chunk_id, doc_id, i AS chunk_idx,
+        |    len(list_slice(ts, i * 48 + 1, i * 48 + 64))::BIGINT AS n_tokens
+        |  FROM w),
+        |s AS (
+        |  SELECT chunk_id, doc_id, chunk_idx, n_tokens,
+        |    (chunk_id % 4)::INT AS shard,
+        |    (sum(n_tokens) OVER (PARTITION BY chunk_id % 4 ORDER BY chunk_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS stream_end
+        |  FROM chunks WHERE n_tokens >= 1)
+        |SELECT chunk_id, doc_id, chunk_idx, shard, n_tokens,
+        |  (stream_end - n_tokens) // 128 AS seq_first,
+        |  (stream_end - 1) // 128 AS seq_last,
+        |  (stream_end - n_tokens) % 128 AS offset_in_seq,
+        |  CASE WHEN ('0x' || substr(md5('b1-' || chunk_id::VARCHAR), 1, 8))::BIGINT
+        |         % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        |FROM s ORDER BY chunk_id""".stripMargin
+    ) { (s, d) =>
+      val gated = Tables.documents(s, d)
+        .where(TextFunctions.tokenCount(col("text")) >= 10)
+      val chunks = graft.operators.Chunker.chunk(gated, "doc_id", "text",
+          size = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+        .withColumn("strata", lit("all"))
+      val packed = Packing.contextPack(chunks, "chunk_id", "chunk_text",
+        strataCol = "strata", ctxLen = 128, shards = 4)
+      val bucket = conv(substring(
+        md5(concat(lit("b1-"), col("chunk_id").cast("string"))), 1, 8),
+        16, 10).cast("long") % 100
+      packed.select(col("chunk_id"),
+          expr("chunk_id div 1000").as("doc_id"),
+          (col("chunk_id") % 1000).cast("int").as("chunk_idx"),
+          col("shard"), col("n_tokens"),
+          col("seq_first"), col("seq_last"), col("offset_in_seq"),
+          when(bucket < 90, "train").otherwise("val").as("split"))
+        .orderBy(col("chunk_id"))
     }
   )
 }
