@@ -4663,15 +4663,19 @@ object LlmQueries {
       val sums = sym.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
-      val nNodes = edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node"))).distinct().count()
-      val nEdges = edges.count()
-      val rc = edges.as("e").join(edges.as("r"),
-        col("r.src") === col("e.dst") && col("r.dst") === col("e.src")).count()
-      sums.select(
-        lit(nNodes).as("n_nodes"),
-        lit(nEdges).as("n_edges"),
-        lit(10000L * rc / nEdges).as("recip_e4"),
+      // all scalars stay IN the plan as 1-row aggregates (broadcast
+      // cross joins of bounded frames — no driver-count actions)
+      val nn = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      val rcDf = edges.as("e").join(edges.as("r"),
+          col("r.src") === col("e.dst") && col("r.dst") === col("e.src"))
+        .agg(count(lit(1)).as("rc"))
+      sums.crossJoin(nn).crossJoin(ne).crossJoin(rcDf).select(
+        col("n_nodes"),
+        col("n_edges"),
+        expr("10000 * rc div n_edges").as("recip_e4"),
         (round((col("m") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
             (col("m") * col("syy") - col("sy") * col("sy"))), 4) + 0.0)
