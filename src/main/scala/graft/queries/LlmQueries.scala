@@ -4797,6 +4797,45 @@ object LlmQueries {
           col("seq_first"), col("seq_last"), col("offset_in_seq"),
           when(bucket < 90, "train").otherwise("val").as("split"))
         .orderBy(col("chunk_id"))
+    },
+
+    // Edit-distance fuzzy matching over the VALUE DOMAIN — the record-
+    // linkage modality the hash/shingle dedup family cannot express
+    // (a transposition changes every shingle). The scale shape is the
+    // point: distinct the value domain FIRST (one shuffle; titles,
+    // hosts, product names are tiny next to row counts), then
+    // fuzzy-join only the bounded domain, blocked by length (the
+    // classic Levenshtein block: |len(a)−len(b)| ≤ dist, so a
+    // same-length block loses nothing at dist ≤ 2 for equal-length
+    // typos and is documented as a recall trade otherwise). Both
+    // engines ship unit-cost levenshtein, so the oracle is builtin-
+    // vs-builtin. Fixture plants transposition typos ('Documnet').
+    sql("t101_fuzzy_titles")(
+      """WITH titles AS (
+        |  SELECT DISTINCT
+        |    CASE WHEN doc_id % 17 = 0
+        |         THEN 'Documnet Title ' || (doc_id % 40)::VARCHAR
+        |         ELSE 'Document Title ' || (doc_id % 40)::VARCHAR END AS title
+        |  FROM documents),
+        |b AS (SELECT title, length(title) AS l FROM titles)
+        |SELECT a.title AS title_a, bb.title AS title_b,
+        |  levenshtein(a.title, bb.title)::INTEGER AS dist
+        |FROM b a JOIN b bb ON bb.l = a.l AND a.title < bb.title
+        |WHERE levenshtein(a.title, bb.title) <= 2
+        |ORDER BY title_a, title_b""".stripMargin
+    ) { (s, d) =>
+      val id = col("doc_id")
+      val title = when(id % 17 === 0,
+          concat(lit("Documnet Title "), id % 40))
+        .otherwise(concat(lit("Document Title "), id % 40))
+      val titles = Tables.documents(s, d).select(title.as("title")).distinct()
+        .withColumn("l", length(col("title")))
+      titles.as("a").join(titles.as("bb"),
+          col("bb.l") === col("a.l") && col("a.title") < col("bb.title"))
+        .where(levenshtein(col("a.title"), col("bb.title")) <= 2)
+        .select(col("a.title").as("title_a"), col("bb.title").as("title_b"),
+          levenshtein(col("a.title"), col("bb.title")).cast("int").as("dist"))
+        .orderBy(col("title_a"), col("title_b"))
     }
   )
 }

@@ -700,6 +700,62 @@ object RelationalQueries {
                 (col("k").cast("double") * (col("k") - 1))), 4) + 0.0)
             .otherwise(lit(null).cast("double")).as("z"))
         .orderBy(col("event_type"), col("hour"))
+    },
+
+    // Time-grid gap fill with forward fill — the resampling step the
+    // reference domain (sensor streams) runs before any comparison of
+    // irregular channels: per user, an hourly grid spanning their
+    // observations, each point carrying the latest value at-or-before
+    // it. The per-hour "latest" is one max(struct(tsu, event_id,
+    // value)) argmax (unique (tsu, event_id) makes it total); the fill
+    // is last_value IGNORE NULLS over the user partition — everything
+    // shuffles on user_id once. Values pass through untouched (no
+    // arithmetic → bit-identical); the first grid point is always
+    // observed, so no leading-null policy is needed.
+    sql("q30_gap_fill")(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+        |    epoch_us(ts) AS tsu, event_id, value
+        |  FROM events),
+        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |         FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM span),
+        |mt AS (SELECT user_id, hour, max(tsu) AS mtsu FROM e GROUP BY 1, 2),
+        |me AS (
+        |  SELECT e.user_id, e.hour, max(e.event_id) AS meid
+        |  FROM e JOIN mt ON mt.user_id = e.user_id AND mt.hour = e.hour
+        |    AND e.tsu = mt.mtsu
+        |  GROUP BY 1, 2),
+        |obs AS (
+        |  SELECT e.user_id, e.hour, min(e.value) AS obs_v
+        |  FROM e
+        |  JOIN mt ON mt.user_id = e.user_id AND mt.hour = e.hour AND e.tsu = mt.mtsu
+        |  JOIN me ON me.user_id = e.user_id AND me.hour = e.hour
+        |    AND e.event_id = me.meid
+        |  GROUP BY 1, 2)
+        |SELECT g.user_id, g.hour,
+        |  last_value(o.obs_v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  o.obs_v IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.hour = g.hour
+        |ORDER BY g.user_id, g.hour""") { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("hour"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"), col("value"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+      val obs = ev.groupBy(col("user_id"), col("hour"))
+        .agg(max(struct(col("tsu"), col("event_id"), col("value").as("v"))).as("m"))
+        .select(col("user_id"), col("hour"), col("m.v").as("obs_v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), col("hour"),
+          last(col("obs_v"), ignoreNulls = true).over(w).as("value"),
+          col("obs_v").isNotNull.as("observed"))
+        .orderBy(col("user_id"), col("hour"))
     }
   )
 }
