@@ -121,4 +121,49 @@ object PageRank {
     }
     r.select(col("node"), col("r").as("rank"))
   }
+
+  /** Weighted PageRank: identical integer recurrence with rank mass
+    * split proportionally to EDGE WEIGHTS (anchor counts, click
+    * counts) instead of uniformly —
+    *   contribution(u→v) = (r(u) · w(u,v)) div W(u),  W(u) = Σ_v w(u,v)
+    * Duplicate (src, dst) rows are weight-summed; self-loops and
+    * non-positive weights dropped (the latter would corrupt W(u)). Same
+    * scale shape as [[ranks]]: weights ride the one checkpointed edge
+    * table, each iteration is one join + one aggregation over thin
+    * rows. Multiplication order (r·w before div) keeps the floor loss
+    * at one unit per edge; r·w ≤ unit·ΣW stays far inside BIGINT for
+    * any real weight scale (document weights ≥ 2^20 need a smaller
+    * unit). */
+  def weightedRanks(edges: DataFrame, iters: Int = 8,
+                    unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .where(col("src") =!= col("dst") && col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val ed = e.repartition(col("src"))
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("wsum")), "src")
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    require(n > 0, "weighted PageRank needs a non-empty graph")
+    val r0 = unit / n
+    val tele = 15L * r0 / 100L
+    var r = nodes.select(col("node"), lit(r0).as("r"))
+    var i = 0
+    while (i < iters) {
+      val s = ed.join(r, ed("src") === r("node"))
+        .select(ed("dst"),
+          floor(r("r") * ed("w") / ed("wsum")).cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(s, nodes("node") === s("dst"), "left")
+        .select(nodes("node"),
+          (lit(tele) +
+            floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
+            .as("r"))
+      i += 1
+    }
+    r.select(col("node"), col("r").as("rank"))
+  }
 }

@@ -4836,6 +4836,59 @@ object LlmQueries {
         .select(col("a.title").as("title_a"), col("bb.title").as("title_b"),
           levenshtein(col("a.title"), col("bb.title")).cast("int").as("dist"))
         .orderBy(col("title_a"), col("title_b"))
+    },
+
+    // Weighted PageRank (PageRank.weightedRanks) — rank mass split by
+    // EDGE WEIGHT (here: link multiplicity across the three t62
+    // generators, i.e. the anchor-count weighting t61 produces in a
+    // real crawl). contribution(u→v) = (r·w) div W(u); the same
+    // integer recurrence, bit-identical replay. Completes the rank
+    // family: global (t62), personalized (t91), weighted (t102).
+    sql("t102_weighted_pagerank") {
+      val iters = 8
+      val rounds = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT v.node, (t.t + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS r
+           |  FROM nodes v
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node, sum((r.r * e.w) // d.wsum)::BIGINT AS s
+           |    FROM edges e
+           |    JOIN r${k - 1} r ON r.node = e.src
+           |    JOIN wsum d ON d.src = e.src
+           |    GROUP BY e.dst) s ON s.node = v.node
+           |  CROSS JOIN tele t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS (
+        |  SELECT doc_id % 1000 AS src, (doc_id * 7 + 1) % 1000 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 13 + 3) % 1000 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 1000, (doc_id * 31 + 7) % 1000 FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |edges AS (
+        |  SELECT src, dst, count(*)::BIGINT AS w FROM cand
+        |  WHERE src <> dst GROUP BY 1, 2),
+        |wsum AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |n AS (SELECT count(*)::BIGINT AS c FROM nodes),
+        |r0 AS (SELECT node, (1000000000000 // n.c)::BIGINT AS r
+        |       FROM nodes CROSS JOIN n),
+        |tele AS (SELECT ((15 * (1000000000000 // c)) // 100)::BIGINT AS t FROM n),
+        |$rounds
+        |SELECT node, r AS rank FROM r$iters
+        |ORDER BY node""".stripMargin
+    } { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val id = col("doc_id")
+      val weighted =
+        docs.select((id % 1000).as("src"), ((id * 7 + 1) % 1000).as("dst"))
+          .union(docs.select((id % 1000).as("src"),
+            ((id * 13 + 3) % 1000).as("dst")))
+          .union(docs.where(id % 3 === 0).select((id % 1000).as("src"),
+            ((id * 31 + 7) % 1000).as("dst")))
+          .withColumn("w", lit(1L))
+      graft.operators.PageRank.weightedRanks(weighted, iters = 8)
+        .orderBy(col("node"))
     }
   )
 }

@@ -756,6 +756,41 @@ object RelationalQueries {
           last(col("obs_v"), ignoreNulls = true).over(w).as("value"),
           col("obs_v").isNotNull.as("observed"))
         .orderBy(col("user_id"), col("hour"))
+    },
+
+    // Event-type transition matrix (first-order Markov counts): per
+    // user-ordered stream, count (prev → next) pairs and the per-row
+    // transition probability as an integer fixed point. One user_id
+    // window for the lag, one aggregation, one bounded window over the
+    // |types|² transition rows for the row-normalizer — never over the
+    // data.
+    sql("q31_event_transitions")(
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    count(*)::BIGINT AS n
+        |  FROM o WHERE prev IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  (10000 * n // sum(n) OVER (PARTITION BY from_type))::BIGINT AS p_e4
+        |FROM c
+        |ORDER BY from_type, to_type""") { (s, d) =>
+      val lagW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val c = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(lagW))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("tot",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("10000 * n div tot").as("p_e4"))
+        .orderBy(col("from_type"), col("to_type"))
     }
   )
 }

@@ -96,6 +96,33 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("weightedRanks with unit weights equals unweighted ranks; heavy edges pull rank") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = Seq[(Long, Long)]((1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 1))
+    val unit = PageRank.weightedRanks(
+        edges.toDF("src", "dst").withColumn("w", lit(1L)), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unit === run(edges))
+    // tilt 1's mass toward 2: with w(1→2)=9, node 2 must outrank its
+    // equal-weight self
+    val tilted = PageRank.weightedRanks(
+        edges.toDF("src", "dst")
+          .withColumn("w", org.apache.spark.sql.functions
+            .when(col("src") === 1 && col("dst") === 2, 9L).otherwise(1L)),
+        iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tilted(2L) > unit(2L))
+    // non-positive weights are dropped: a w=0 edge is no edge
+    val zeroed = PageRank.weightedRanks(
+        (edges :+ (5L, 4L)).toDF("src", "dst")
+          .withColumn("w",
+            org.apache.spark.sql.functions
+              .when(col("src") === 5 && col("dst") === 4, 0L).otherwise(1L)),
+        iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zeroed === unit)
+  }
+
   test("personalized is bit-deterministic across partitionings") {
     val edges = (0L until 60L).flatMap(i =>
       Seq((i, (i * 7 + 1) % 40), (i, (i * 13 + 3) % 40)))
