@@ -4889,6 +4889,37 @@ object LlmQueries {
           .withColumn("w", lit(1L))
       graft.operators.PageRank.weightedRanks(weighted, iters = 8)
         .orderBy(col("node"))
+    },
+
+    // Per-epoch training order: each epoch is an independent
+    // deterministic permutation of the corpus — position = rank of
+    // md5(epoch || doc_id) — so a trainer streams epoch e in that
+    // order without ever materializing or coordinating a permutation
+    // (any worker recomputes any position). One window per epoch
+    // partition; the md5 channel is the established oracle-parity
+    // hash (t34/t35). Three epochs keep the oracle small; the shape
+    // is epoch-count-independent.
+    sql("t103_epoch_shuffle")(
+      """WITH e AS (
+        |  SELECT doc_id, unnest(range(3))::INT AS epoch FROM documents),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch
+        |      ORDER BY md5(epoch::VARCHAR || '-' || doc_id::VARCHAR), doc_id)
+        |      AS pos
+        |  FROM e)
+        |SELECT epoch, doc_id, pos::BIGINT AS pos
+        |FROM r ORDER BY epoch, pos""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+      val w = Window.partitionBy(col("epoch"))
+        .orderBy(md5(concat(col("epoch").cast("string"), lit("-"),
+          col("doc_id").cast("string"))), col("doc_id"))
+      e.select(col("epoch"), col("doc_id"),
+          row_number().over(w).cast("long").as("pos"))
+        .orderBy(col("epoch"), col("pos"))
     }
   )
 }

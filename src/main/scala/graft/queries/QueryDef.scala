@@ -22,6 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     true mean of ±1e-18 rounds to -0.0 in one engine and +0.0 in the
   *     other — distinct under the driver's text hash. (Row-local
   *     arithmetic is safe: identical operands give identical zeros.)
+  *   - DuckDB's `//` is floor division ONLY for integer operands; on
+  *     DOUBLEs it ROUNDS (836.89 // 1 → 837), while Spark's `div` and
+  *     `floor(a / b)` floor. Integer fixed-points must keep both
+  *     operands integral, or spell `floor(a / b)` explicitly on both
+  *     sides (caught live in q32: share_e4 off by one on three rows).
   */
 final case class QueryDef(
     name: String,

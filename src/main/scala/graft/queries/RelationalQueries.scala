@@ -791,6 +791,58 @@ object RelationalQueries {
         .select(col("from_type"), col("to_type"), col("n"),
           expr("10000 * n div tot").as("p_e4"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // Top-N-with-others rollup (the BI report staple): revenue by
+    // nation, top 5 by revenue kept by name, the tail collapsed into
+    // one OTHER row, plus integer fixed-point share-of-total. Rank by
+    // (rounded revenue, name) so the cut is engine-independent; both
+    // windows run over the 25 aggregated nation rows, never the data.
+    sql("q32_top_nations_others")(
+      """WITH rev AS (
+        |  SELECT n.n_name AS nation,
+        |    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name),
+        |rk AS (
+        |  SELECT nation, revenue,
+        |    row_number() OVER (ORDER BY revenue DESC, nation) AS rnk
+        |  FROM rev),
+        |grouped AS (
+        |  SELECT CASE WHEN rnk <= 5 THEN nation ELSE 'OTHER' END AS bucket,
+        |    min(CASE WHEN rnk <= 5 THEN rnk ELSE 6 END) AS ord,
+        |    round(sum(revenue), 2) AS revenue
+        |  FROM rk GROUP BY 1)
+        |SELECT bucket, revenue,
+        |  floor(10000 * revenue / sum(revenue) OVER ())::BIGINT AS share_e4
+        |FROM grouped
+        |ORDER BY ord, bucket""") { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      val rk = rev.withColumn("rnk", row_number().over(
+        Window.orderBy(col("revenue").desc, col("nation"))))
+      val grouped = rk
+        .groupBy(when(col("rnk") <= 5, col("nation")).otherwise("OTHER")
+          .as("bucket"))
+        .agg(min(when(col("rnk") <= 5, col("rnk")).otherwise(6)).as("ord"),
+          round(sum(col("revenue")), 2).as("revenue"))
+      grouped
+        .withColumn("tot", sum(col("revenue")).over(
+          Window.partitionBy()))
+        .select(col("bucket"), col("revenue"),
+          floor(lit(10000) * col("revenue") / col("tot")).cast("long")
+            .as("share_e4"), col("ord"))
+        .orderBy(col("ord"), col("bucket"))
+        .drop("ord")
     }
   )
 }
