@@ -30,8 +30,16 @@ object RobotsGate {
     * case-insensitively (lowercased on both sides); an empty path is
     * "/"; URLs that don't parse get host/path NULL and are allowed
     * (no rule can match them). */
+  /** Output/internal names the gate generates; an id column with one of
+    * these would be silently shadowed (the CmsSketch/HllSketch guard
+    * convention, per the round-8 advice). */
+  private val reserved = Set("host", "path", "allowed", "rule_allow", "rule_prefix")
+
   def gate(urls: DataFrame, idCol: String, urlCol: String,
            rules: DataFrame): DataFrame = {
+    require(!reserved.contains(idCol),
+      s"id column '$idCol' collides with RobotsGate output names " +
+        s"(${reserved.toSeq.sorted.mkString(", ")}); rename it first")
     val host = lower(regexp_extract(col(urlCol), "^(?i)https?://([^/:?#]+)", 1))
     val rawPath = regexp_extract(col(urlCol), "^(?i)https?://[^/?#]+([^?#]*)", 1)
     val parsed = urls.select(col(idCol),

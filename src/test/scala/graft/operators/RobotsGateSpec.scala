@@ -59,6 +59,13 @@ class RobotsGateSpec extends SparkSpec {
     assert(out(1L) === ((false, Some("/p"))))
   }
 
+  test("reserved id-column names are rejected, not silently shadowed") {
+    intercept[IllegalArgumentException] {
+      RobotsGate.gate(Seq((1L, "https://a.com/")).toDF("host", "url"),
+        "host", "url", rules.toDF("host", "allow", "prefix"))
+    }
+  }
+
   test("plan: exactly one join with the rule table, no cartesian product") {
     val df = RobotsGate.gate(
       (0L until 100L).map(i => (i, s"https://a.com/p/$i")).toDF("id", "url"),
