@@ -7,7 +7,7 @@ import graft.queries.{LlmQueries, MultimodalQueries, QueryDef, ReferenceQueries,
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private val defs: Seq[QueryDef] =
+  private[graft] val defs: Seq[QueryDef] =
     RelationalQueries.all ++ ReferenceQueries.all ++ LlmQueries.all ++
       UdbfQueries.all ++ SensicalQueries.all ++ MultimodalQueries.all ++
       WebhookQueries.all
