@@ -57,10 +57,23 @@ object Tables {
     * lesson generalized): a regenerated corpus that writes int32 ids or
     * float64 embeddings must not break or silently re-type downstream
     * operators. Only listed columns are touched; a cast is added only
-    * when the read type differs, so the common case is a no-op plan. */
+    * when the read type MATERIALLY differs, so the common case is a
+    * no-op plan. "Materially" ignores array containsNull: a writer
+    * that marks embedding elements non-nullable still reads as
+    * array<float>, and casting it on every scan would defeat the
+    * no-op-plan intent (values are unchanged by nullability). */
+  private def sameShape(a: org.apache.spark.sql.types.DataType,
+                        b: org.apache.spark.sql.types.DataType): Boolean =
+    (a, b) match {
+      case (x: org.apache.spark.sql.types.ArrayType,
+            y: org.apache.spark.sql.types.ArrayType) =>
+        sameShape(x.elementType, y.elementType)
+      case _ => a == b
+    }
+
   private def conform(df: DataFrame, want: Map[String, org.apache.spark.sql.types.DataType]): DataFrame =
     want.foldLeft(df) { case (acc, (c, t)) =>
-      if (acc.columns.contains(c) && acc.schema(c).dataType != t)
+      if (acc.columns.contains(c) && !sameShape(acc.schema(c).dataType, t))
         acc.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
       else acc
     }

@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
 object Gram {
 
   /** (i, j, s) for 0 ≤ i ≤ j < dims. NULL vectors are skipped; a
-    * vector of the wrong length fails fast. */
+    * vector of the wrong length — or a non-null vector containing a
+    * NULL element — fails fast with a clear error (the boxed-element
+    * deserialization below exists exactly so dirty data surfaces as
+    * this message, not an opaque encoder NPE). */
   def scaled(embs: DataFrame, vecCol: String, dims: Int,
              scale: Long = 1000000L): DataFrame = {
     require(dims >= 1 && dims <= 4096, "gram: dims must be in [1, 4096]")
@@ -37,7 +40,7 @@ object Gram {
     import sess.implicits._
     val tri = dims * (dims + 1) / 2
     val partials = embs.select(col(vecCol)).where(col(vecCol).isNotNull)
-      .as[Seq[Float]]
+      .as[Seq[java.lang.Float]]
       .mapPartitions { it =>
         val acc = new Array[Long](tri)
         var any = false
@@ -46,7 +49,11 @@ object Gram {
           require(v.length == dims, s"gram: expected $dims dims, got ${v.length}")
           var i = 0
           while (i < dims) {
-            q(i) = math.floor(v(i).toDouble * scale + 0.5).toLong
+            val x = v(i)
+            require(x ne null,
+              s"gram: NULL element at index $i of a non-null embedding " +
+                "vector (whole-NULL vectors are skipped; elements must be null-free)")
+            q(i) = math.floor(x.floatValue.toDouble * scale + 0.5).toLong
             i += 1
           }
           var k = 0

@@ -131,9 +131,13 @@ object PageRank {
     * scale shape as [[ranks]]: weights ride the one checkpointed edge
     * table, each iteration is one join + one aggregation over thin
     * rows. Multiplication order (r·w before div) keeps the floor loss
-    * at one unit per edge; r·w ≤ unit·ΣW stays far inside BIGINT for
-    * any real weight scale (document weights ≥ 2^20 need a smaller
-    * unit). */
+    * at one unit per edge. The quotient is computed with SQL `div`
+    * (exact BIGINT division) — NOT floor over `/`, whose double cast
+    * loses integer precision once r·w exceeds 2^53 (w ≳ 9e3 at the
+    * default unit) and would silently diverge from the oracle's exact
+    * BIGINT `//`. The only remaining bound is BIGINT overflow of r·w
+    * itself: r ≤ unit, so weights up to 2^63/unit ≈ 9.2e6 are safe at
+    * the default unit; larger weights need a smaller unit. */
   def weightedRanks(edges: DataFrame, iters: Int = 8,
                     unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
@@ -154,8 +158,8 @@ object PageRank {
     var i = 0
     while (i < iters) {
       val s = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst"),
-          floor(r("r") * ed("w") / ed("wsum")).cast("long").as("c"))
+        .select(ed("dst"), r("r").as("rr"), ed("w"), ed("wsum"))
+        .select(col("dst"), expr("rr * w div wsum").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = nodes.join(s, nodes("node") === s("dst"), "left")
         .select(nodes("node"),

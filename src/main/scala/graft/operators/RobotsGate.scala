@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Semantics (the spec's, deterministically):
   *   - a rule is (host, allow, prefix); a rule matches when the URL's
-  *     host equals it and the URL's path starts with the prefix;
+  *     host equals it and the URL's path starts with the prefix.
+  *     Prefixes are LITERAL: RFC 9309 wildcards ('*', '$') are NOT
+  *     interpreted — the rule table must be pre-expanded to literal
+  *     prefixes by the robots.txt parser, and a prefix containing
+  *     either metacharacter fails the query (raise_error) rather than
+  *     silently never matching;
   *   - the LONGEST matching prefix wins; at equal length Allow beats
   *     Disallow (two distinct equal-length prefixes cannot both match
   *     one path, so (length, allow) is a total tie-break);
@@ -47,7 +52,12 @@ object RobotsGate {
       when(host === "", lit(null))
         .otherwise(when(rawPath === "", "/").otherwise(rawPath)).as("path"))
     val r = rules.select(lower(col("host")).as("host"),
-      col("allow").cast("boolean").as("allow"), col("prefix"))
+      col("allow").cast("boolean").as("allow"),
+      when(col("prefix").contains("*") || col("prefix").contains("$"),
+        raise_error(concat(
+          lit("RobotsGate: wildcard rule prefix unsupported — pre-expand " +
+            "robots.txt rules to literal prefixes: "), col("prefix"))))
+        .otherwise(col("prefix")).as("prefix"))
     val won = parsed.join(r, Seq("host"))
       .where(col("path").startsWith(col("prefix")))
       .groupBy(col(idCol))

@@ -21,7 +21,15 @@ object StreamMaterialize {
 
   /** (keyCol, op, seq, value...) changelog → one row per key carrying
     * the winning (seq, op, value). Downstream filters `op <> 'D'` (or
-    * applies tombstones to its store). */
+    * applies tombstones to its store).
+    *
+    * PRECONDITION: `seqCol` must be unique per key (the standard CDC
+    * log-sequence-number contract, and what t96 pins). At equal seq the
+    * max(struct) tie-break falls through to (op, value) lexicographic
+    * order — 'U' beats 'D' — so a duplicate delivery of the same seq
+    * with a different op could resurrect a deleted key. If the source
+    * cannot guarantee unique seqs, extend seqCol with a delivery-unique
+    * tiebreaker (e.g. struct(seq, ingest_offset)) before calling. */
   def latest(changes: DataFrame, keyCol: String, seqCol: String,
              opCol: String, valueCol: String): DataFrame =
     changes.groupBy(col(keyCol))
