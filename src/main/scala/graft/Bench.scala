@@ -12,6 +12,20 @@ object Bench {
     math.round(l * 100.0) / 100.0
   }
 
+  /** Cumulative process CPU nanos (JVM-wide — driver + all local[N]
+    * executor threads), or -1 where the platform bean won't say.
+    * Sampled around each query so the emitted `cpu_s` map separates
+    * machine-load artifacts from real regressions WITHOUT a rerun: a
+    * loaded machine inflates wall seconds while this process's CPU
+    * seconds hold steady (r8's t44 38.6 s and r9's t44 18.3 s were both
+    * load phantoms diagnosable only by clean reruns). cpu_s > wall is
+    * normal — 32 executor threads each contribute. */
+  private def processCpuNanos: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val load0 = loadAvg
@@ -26,21 +40,29 @@ object Bench {
     // comparable round-over-round
     try graft.queries.LlmQueries.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
-    // (name, seconds, error) — a failed query must NOT look like a fast one
+    // (name, wall secs, cpu secs, error) — a failed query must NOT look
+    // like a fast one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val c0 = processCpuNanos
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
                 catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0
+                else math.round((processCpuNanos - c0) / 1e9 * 1000.0) / 1000.0
+      (name, wall, cpu, err)
     }
     val qs = results.map {
-      case (k, v, None) => s"\"$k\":$v"
-      case (k, _, Some(e)) => s"""\"$k\":\"err:$e\""""
+      case (k, v, _, None) => s"\"$k\":$v"
+      case (k, _, _, Some(e)) => s"""\"$k\":\"err:$e\""""
     }.mkString("{", ",", "}")
-    val ok = results.filter(_._3.isEmpty)
+    val cpus = results.map { case (k, _, c, _) => s"\"$k\":$c" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._4.isEmpty)
     val total = ok.map(_._2).sum
-    val nErr = results.count(_._3.nonEmpty)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg}"""
+    val totalCpu = math.round(ok.map(_._3).filter(_ >= 0).sum * 1000.0) / 1000.0
+    val nErr = results.count(_._4.nonEmpty)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"cpu_s":$cpus,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg}"""
     println(line)
     // also persist the full metric line: the console line can get
     // truncated by log tailing, losing the per-query breakdown that

@@ -49,7 +49,7 @@ object GoldenGen {
   val modelArtifacts: Seq[String] =
     Seq("t25_centroids", "t40_codebooks", "t52_merges",
       "t07_sigs", "t08_sigs", "t13_buckets", "t28_centroids",
-      "t57_weights", "t58_sigs")
+      "t57_weights", "t58_sigs", "t104_weights")
 
   /** The t12 hyperplane sign matrix is a pure function of
     * (table, bit, dim) — corpus-independent, so ONE file serves every
@@ -75,6 +75,9 @@ object GoldenGen {
     val BpeMerges = 100; val BpeVocab = 4096
     // t57 logistic regression (target = the DSIR src0/src1 slice)
     val LrDims = 256; val LrIters = 15; val LrRate = 0.5; val LrRoundDp = 6
+    // t104 mini-batch variant: each iteration reads a deterministic
+    // 1/LrSample hash-slice of the corpus (the 100 TB training path)
+    val LrSample = 4
   }
 
   /** The verify SFs goldens exist for, with the `customer` row count the
@@ -217,6 +220,15 @@ object GoldenGen {
             graft.core.Tables.documents(spark, sfDir), "text",
             org.apache.spark.sql.functions.col("source").isin("src0", "src1"),
             dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp)
+          .zipWithIndex.map { case (w, b) => (b, w) }
+          .toDF("bucket", "w")
+      case "t104_weights" =>
+        graft.operators.Classifier.trainMiniBatch(
+            graft.core.Tables.documents(spark, sfDir), "text",
+            org.apache.spark.sql.functions.col("source").isin("src0", "src1"),
+            org.apache.spark.sql.functions.col("doc_id"),
+            dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp,
+            sample = LrSample)
           .zipWithIndex.map { case (w, b) => (b, w) }
           .toDF("bucket", "w")
       case "t28_centroids" =>

@@ -49,27 +49,67 @@ object Classifier {
             dims: Int = 256, iters: Int = 15, lr: Double = 0.5,
             roundDp: Int = 6): Seq[Double] = {
     require(dims >= 1 && iters >= 1 && lr > 0)
+    trainCore(df, textCol, labelCol, None, dims, iters, lr, roundDp, 1)
+  }
+
+  /** [[train]] with deterministic hash-selected MINI-BATCHES — the
+    * 100 TB path: full-batch GD reads the whole corpus `iters` times,
+    * which at cluster scale turns a 15-iteration fit into 15 full
+    * passes over 100 TB. This variant selects, per iteration `i`
+    * (1-based), the docs whose `md5(i || '|' || id)` 16-bit prefix is
+    * ≡ 0 (mod `sample`) — a disjoint-ish 1/sample slice that rotates
+    * deterministically per iteration, so each pass reads 1/sample of
+    * the data while every doc still participates over enough
+    * iterations. Determinism contract unchanged (same md5 idiom as
+    * [[bucket]], same per-update rounding), so the weights remain an
+    * artifact like t57's, replayable by any engine. `sample = 1`
+    * selects everything and reproduces [[train]] exactly (spec-pinned).
+    * The gradient normalizes by the SELECTED count (computed inside the
+    * same dims+2-cell aggregation — still one action per iteration);
+    * an iteration whose slice is empty leaves the weights unchanged. */
+  def trainMiniBatch(df: DataFrame, textCol: String, labelCol: Column,
+                     idCol: Column, dims: Int = 256, iters: Int = 15,
+                     lr: Double = 0.5, roundDp: Int = 6,
+                     sample: Int = 4): Seq[Double] = {
+    require(dims >= 1 && iters >= 1 && lr > 0)
+    require(sample >= 1, s"sample must be >= 1, got $sample")
+    trainCore(df, textCol, labelCol, Some(idCol), dims, iters, lr,
+      roundDp, sample)
+  }
+
+  private def trainCore(df: DataFrame, textCol: String, labelCol: Column,
+                        idCol: Option[Column], dims: Int, iters: Int,
+                        lr: Double, roundDp: Int, sample: Int): Seq[Double] = {
     // the one corpus-derived table the loop touches: per doc its label,
-    // token count, and the hashed bucket of every token. Fixed-width
-    // rows, cached so iterations read columnar blocks, not text.
+    // id string (mini-batch selection key), token count, and the hashed
+    // bucket of every token. Fixed-width rows, cached so iterations
+    // read columnar blocks, not text.
     val feats = df.select(
         labelCol.cast("int").cast("double").as("y"),
+        idCol.getOrElse(lit("")).cast("string").as("sid"),
         toks(col(textCol)).as("__t"))
-      .select(col("y"),
+      .select(col("y"), col("sid"),
         size(col("__t")).cast("double").as("n"),
         transform(col("__t"), t => bucket(t, dims).cast("int")).as("bs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDocs = feats.count().toDouble
-      require(nDocs > 0, "Classifier.train needs a non-empty corpus")
+      require(feats.count() > 0, "Classifier.train needs a non-empty corpus")
       var w: IndexedSeq[Double] = IndexedSeq.fill(dims + 1)(0.0)
       var i = 0
       while (i < iters) {
         val wLit = typedLit(w)
+        // the iteration's slice: md5(iter || '|' || id) 16-bit prefix
+        // ≡ 0 (mod sample). sample = 1 skips the filter so the scan is
+        // identical to the classic full-batch plan.
+        val batch =
+          if (sample == 1) feats
+          else feats.where(
+            conv(substring(md5(concat(lit(s"${i + 1}|"), col("sid"))),
+              1, 4), 16, 10).cast("long") % sample === 0)
         // margin = mean token weight + bias; the logistic error p - y
         // fans back out over the SAME bucket array (contribution 1/n
-        // per token) plus one bias cell per doc — a single scan, then
-        // a dims+1-key aggregation of partial sums.
+        // per token) plus one bias cell and one count cell per doc —
+        // a single scan, then a dims+2-key aggregation of partials.
         val margin = coalesce(
           aggregate(col("bs"), lit(0.0),
             (acc, b) => acc + element_at(wLit, b + 1)) /
@@ -77,20 +117,26 @@ object Classifier {
           lit(0.0)) + element_at(wLit, dims + 1)
         val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("e")
         val grad = graft.core.Bounded.collect(
-          feats.select(err, col("n"), col("bs"))
+          batch.select(err, col("n"), col("bs"))
             .select(explode(concat(
               transform(col("bs"),
                 b => struct(b.as("b"), (col("e") / col("n")).as("g"))),
-              array(struct(lit(dims).as("b"), col("e").as("g"))))).as("c"))
+              array(struct(lit(dims).as("b"), col("e").as("g")),
+                struct(lit(dims + 1).as("b"), lit(1.0).as("g"))))).as("c"))
             .groupBy(col("c.b").as("b"))
             .agg(sum(col("c.g")).as("g")),
-          dims + 1, "Classifier.train")
+          dims + 2, "Classifier.train")
           .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        w = w.indices.map { b =>
-          java.math.BigDecimal
-            .valueOf(w(b) - lr * grad.getOrElse(b, 0.0) / nDocs)
-            .setScale(roundDp, java.math.RoundingMode.HALF_UP)
-            .doubleValue() + 0.0
+        // normalize by the SELECTED doc count (== corpus size when
+        // sample = 1: the count cell sums exact integer-valued doubles)
+        val nBatch = grad.getOrElse(dims + 1, 0.0)
+        if (nBatch > 0) {
+          w = w.indices.map { b =>
+            java.math.BigDecimal
+              .valueOf(w(b) - lr * grad.getOrElse(b, 0.0) / nBatch)
+              .setScale(roundDp, java.math.RoundingMode.HALF_UP)
+              .doubleValue() + 0.0
+          }
         }
         i += 1
       }

@@ -235,6 +235,42 @@ object LlmQueries {
     plantedEmbeddings(s, d).count()
   }
 
+  /** Bounded connected-components rounds for the t15/t23 oracles — the
+    * t62/t83/t84/t85 chained-CTE discipline applied to CC. The naive
+    * recursive min-label CTE is a TRANSITIVE CLOSURE (every (vertex,
+    * reachable-label) pair — quadratic per cluster, >10 min verbatim at
+    * sf0.1), so earlier rounds needed a harness-side iterative rewrite.
+    * This emits `rounds` materialized hybrid rounds instead — each round
+    * takes the min over (self, in-neighbors' labels, label's label);
+    * the pointer-jumping third term halves label-tree depth per round
+    * (Shiloach–Vishkin style), so convergence needs O(log diameter)
+    * rounds, and 12 covers any component this corpus can produce by
+    * orders of magnitude. The final `chk` CTE makes insufficiency LOUD:
+    * if the last round still changed a label the query errors instead
+    * of returning a near-fixpoint. Expects CTEs `$base(doc_id)` and
+    * symmetric `edges(u, v)` in scope; binds `reach(id, lbl)` with one
+    * converged row per id. */
+  private def ccRounds(base: String, rounds: Int = 12): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT l.id,
+         |    least(l.lbl, coalesce(nb.mn, l.lbl), coalesce(j.lbl, l.lbl)) AS lbl
+         |  FROM l${k - 1} l
+         |  LEFT JOIN (SELECT e.v AS id, min(x.lbl) AS mn
+         |             FROM edges e JOIN l${k - 1} x ON x.id = e.u
+         |             GROUP BY e.v) nb ON nb.id = l.id
+         |  LEFT JOIN l${k - 1} j ON j.id = l.lbl)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM $base),
+       |$rs,
+       |chk AS (SELECT count(*) AS n FROM l$rounds a
+       |        JOIN l${rounds - 1} b ON a.id = b.id AND a.lbl <> b.lbl),
+       |reach AS (
+       |  SELECT id, CASE WHEN (SELECT n FROM chk) = 0 THEN lbl
+       |                  ELSE error('cc rounds insufficient') END AS lbl
+       |  FROM l$rounds)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     sql("t01_token_stats")(
@@ -526,10 +562,13 @@ object LlmQueries {
     // dedup CLUSTER RESOLUTION: near-dup pairs -> connected components ->
     // per-document cluster_id (component min; itself for singletons).
     // Spark side runs alternating large-star/small-star; the oracle
-    // reproduces the same fixpoint with a recursive min-label CTE over
-    // the identical pair graph — both fully deterministic.
+    // reproduces the same fixpoint over the identical pair graph with
+    // BOUNDED materialized min-label rounds ([[ccRounds]]) — tractable
+    // verbatim at every SF (~30 s at sf0.1, where the earlier recursive
+    // CTE needed >10 min and a harness-side rewrite) and loud if the
+    // round count were ever insufficient.
     sql("t15_dedup_clusters")(
-      """WITH RECURSIVE
+      raw"""WITH
         |corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -572,16 +611,12 @@ object LlmQueries {
         |  WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
         |        / (a.n + b.n - len(list_intersect(a.words, b.words))), 4) >= 0.8
         |),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT left_id AS u, right_id AS v FROM pairs
         |  UNION
         |  SELECT right_id, left_id FROM pairs
         |),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS lbl FROM corpus
-        |  UNION
-        |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
-        |)
+        |${ccRounds("corpus")}
         |SELECT id AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY id
         |ORDER BY doc_id""") { (s, d) =>
@@ -859,10 +894,11 @@ object LlmQueries {
     // the ENTIRE curation pipeline oracled end-to-end: quality gate →
     // exact dedup → shingle-Jaccard near-dup connected components →
     // canonical keep → per-language hash-order sample, all mirrored in
-    // one recursive DuckDB SQL. The strongest correctness artifact in
-    // the suite: four composed operators, one hash-compared answer.
+    // one DuckDB SQL (CC via bounded [[ccRounds]], tractable verbatim
+    // at every SF). The strongest correctness artifact in the suite:
+    // four composed operators, one hash-compared answer.
     sql("t23_curation_pipeline")(
-      """WITH RECURSIVE
+      raw"""WITH
         |scored AS (
         |  SELECT doc_id,
         |    round((least(n_tokens / 50.0, 1.0)
@@ -931,16 +967,12 @@ object LlmQueries {
         |  WHERE round(len(list_intersect(a.words, b.words))::DOUBLE
         |        / (a.n + b.n - len(list_intersect(a.words, b.words))), 4) >= 0.8
         |),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT left_id AS u, right_id AS v FROM pairs
         |  UNION
         |  SELECT right_id, left_id FROM pairs
         |),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS lbl FROM exact
-        |  UNION
-        |  SELECT e.v AS id, r.lbl FROM reach r JOIN edges e ON e.u = r.id
-        |),
+        |${ccRounds("exact")},
         |cc AS (
         |  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
         |),
@@ -2519,6 +2551,54 @@ object LlmQueries {
       val w = graft.operators.Classifier.train(docs, "text",
         col("source").isin("src0", "src1"),
         dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp)
+      graft.operators.Classifier.score(docs, "doc_id", "text", w,
+          dims = LrDims)
+        .orderBy(col("doc_id"))
+    },
+
+    // MINI-BATCH trained classifier (Classifier.trainMiniBatch): the
+    // t57 pipeline with each iteration reading a deterministic
+    // md5(iter‖doc_id) hash-slice (1/LrSample of the corpus) instead of
+    // a full pass — the 100 TB training path, where 15 full-batch
+    // corpus scans are a non-starter. Same rounded-update determinism
+    // contract, so the weights are a committed artifact exactly like
+    // t57's (GoldenSpec pins artifact == live retraining; a spec pins
+    // sample = 1 == classic full-batch bit-for-bit), and margin scoring
+    // + keep/drop replay in FULL DuckDB SQL from it.
+    sql("t104_minibatch_classifier") {
+      val d = graft.GoldenGen.ModelParams.LrDims
+      s"""WITH w AS (
+        |  SELECT bucket, CAST(round(w * 1000000) AS BIGINT) AS wi
+        |  FROM (${graft.GoldenGen.artifactSql("t104_weights")})),
+        |tok AS (
+        |  SELECT doc_id, (('0x' || substr(md5(t), 1, 4))::BIGINT % $d) AS bucket
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS t
+        |        FROM documents WHERE length(trim(coalesce(text, ''))) > 0) x),
+        |dot AS (
+        |  SELECT tok.doc_id, sum(w.wi) AS s, count(*) AS n
+        |  FROM tok JOIN w ON w.bucket = tok.bucket GROUP BY tok.doc_id),
+        |bias AS (SELECT wi FROM w WHERE bucket = $d),
+        |m AS (
+        |  SELECT d.doc_id,
+        |    coalesce(dot.s + bias.wi * dot.n, bias.wi) AS t,
+        |    coalesce(dot.n, 1) * 100 AS den
+        |  FROM documents d LEFT JOIN dot ON dot.doc_id = d.doc_id
+        |  CROSS JOIN bias),
+        |m4 AS (
+        |  SELECT doc_id, sign(t) * ((abs(t) + den // 2) // den) AS m4 FROM m)
+        |SELECT doc_id,
+        |  m4 / 10000.0 AS margin,
+        |  CASE WHEN m4 > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM m4
+        |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      val docs = Tables.documents(s, d)
+      val w = graft.operators.Classifier.trainMiniBatch(docs, "text",
+        col("source").isin("src0", "src1"), col("doc_id"),
+        dims = LrDims, iters = LrIters, lr = LrRate, roundDp = LrRoundDp,
+        sample = LrSample)
       graft.operators.Classifier.score(docs, "doc_id", "text", w,
           dims = LrDims)
         .orderBy(col("doc_id"))

@@ -69,6 +69,50 @@ class ClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("mini-batch at sample = 1 reproduces full-batch training bit-for-bit") {
+    val full = Classifier.train(corpus, "text", col("src") === "good",
+      dims = 64, iters = 10)
+    val mb = Classifier.trainMiniBatch(corpus, "text",
+      col("src") === "good", col("doc_id"), dims = 64, iters = 10,
+      sample = 1)
+    assert(mb === full)
+  }
+
+  test("mini-batch training is bit-deterministic across partitionings") {
+    val w1 = Classifier.trainMiniBatch(corpus.repartition(7), "text",
+      col("src") === "good", col("doc_id"), dims = 64, iters = 10,
+      sample = 3)
+    val w2 = Classifier.trainMiniBatch(corpus.coalesce(1), "text",
+      col("src") === "good", col("doc_id"), dims = 64, iters = 10,
+      sample = 3)
+    assert(w1 === w2)
+    // and the slices genuinely differ from full-batch: with a rotating
+    // 1/3 selection the weight path must diverge from the full pass
+    val full = Classifier.train(corpus, "text", col("src") === "good",
+      dims = 64, iters = 10)
+    assert(w1 !== full, "sampled training unexpectedly equals full-batch")
+  }
+
+  test("mini-batch still fits the separable corpus") {
+    val w = Classifier.trainMiniBatch(corpus, "text", col("src") === "good",
+      col("doc_id"), dims = 64, iters = 45, lr = 1.0, sample = 3)
+    val scored = Classifier.score(corpus, "doc_id", "text", w, dims = 64)
+      .join(corpus.select(col("doc_id"), col("src")), Seq("doc_id"))
+    val wrong = scored.filter(
+      (col("src") === "good") =!= (col("label") === "keep")).count()
+    assert(wrong === 0, "separable training set not fit by mini-batch")
+  }
+
+  test("an iteration with an empty slice leaves the weights unchanged") {
+    // 1 doc, sample so large most iterations select nothing: training
+    // must not crash or corrupt weights (division by zero slice)
+    val one = Seq((42L, "good", "qualmark solo text")).toDF("doc_id", "src", "text")
+    val w = Classifier.trainMiniBatch(one, "text", col("src") === "good",
+      col("doc_id"), dims = 64, iters = 8, sample = 1000)
+    assert(w.length === 65)
+    assert(w.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("bucket matches the cross-engine md5 idiom") {
     // pin a couple of literals so an md5/conv regression can't hide
     val got = Seq("the", "spark").toDF("t")

@@ -5,21 +5,14 @@ the same source tables. NOT part of the engine (driver-side python only).
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [skip1,skip2,...]
 
-The optional third arg skips named queries (kept for ad-hoc use; since
-the CC_FIXPOINT rewrite below made the t15/t23 replays tractable at
-sf0.1 the default skip list is empty).
+The optional third arg skips named queries (kept for ad-hoc use; the
+default skip list is empty).
 
-The t15/t23 oracles declare connected components as a recursive
-min-label CTE — correct, but a TRANSITIVE CLOSURE: the recursion
-enumerates every (vertex, reachable-label) pair, quadratic per cluster,
-which explodes on the sf0.1 pair graph (>10 min) while staying fine at
-the driver's sf0.01 gate. For local replays this harness swaps that one
-CTE for the equivalent bounded ITERATION: materialize the same edges,
-then rounds of "label := min(label, neighbors' labels)" temp tables
-until a round changes nothing (≤ graph diameter rounds, each O(|E|)).
-Same fixpoint, same result, linear work — the driver's own gate still
-executes the committed recursive SQL verbatim, so both formulations
-stay exercised.
+Every committed oracle runs VERBATIM, t15/t23 included: their connected
+components are authored as bounded materialized min-label rounds with
+pointer jumping (LlmQueries.ccRounds — the t62/t83/t84/t85 chained-CTE
+discipline), tractable at every SF, so this harness no longer carries
+any per-query rewrite.
 """
 import json, sys, hashlib
 import duckdb
@@ -27,59 +20,6 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
-
-# Queries whose oracle SQL ends in the conventional connected-components
-# block (prefix CTEs incl. `edges(u,v)` — symmetric — then
-# `reach AS (<base> UNION <step>)`). For these the recursive reach CTE
-# is replaced by the iterative fixpoint below.
-CC_FIXPOINT = {"t15_dedup_clusters", "t23_curation_pipeline"}
-
-MAX_CC_ROUNDS = 64
-
-
-def cc_fixpoint(con, sql: str) -> pd.DataFrame:
-    """Run a CC_FIXPOINT oracle with the reach CTE made iterative.
-
-    Relies on the committed SQL's conventional shape (authored alongside
-    this harness): a `reach AS (` CTE whose base member precedes a
-    `  UNION` line and whose body closes at the first line-start `)`.
-    """
-    pre, rest = sql.split("reach AS (", 1)
-    body, _post = rest.split("\n)", 1)
-    base, _step = body.split("\n  UNION\n", 1)
-    prefix = pre.rstrip()
-    assert prefix.endswith(","), "reach must follow a prior CTE"
-    prefix = prefix[:-1]  # the CTE list without reach
-    con.execute(f"CREATE OR REPLACE TEMP TABLE __edges AS {prefix}\n"
-                "SELECT u, v FROM edges")
-    con.execute(f"CREATE OR REPLACE TEMP TABLE __lbl AS {prefix}\n{base}")
-    for _ in range(MAX_CC_ROUNDS):
-        con.execute(
-            "CREATE OR REPLACE TEMP TABLE __nxt AS "
-            "SELECT l.id, least(l.lbl, coalesce(m.mn, l.lbl)) AS lbl "
-            "FROM __lbl l LEFT JOIN ("
-            "  SELECT e.v AS id, min(x.lbl) AS mn"
-            "  FROM __edges e JOIN __lbl x ON x.id = e.u"
-            "  GROUP BY e.v) m ON m.id = l.id")
-        changed = con.execute(
-            "SELECT count(*) FROM __nxt n JOIN __lbl l "
-            "ON n.id = l.id AND n.lbl <> l.lbl").fetchone()[0]
-        con.execute("CREATE OR REPLACE TEMP TABLE __lbl AS "
-                    "SELECT * FROM __nxt")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"CC fixpoint not reached in {MAX_CC_ROUNDS} rounds")
-    # the committed suffix (cc/canonical/ranked/final SELECT) runs
-    # unchanged against the converged labels; pruned CTEs (pairs, edges)
-    # are never re-evaluated because nothing references them anymore
-    final = sql.replace("reach AS (" + body + "\n)",
-                        "reach AS (\n  SELECT id, lbl FROM __lbl\n)")
-    try:
-        return con.execute(final).df()
-    finally:
-        for t in ("__edges", "__lbl", "__nxt"):
-            con.execute(f"DROP TABLE IF EXISTS {t}")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -109,8 +49,7 @@ def main(sf_dir: str, out_dir: str, skip: str = "") -> None:
             n_skipped += 1
             continue
         try:
-            expect = canon(cc_fixpoint(con, sql)
-                           if name in CC_FIXPOINT else con.execute(sql).df())
+            expect = canon(con.execute(sql).df())
             got = canon(duckdb.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:  # noqa: BLE001
