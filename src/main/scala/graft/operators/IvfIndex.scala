@@ -40,6 +40,24 @@ object IvfIndex {
     call_function("graft_argmax_cosine", vec,
       typedLit(centroids.flatten), lit(centroids.length))
 
+  /** Corpus-proportional cluster count — the published IVF/SemDeDup
+    * regime (~n / targetClusterSize clusters; 50 k clusters at LAION
+    * scale) as code instead of a comment: a fixed k = 16 keeps the
+    * within-cluster quadratic term growing as (n/16)² while this keeps
+    * per-cluster work constant as the corpus grows. The floor keeps
+    * tiny corpora at the oracle-pinned default; the cap bounds the
+    * centroid plan-literal (k × dims doubles must stay
+    * broadcast-sized). Callers that need oracle determinism keep
+    * passing a fixed k — auto-k is the production default, not a
+    * semantics change. */
+  def autoK(n: Long, targetClusterSize: Long = 4096,
+            minK: Int = 16, maxK: Int = 65536): Int = {
+    require(targetClusterSize >= 1 && minK >= 1 && maxK >= minK)
+    math.min(maxK.toLong,
+      math.max(minK.toLong,
+        (n + targetClusterSize - 1) / targetClusterSize)).toInt
+  }
+
   /** Train `k` centroids with `iters` Lloyd's iterations. Returns the
     * rounded centroids, cluster id = row index. */
   def train(df: DataFrame, idCol: String, vecCol: String, dims: Int,

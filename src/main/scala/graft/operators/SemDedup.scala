@@ -41,6 +41,19 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
+  /** [[prune]] with the cluster count auto-scaled to the corpus
+    * ([[IvfIndex.autoK]]): one control-plane count picks
+    * k ≈ n / targetClusterSize (floor 16), so the within-cluster
+    * quadratic term stays bounded by targetClusterSize as the corpus
+    * grows instead of growing as (n/16)² — the "50 k clusters at LAION
+    * scale" regime as the production default. The fixed-k [[prune]]
+    * remains the oracle-determinism path (t28 pins k = 16). */
+  def pruneAuto(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                threshold: Double, targetClusterSize: Long = 4096,
+                iters: Int = 3): DataFrame =
+    prune(df, idCol, vecCol, dims, threshold,
+      IvfIndex.autoK(df.count(), targetClusterSize), iters)
+
   def prune(df: DataFrame, idCol: String, vecCol: String, dims: Int,
             threshold: Double, kClusters: Int = 16, iters: Int = 3)
       : DataFrame = {

@@ -56,4 +56,42 @@ class SemDedupSpec extends SparkSpec {
       threshold = 0.9, kClusters = 16, iters = 3)
     assert(run().exceptAll(run()).isEmpty)
   }
+
+  test("autoK scales the cluster count with the corpus") {
+    // floor: tiny corpora stay at the oracle default
+    assert(IvfIndex.autoK(100, targetClusterSize = 4096) === 16)
+    assert(IvfIndex.autoK(16 * 4096, targetClusterSize = 4096) === 16)
+    // a 10x corpus gets ~10x the clusters once past the floor
+    val k1 = IvfIndex.autoK(1000000, targetClusterSize = 4096)
+    val k10 = IvfIndex.autoK(10000000, targetClusterSize = 4096)
+    assert(k1 === 245 && k10 === 2442, s"got $k1 / $k10")
+    // cap: the centroid plan literal stays broadcast-sized
+    assert(IvfIndex.autoK(Long.MaxValue, targetClusterSize = 1) === 65536)
+  }
+
+  test("pruneAuto picks a larger k on a larger corpus and bounds per-cluster pairs") {
+    // synthetic spread-out corpus: deterministic pseudo-random unit-ish
+    // vectors, so k-means has real structure to split
+    def corpus(n: Int) = spark.range(n).selectExpr("id",
+      "transform(sequence(0, 7), i -> cast(pmod(hash(id * 31 + i), 1000) / 500.0 - 1.0 AS FLOAT)) AS vec")
+    val small = corpus(512)
+    val big = corpus(5120)
+    val target = 256L
+    val kSmall = IvfIndex.autoK(512, target)   // floor: 16
+    val kBig = IvfIndex.autoK(5120, target)    // 20 > floor
+    assert(kSmall === 16 && kBig === 20)
+    // the auto path must agree exactly with the fixed-k path at that k
+    val auto = SemDedup.pruneAuto(big, "id", "vec", dims = 8,
+      threshold = 0.95, targetClusterSize = target)
+    val fixed = SemDedup.prune(big, "id", "vec", dims = 8,
+      threshold = 0.95, kClusters = kBig)
+    assert(auto.exceptAll(fixed).isEmpty && fixed.exceptAll(auto).isEmpty)
+    // per-cluster pair counts stay bounded: no cluster collapses into a
+    // corpus-sized quadratic blob (generous 8x slack over the target)
+    val sizes = auto.groupBy(col("cluster")).count().collect().map(_.getLong(1))
+    assert(sizes.length === kBig)
+    assert(sizes.max <= target * 8,
+      s"giant cluster of ${sizes.max} rows at target $target")
+    small.unpersist(); big.unpersist()
+  }
 }
