@@ -59,15 +59,21 @@ object UdbfDataSource {
   val TimestampColumn = "ts"
   val DefaultChunkFrames = 100000
 
-  /** Expand the `path`/`paths` options to concrete `.dat` files (glob +
-    * one-level directory listing), driver-side. */
-  def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val raw: Seq[String] = Option(options.get("paths")) match {
+  /** The raw `path`/`paths` option values, before glob/dir expansion —
+    * what the STREAMING source needs (it re-lists per poll, so a
+    * resolved snapshot would freeze the file set at plan time). */
+  def rawPaths(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("paths")) match {
       case Some(json) => "\"((?:[^\"\\\\]|\\\\.)*)\"".r
         .findAllMatchIn(json).map(_.group(1)).toSeq
       case None => Option(options.get("path")).toSeq
     }
+
+  /** Expand the `path`/`paths` options to concrete `.dat` files (glob +
+    * one-level directory listing), driver-side. */
+  def resolveFiles(options: CaseInsensitiveStringMap): Seq[String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val raw: Seq[String] = rawPaths(options)
     raw.flatMap { p =>
       val hp = new HPath(p)
       val fs = hp.getFileSystem(conf)
@@ -127,7 +133,8 @@ final class UdbfTable(tableSchema: StructType, options: CaseInsensitiveStringMap
   override def name(): String = "udbf:" + options.getOrDefault("path", "")
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // merge table-creation options with read options (read options win)
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -142,25 +149,37 @@ final class UdbfScanBuilder(fullSchema: StructType, options: CaseInsensitiveStri
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new UdbfScan(
-    UdbfDataSource.resolveFiles(options),
+    // lazily resolved: the streaming path never snapshots the file set
+    () => UdbfDataSource.resolveFiles(options),
     required,
     options.getInt("chunkFrames", UdbfDataSource.DefaultChunkFrames),
-    options.getBoolean("columnar", true))
+    options.getBoolean("columnar", true),
+    options)
 }
 
 final case class UdbfInputPartition(file: String) extends InputPartition
 
-final class UdbfScan(files: Seq[String], required: StructType,
-    chunkFrames: Int, columnar: Boolean)
+final class UdbfScan(resolve: () => Seq[String], required: StructType,
+    chunkFrames: Int, columnar: Boolean,
+    options: CaseInsensitiveStringMap)
     extends Scan with Batch {
+  private lazy val files: Seq[String] = resolve()
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     files.map(UdbfInputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new UdbfReaderFactory(required, chunkFrames, columnar)
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new UdbfMicroBatchStream(
+      UdbfDataSource.rawPaths(options), required, chunkFrames,
+      checkpointLocation,
+      options.getInt("stableChecks", graft.core.GraftConfig.stableChecks),
+      options.getLong("minFileAgeMs", graft.core.GraftConfig.minFileAgeMs),
+      options.getInt("maxFilesPerTrigger", 0))
   override def description(): String =
-    s"udbf [${files.size} files, columns: ${required.fieldNames.mkString(",")}]"
+    s"udbf [columns: ${required.fieldNames.mkString(",")}]"
 }
 
 final class UdbfReaderFactory(required: StructType, chunkFrames: Int,
