@@ -205,8 +205,10 @@ object Dedup {
     * for a guarantee). Only (doc_id, simhash) rides the explode — 16
     * bytes/doc/block. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 8, blocks: Int = 4): DataFrame = {
+                   maxHamming: Int = 8, blocks: Int = 4,
+                   chunkSize: Int = 2048): DataFrame = {
     require(blocks >= 2 && blocks <= 64, "blocks must be in [2, 64]")
+    require(chunkSize >= 2, "chunkSize must be >= 2")
     // block k covers bits [offsets(k), offsets(k+1)) of the signature
     val base = 64 / blocks
     val rem = 64 % blocks
@@ -223,15 +225,57 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.blk").as("blk"), col("bb.bits").as("bits"))
-    val l = exploded.select(col("blk"), col("bits"),
-      col("doc_id").as("left_id"), col("simhash").as("left_sig"))
-    val r = exploded.select(col("blk"), col("bits"),
-      col("doc_id").as("right_id"), col("simhash").as("right_sig"))
-    l.join(r, Seq("blk", "bits"))
-      .filter(col("left_id") < col("right_id"))
+    // CHUNK-SALTED self-join. A signature-dense corpus concentrates a
+    // large fraction of all documents into ONE (blk, bits) bucket, and
+    // that bucket's quadratic pair enumeration then lands on a single
+    // sort-merge partition — join-amplification skew AQE cannot see
+    // (its skew split triggers on input partition BYTES; a 50 k-row
+    // bucket is ~1 MB in, ~1.25 G pairs out — measured 1003 s wall at
+    // 1037 s cpu, i.e. fully serial, on the 10× scaling probe). Fix:
+    // split each bucket into ceil(n / chunkSize) chunks by id hash and
+    // enumerate chunk-pairs (i ≤ j) as PART OF THE JOIN KEY, so a
+    // bucket's m·(m+1)/2 chunk pairs spread over that many tasks.
+    // Replication cost is ~m copies of a 16-byte row — paid only by
+    // oversized buckets (m = 1 ⇒ the plan degenerates to the unsalted
+    // join). Result set identical; the trailing distinct dedups the
+    // multi-block hits exactly as before.
+    val sized = exploded.join(
+      exploded.groupBy(col("blk"), col("bits"))
+        .agg(count(lit(1)).as("__n")),
+      Seq("blk", "bits"))
+      .withColumn("__m",
+        ceil(col("__n").cast("double") / chunkSize).cast("int"))
+      .withColumn("__c",
+        pmod(xxhash64(col("doc_id")), col("__m")).cast("int"))
+    val l = sized.select(col("blk"), col("bits"),
+        col("__c").as("__i"),
+        explode(sequence(col("__c"), col("__m") - 1)).as("__j"),
+        col("doc_id").as("left_id"), col("simhash").as("left_sig"))
+    val r = sized.select(col("blk"), col("bits"),
+        explode(sequence(lit(0), col("__c"))).as("__i"),
+        col("__c").as("__j"),
+        col("doc_id").as("right_id"), col("simhash").as("right_sig"))
+    // a pair surfaces with its lower-chunk member on the LEFT (i ≤ j by
+    // construction), which is not necessarily the lower ID — so
+    // canonicalize by least/greatest instead of filtering on order
+    // (hamming is symmetric; the distinct dedups the double-match of
+    // same-chunk pairs and multi-block hits alike).
+    // The EXPLICIT repartition count is load-bearing: AQE coalesces
+    // join partitions by input BYTES, and the salted sides are a few
+    // MB — it folded the whole pair enumeration back into one task
+    // (measured 718 s single-task at 10×) until the numbered
+    // repartition pinned the width (AQE honors user-numbered
+    // repartitions). The join then reuses these exchanges directly.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val saltKey = Seq(col("blk"), col("bits"), col("__i"), col("__j"))
+    l.repartition(parts, saltKey: _*)
+      .join(r.repartition(parts, saltKey: _*), Seq("blk", "bits", "__i", "__j"))
+      .filter(col("left_id") =!= col("right_id"))
       .withColumn("hamming", hamming(col("left_sig"), col("right_sig")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("left_id"), col("right_id"), col("hamming"))
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"),
+        col("hamming"))
       .distinct()
   }
 

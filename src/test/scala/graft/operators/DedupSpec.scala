@@ -124,6 +124,15 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
     assert(got.nonEmpty) // planted near-identical copies must collide
+    // chunk-salting is answer-invariant: chunkSize = 2 forces every
+    // bucket through the multi-chunk (i, j) enumeration, including the
+    // cross-chunk orientation where the lower id hashes into the HIGHER
+    // chunk (the least/greatest canonicalization path)
+    val salted = Dedup.simHashPairs(corpus, "text", "doc_id", maxH,
+        blocks = maxH + 1, chunkSize = 2)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == expected, "chunk-salted join changed the pair set")
   }
 
   test("jaccardPairs finds planted near-duplicates above threshold") {
