@@ -110,7 +110,8 @@ object Dedup {
     * collision threshold is (1/b)^(1/r) ≈ 0.59 Jaccard.
     */
   def minHashPairs(df: DataFrame, textCol: String, idCol: String,
-                   numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                   numHashes: Int = 32, bands: Int = 8,
+                   chunkSize: Int = 2048): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
@@ -135,11 +136,6 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("left_id"), col("sig").as("left_sig"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("right_id"), col("sig").as("right_sig"))
-
     // native codegen'd estimator: the composed zip_with+filter+size chain
     // evaluated interpreted once per banded collision row (the per-row
     // hot spot of the self-join — a pair colliding in k bands paid it k
@@ -147,10 +143,16 @@ object Dedup {
     val matchFrac = call_function("graft_match_frac",
       col("left_sig"), col("right_sig"))
 
+    // chunk-salted band self-join ([[SaltedSelfJoin]]): a band bucket
+    // holding a large share of the corpus would otherwise serialize its
+    // quadratic enumeration on one task (the t08 skew class). The
+    // lower-chunk member lands on the left — canonicalize by
+    // least/greatest (matchFrac is symmetric).
     // distinct BEFORE the word-set join: one verification per pair, not per band
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"),
+    val candidates = SaltedSelfJoin.pairs(banded, Seq("band", "bucket"),
+        "doc_id", payload = Seq("sig"), chunkSize = chunkSize)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"),
         round(matchFrac, 4).as("est_jaccard"))
       .distinct()
 
@@ -225,53 +227,15 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.blk").as("blk"), col("bb.bits").as("bits"))
-    // CHUNK-SALTED self-join. A signature-dense corpus concentrates a
-    // large fraction of all documents into ONE (blk, bits) bucket, and
-    // that bucket's quadratic pair enumeration then lands on a single
-    // sort-merge partition — join-amplification skew AQE cannot see
-    // (its skew split triggers on input partition BYTES; a 50 k-row
-    // bucket is ~1 MB in, ~1.25 G pairs out — measured 1003 s wall at
-    // 1037 s cpu, i.e. fully serial, on the 10× scaling probe). Fix:
-    // split each bucket into ceil(n / chunkSize) chunks by id hash and
-    // enumerate chunk-pairs (i ≤ j) as PART OF THE JOIN KEY, so a
-    // bucket's m·(m+1)/2 chunk pairs spread over that many tasks.
-    // Replication cost is ~m copies of a 16-byte row — paid only by
-    // oversized buckets (m = 1 ⇒ the plan degenerates to the unsalted
-    // join). Result set identical; the trailing distinct dedups the
-    // multi-block hits exactly as before.
-    val sized = exploded.join(
-      exploded.groupBy(col("blk"), col("bits"))
-        .agg(count(lit(1)).as("__n")),
-      Seq("blk", "bits"))
-      .withColumn("__m",
-        ceil(col("__n").cast("double") / chunkSize).cast("int"))
-      .withColumn("__c",
-        pmod(xxhash64(col("doc_id")), col("__m")).cast("int"))
-    val l = sized.select(col("blk"), col("bits"),
-        col("__c").as("__i"),
-        explode(sequence(col("__c"), col("__m") - 1)).as("__j"),
-        col("doc_id").as("left_id"), col("simhash").as("left_sig"))
-    val r = sized.select(col("blk"), col("bits"),
-        explode(sequence(lit(0), col("__c"))).as("__i"),
-        col("__c").as("__j"),
-        col("doc_id").as("right_id"), col("simhash").as("right_sig"))
-    // a pair surfaces with its lower-chunk member on the LEFT (i ≤ j by
-    // construction), which is not necessarily the lower ID — so
-    // canonicalize by least/greatest instead of filtering on order
-    // (hamming is symmetric; the distinct dedups the double-match of
-    // same-chunk pairs and multi-block hits alike).
-    // The EXPLICIT repartition count is load-bearing: AQE coalesces
-    // join partitions by input BYTES, and the salted sides are a few
-    // MB — it folded the whole pair enumeration back into one task
-    // (measured 718 s single-task at 10×) until the numbered
-    // repartition pinned the width (AQE honors user-numbered
-    // repartitions). The join then reuses these exchanges directly.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val saltKey = Seq(col("blk"), col("bits"), col("__i"), col("__j"))
-    l.repartition(parts, saltKey: _*)
-      .join(r.repartition(parts, saltKey: _*), Seq("blk", "bits", "__i", "__j"))
-      .filter(col("left_id") =!= col("right_id"))
-      .withColumn("hamming", hamming(col("left_sig"), col("right_sig")))
+    // CHUNK-SALTED self-join ([[SaltedSelfJoin]] — measured 1003 s →
+    // 14 s at the 10× probe; see its scaladoc for the AQE-invisible
+    // skew it removes). A pair surfaces with its lower-CHUNK member on
+    // the left, not necessarily the lower id, so canonicalize by
+    // least/greatest (hamming is symmetric); the distinct dedups
+    // same-chunk double-matches and multi-block hits alike.
+    SaltedSelfJoin.pairs(exploded, Seq("blk", "bits"), "doc_id",
+        payload = Seq("simhash"), chunkSize = chunkSize)
+      .withColumn("hamming", hamming(col("left_simhash"), col("right_simhash")))
       .filter(col("hamming") <= maxHamming)
       .select(least(col("left_id"), col("right_id")).as("left_id"),
         greatest(col("left_id"), col("right_id")).as("right_id"),

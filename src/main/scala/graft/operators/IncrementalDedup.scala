@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * (band, bucket) — a small daily increment broadcasts under AQE, a
   * large one hash-joins with no skew beyond bucket collisions (bounded
   * by the banding threshold). distinct-before-threshold collapses
-  * multi-band collisions to one row per pair. */
+  * multi-band collisions to one row per pair. If an increment ever
+  * approaches corpus size AND the corpus is signature-dense, this
+  * bipartite join inherits the [[SaltedSelfJoin]] amplification hazard
+  * (hot bucket on both sides); salt the index side's bucket with an
+  * id-hash chunk and replicate the increment rows across chunks, with
+  * the numbered-repartition discipline documented there. */
 object IncrementalDedup {
 
   /** The persisted index of a curated corpus: (doc_id, sig). In

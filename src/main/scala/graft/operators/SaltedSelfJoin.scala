@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Chunk-salted self-join pair enumeration — the shared scale guard for
+  * every bucket-blocked candidate generator (simhash blocks, minhash
+  * bands, embedding LSH tables).
+  *
+  * The hazard it removes (caught live by the round-10 scaling probe,
+  * t08 at 10×: 1003 s wall ≈ 1037 s cpu, i.e. ONE task): a dense
+  * corpus concentrates a large share of all rows into one bucket key,
+  * and the bucket's quadratic pair join becomes join-amplification
+  * skew that AQE cannot fix — both its skew split and its partition
+  * coalescing trigger on input BYTES, and a 50 k-row bucket is ~1 MB
+  * in, ~10⁹ pairs out. AQE will even actively COALESCE the salted join
+  * back into one task (measured 718 s), which is why the explicitly
+  * NUMBERED repartition below is load-bearing: Spark preserves
+  * user-numbered repartitions from AQE coalescing.
+  *
+  * Mechanics: per bucket of n rows, members are split into
+  * m = ceil(n / chunkSize) chunks by id hash, and the chunk pair
+  * (i ≤ j) becomes part of the join key — the bucket's m(m+1)/2 chunk
+  * pairs then land on that many join keys and spread over the pinned
+  * partition width. Per-row replication is ~m copies of a thin row,
+  * paid only by oversized buckets; m = 1 degenerates to the classic
+  * unsalted join.
+  *
+  * Output contract: one row per colliding (pair, bucket-key) with the
+  * LOWER-CHUNK member on the left — NOT necessarily the lower id, and
+  * same-chunk pairs surface in both orientations. Callers therefore
+  * canonicalize with least/greatest and `distinct()` (which they
+  * already need for multi-bucket collisions). */
+object SaltedSelfJoin {
+
+  /** Enumerate colliding pairs of `bucketed` rows sharing all `keys`.
+    * Output columns: `keys…, left_id, right_id, left_<p>, right_<p>`
+    * for each payload column p. */
+  def pairs(bucketed: DataFrame, keys: Seq[String], idCol: String,
+            payload: Seq[String] = Seq.empty,
+            chunkSize: Int = 2048): DataFrame = {
+    require(chunkSize >= 2, "chunkSize must be >= 2")
+    val keyCols = keys.map(col)
+    val sized = bucketed.join(
+      bucketed.groupBy(keyCols: _*).agg(count(lit(1)).as("__n")), keys)
+      .withColumn("__m",
+        ceil(col("__n").cast("double") / chunkSize).cast("int"))
+      .withColumn("__c", pmod(xxhash64(col(idCol)), col("__m")).cast("int"))
+    val lsel = keyCols ++
+      Seq(col("__c").as("__i"),
+        explode(sequence(col("__c"), col("__m") - 1)).as("__j"),
+        col(idCol).as("left_id")) ++
+      payload.map(p => col(p).as(s"left_$p"))
+    val rsel = keyCols ++
+      Seq(explode(sequence(lit(0), col("__c"))).as("__i"),
+        col("__c").as("__j"),
+        col(idCol).as("right_id")) ++
+      payload.map(p => col(p).as(s"right_$p"))
+    val parts = bucketed.sparkSession.sessionState.conf.numShufflePartitions
+    val saltKeys = keys ++ Seq("__i", "__j")
+    sized.select(lsel: _*).repartition(parts, saltKeys.map(col): _*)
+      .join(sized.select(rsel: _*).repartition(parts, saltKeys.map(col): _*),
+        saltKeys)
+      .filter(col("left_id") =!= col("right_id"))
+      .drop("__i", "__j")
+  }
+}

@@ -160,16 +160,20 @@ object Similarity {
     * cosine verify over the distinct candidate-pair set, mirroring the
     * Dedup scale contract. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-                   threshold: Double, bits: Int = 8, tables: Int = 4): DataFrame = {
+                   threshold: Double, bits: Int = 8, tables: Int = 4,
+                   chunkSize: Int = 2048): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val bucketed = vecs.select(col("id"),
       explode(lshBuckets(col("vec"), dims, bits, tables)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("left_id"))
-    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("right_id"))
-    val candidates = l.join(r, Seq("tbl", "bucket"))
-      .filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"))
+    // chunk-salted bucket self-join ([[SaltedSelfJoin]]): an LSH bucket
+    // capturing a large slice of the corpus would otherwise serialize
+    // its quadratic enumeration (the t08 skew class); lower-chunk lands
+    // left, so canonicalize by least/greatest before the distinct
+    val candidates = SaltedSelfJoin.pairs(bucketed, Seq("tbl", "bucket"),
+        "id", chunkSize = chunkSize)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"))
       .distinct()
     val lv = vecs.select(col("id").as("left_id"), col("vec").as("left_vec"))
     val rv = vecs.select(col("id").as("right_id"), col("vec").as("right_vec"))

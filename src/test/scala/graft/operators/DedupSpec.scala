@@ -69,6 +69,13 @@ class DedupSpec extends SparkSpec {
       .select("left_id", "right_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected.toSet)
+    // chunk-salting is answer-invariant: chunkSize = 2 forces every
+    // band bucket through the multi-chunk enumeration
+    val salted = Dedup.minHashPairs(corpus, "text", "doc_id", numHashes,
+        bands, chunkSize = 2)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == expected.toSet, "chunk-salted minhash changed the pair set")
     // planted one-token-appended copies of long docs must be recovered
     val longDocs = corpus.filter(col("doc_id") < 1000000L)
       .filter(size(split(trim(col("text")), "\\s+")) >= 20)

@@ -131,6 +131,13 @@ class SimilaritySpec extends SparkSpec {
     Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
       dims = 64, threshold = 0.95, bits = 8, tables = 4)
       .collect().foreach(r => assert(r.getDouble(2) >= 0.95))
+    // chunk-salting is answer-invariant: chunkSize = 2 forces every LSH
+    // bucket through the multi-chunk enumeration
+    val salted = Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95, bits = 8, tables = 4, chunkSize = 2)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === got, "chunk-salted LSH join changed the pair set")
   }
 
   test("lshBucket is deterministic and within [0, 2^bits)") {
