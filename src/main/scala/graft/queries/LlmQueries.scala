@@ -5000,6 +5000,54 @@ object LlmQueries {
       e.select(col("epoch"), col("doc_id"),
           row_number().over(w).cast("long").as("pos"))
         .orderBy(col("epoch"), col("pos"))
+    },
+
+    // clustered-LAYOUT read path under the driver gate: events is
+    // physically z-order clustered on (value, user_id) once per
+    // session (Layout.clusteredWrite → repartitionByRange + sorted
+    // partitioned parquet), then a rectangle predicate reads ONLY the
+    // intersecting curve directories (Layout.prunedRead). Pruning is
+    // answer-transparent by construction — the raw predicate re-applies
+    // after directory pruning — so the oracle is the PLAIN filter over
+    // the source table: any pruning bug (dropped directory, wrong cell
+    // enumeration, bucketizer drift) surfaces as a hash mismatch here
+    // while the speedup itself is pinned by ClusteredLayoutSpec's
+    // files-read assertions. Cents fixed-point keeps the sum exact.
+    sql("t105_clustered_prune")(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE value BETWEEN 50 AND 150 AND user_id BETWEEN 0 AND 7
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val (dir, layout) = clusteredEventsCached(s, d)
+      graft.operators.Layout.prunedRead(s, dir, layout,
+          "value", "user_id", 50.0, 150.0, 0.0, 7.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
     }
   )
+
+  /** One z-order clustered copy of the events table per (session,
+    * corpus) — the t105 input, built lazily so Verify/Bench reuse a
+    * single write across repeated invocations. Temp-dir placed (fresh
+    * per JVM); content is deterministic given the corpus. */
+  private val layoutCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (String, graft.operators.Layout.CurveLayout)]
+  private def clusteredEventsCached(s: org.apache.spark.sql.SparkSession,
+                                    d: String): (String, graft.operators.Layout.CurveLayout) =
+    layoutCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_t105")
+        .toString + "/events"
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), col("value"))
+      val layout = graft.operators.Layout.clusteredWrite(
+        ev, "value", "user_id", dir, useHilbert = false,
+        bits = 8, partBits = 4)
+      (dir, layout)
+    })
 }
