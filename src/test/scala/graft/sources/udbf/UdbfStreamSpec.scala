@@ -62,8 +62,11 @@ class UdbfStreamSpec extends SparkSpec {
     })
     logger.start()
 
+    // stableChecks=5 against a 60 ms churn cadence: the gate needs
+    // ~500 ms of stat silence to admit, an 8x margin over the writer
+    // thread's step — robust to GC/scheduler stalls on a loaded box
     val q = spark.readStream.format("udbf")
-      .option("stableChecks", "3").option("minFileAgeMs", "0")
+      .option("stableChecks", "5").option("minFileAgeMs", "0")
       .load(dir.toString)
       .writeStream.format("memory").queryName("udbf_mb")
       .option("checkpointLocation", ckpt.toString)
