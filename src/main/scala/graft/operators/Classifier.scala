@@ -84,9 +84,11 @@ object Classifier {
     // id string (mini-batch selection key), token count, and the hashed
     // bucket of every token. Fixed-width rows, cached so iterations
     // read columnar blocks, not text.
+    // NULL ids coalesce to "" — otherwise md5(concat(iter, NULL)) is
+    // NULL and the row would silently vanish from EVERY mini-batch
     val feats = df.select(
         labelCol.cast("int").cast("double").as("y"),
-        idCol.getOrElse(lit("")).cast("string").as("sid"),
+        coalesce(idCol.getOrElse(lit("")).cast("string"), lit("")).as("sid"),
         toks(col(textCol)).as("__t"))
       .select(col("y"), col("sid"),
         size(col("__t")).cast("double").as("n"),

@@ -5021,32 +5021,52 @@ object LlmQueries {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin
     ) { (s, d) =>
-      val (dir, layout) = clusteredEventsCached(s, d)
-      graft.operators.Layout.prunedRead(s, dir, layout,
-          "value", "user_id", 50.0, 150.0, 0.0, 7.0)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(round(col("value") * 100).cast("long")).as("cents"))
-        .orderBy(col("event_type"))
+      clusteredRectangle(s, d, useHilbert = false)
+    },
+
+    // the same gated read through the HILBERT layout (t95 oracles the
+    // curve VALUES; this gates the hilbert prunedRead path end-to-end —
+    // different curve, different directory enumeration, same answer)
+    sql("t106_hilbert_prune")(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE value BETWEEN 50 AND 150 AND user_id BETWEEN 0 AND 7
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      clusteredRectangle(s, d, useHilbert = true)
     }
   )
 
-  /** One z-order clustered copy of the events table per (session,
-    * corpus) — the t105 input, built lazily so Verify/Bench reuse a
+  private def clusteredRectangle(s: org.apache.spark.sql.SparkSession,
+                                 d: String, useHilbert: Boolean) = {
+    val (dir, layout) = clusteredEventsCached(s, d, useHilbert)
+    graft.operators.Layout.prunedRead(s, dir, layout,
+        "value", "user_id", 50.0, 150.0, 0.0, 7.0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** One curve-clustered copy of the events table per (session, corpus,
+    * curve) — the t105/t106 input, built lazily so Verify/Bench reuse a
     * single write across repeated invocations. Temp-dir placed (fresh
     * per JVM); content is deterministic given the corpus. */
   private val layoutCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
+    .empty[(org.apache.spark.sql.SparkSession, String, Boolean),
       (String, graft.operators.Layout.CurveLayout)]
   private def clusteredEventsCached(s: org.apache.spark.sql.SparkSession,
-                                    d: String): (String, graft.operators.Layout.CurveLayout) =
-    layoutCache.getOrElseUpdate((s, d), {
+                                    d: String, useHilbert: Boolean)
+      : (String, graft.operators.Layout.CurveLayout) =
+    layoutCache.getOrElseUpdate((s, d, useHilbert), {
       val dir = java.nio.file.Files.createTempDirectory("graft_t105")
         .toString + "/events"
       val ev = Tables.events(s, d)
         .select(col("event_type"), col("user_id"), col("value"))
       val layout = graft.operators.Layout.clusteredWrite(
-        ev, "value", "user_id", dir, useHilbert = false,
+        ev, "value", "user_id", dir, useHilbert = useHilbert,
         bits = 8, partBits = 4)
       (dir, layout)
     })

@@ -131,10 +131,15 @@ final class UdbfMicroBatchStream(
     val take = candidates.sortBy(_._1).map(_._2).take(limit)
     if (take.nonEmpty) {
       // log BEFORE exposing through an offset: a crash between the two
-      // re-admits nothing and loses nothing (the offset never existed)
+      // re-admits nothing and loses nothing (the offset never existed).
+      // SYNC so a committed offset can never reference log entries a
+      // crash swallowed — a torn tail would otherwise fail the
+      // planInputPartitions range check on restart (loud, but requires
+      // checkpoint surgery to recover)
       Files.write(logPath,
         take.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND,
+        StandardOpenOption.SYNC)
       admitted ++= take
       admittedSet ++= take
       take.foreach(seen.remove)
