@@ -49,14 +49,51 @@ object Layout {
 
   /** Everything a reader needs to prune a clustered table: the linear
     * bucketizer bounds plus the curve parameters. Six numbers + two
-    * flags — callers persist it next to the table (it IS the "stats
-    * index" of this layout; losing it degrades reads to full scans,
-    * never to wrong answers, because [[prunedRead]] re-applies the raw
-    * predicate after pruning). */
+    * flags — [[clusteredWrite]] persists it as `_graft_layout.json`
+    * inside the table directory (underscore-prefixed files are
+    * invisible to Spark's parquet reader, the `_SUCCESS` convention),
+    * and [[readLayout]] restores it, so any session can prune a table
+    * it didn't write. It IS the "stats index" of this layout; losing
+    * it degrades reads to full scans, never to wrong answers, because
+    * [[prunedRead]] re-applies the raw predicate after pruning. */
   final case class CurveLayout(xMin: Double, xMax: Double,
                                yMin: Double, yMax: Double,
                                bits: Int, partBits: Int,
                                hilbert: Boolean)
+
+  private def layoutMetaPath(tablePath: String) =
+    java.nio.file.Paths.get(tablePath, "_graft_layout.json")
+
+  private def writeLayoutMeta(tablePath: String, l: CurveLayout): Unit = {
+    // java.lang.Double.toString round-trips exactly via parseDouble, so
+    // the restored bucketizer is bit-identical to the writer's
+    val json =
+      s"""{"xMin":${l.xMin},"xMax":${l.xMax},"yMin":${l.yMin},"yMax":${l.yMax},""" +
+        s""""bits":${l.bits},"partBits":${l.partBits},"hilbert":${l.hilbert}}"""
+    java.nio.file.Files.write(layoutMetaPath(tablePath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Restore the [[CurveLayout]] a [[clusteredWrite]] left inside the
+    * table directory. Fails loudly when absent — the caller is about
+    * to prune with it, and a silent default would enumerate the wrong
+    * directories (a correctness-neutral but scan-everything surprise
+    * better surfaced as an error). */
+  def readLayout(tablePath: String): CurveLayout = {
+    val p = layoutMetaPath(tablePath)
+    require(java.nio.file.Files.exists(p),
+      s"no _graft_layout.json under $tablePath — not a clusteredWrite table?")
+    val json = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def num(k: String): String =
+      (s""""$k":(-?[0-9.eE+-]+|true|false)""").r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalArgumentException(
+          s"malformed layout metadata (missing $k): $json"))
+        .group(1)
+    CurveLayout(num("xMin").toDouble, num("xMax").toDouble,
+      num("yMin").toDouble, num("yMax").toDouble,
+      num("bits").toInt, num("partBits").toInt, num("hilbert").toBoolean)
+  }
 
   /** Column names the clustered table adds; inputs must not use them. */
   private val reservedCols = Set("_zv", "_zpart")
@@ -129,6 +166,7 @@ object Layout {
       .repartitionByRange(1 << partBits, col("_zv"))
       .sortWithinPartitions(col("_zv"))
       .write.partitionBy("_zpart").parquet(path)
+    writeLayoutMeta(path, layout)
     layout
   }
 

@@ -110,6 +110,27 @@ class ClusteredLayoutSpec extends SparkSpec {
     }
   }
 
+  test("readLayout restores the persisted metadata bit-for-bit; pruning works cross-session") {
+    val base = Files.createTempDirectory("layout_meta").toString
+    val written = Layout.clusteredWrite(points, "x", "y", s"$base/t",
+      useHilbert = true, bits = 8, partBits = 4)
+    val restored = Layout.readLayout(s"$base/t")
+    assert(restored === written)
+    // a reader holding ONLY the restored metadata gets the same answer
+    val viaRestored = Layout.prunedRead(spark, s"$base/t", restored,
+      "x", "y", 0.1, 0.3, 0.4, 0.6).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    val viaWritten = Layout.prunedRead(spark, s"$base/t", written,
+      "x", "y", 0.1, 0.3, 0.4, 0.6).select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(viaRestored.sameElements(viaWritten) && viaRestored.nonEmpty)
+    // the metadata file is invisible to the parquet scan
+    assert(spark.read.parquet(s"$base/t").count() === 40000L)
+    intercept[IllegalArgumentException] {
+      Layout.readLayout(Files.createTempDirectory("not_a_table").toString)
+    }
+  }
+
   test("clusteredWrite rejects reserved columns and degenerate inputs") {
     intercept[IllegalArgumentException] {
       Layout.clusteredWrite(points.withColumn("_zv", lit(1L)), "x", "y",
