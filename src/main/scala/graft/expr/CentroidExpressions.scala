@@ -48,6 +48,57 @@ object CentroidKernel {
     }
     if (best < 0) 0 else best
   }
+
+  /** Top-`n` centroid ids by (cosine desc, id asc) — [[argmax]] applied
+    * `n` times with already-picked ids masked, so the per-pick
+    * tie-break is identical to argmax's strict-`>` FIRST-max contract
+    * and the whole ranking equals `row_number() OVER (ORDER BY sim
+    * DESC, cluster) <= n` over unrounded sims (the t25 probe-ranking
+    * SQL). All-NaN sims degenerate to ids in index order (the argmax
+    * clamp generalized). Null element → null array. */
+  def topn(vec: ArrayData, isFloat: Boolean, cb: Array[Double],
+           k: Int, n: Int): Array[Int] = {
+    val dims = vec.numElements()
+    if (k * dims != cb.length) return null
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dims) {
+        if (vec.isNullAt(i)) return null
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = cb(c * dims + i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      sims(c) = if (d == 0.0) 0.0 else dot / d
+      c += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Int](take)
+    val picked = new Array[Boolean](k)
+    var p = 0
+    while (p < take) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!picked(j) && sims(j) > bestSim) { bestSim = sims(j); best = j }
+        j += 1
+      }
+      if (best < 0) { // all remaining NaN: lowest unpicked index
+        var m = 0
+        while (picked(m)) m += 1
+        best = m
+      }
+      picked(best) = true
+      out(p) = best
+      p += 1
+    }
+    out
+  }
 }
 
 /** `graft_argmax_cosine(vec, centroids, k)` → int id of the
@@ -109,5 +160,71 @@ case class CentroidArgmax(left: Expression, right: Expression, k: Int)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CentroidArgmax =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_topn_cosine(vec, centroids, k, n)` → array<int> of the `n`
+  * nearest centroid ids by (cosine desc, id asc) — the per-row IVF
+  * PROBE ranking as one scan-stage static call. This is what makes a
+  * batch kNN JOIN shuffle-free on the query side: the alternative
+  * (crossJoin against the centroid table + a row_number window per
+  * query) shuffles |Q|·k thin rows per probe ranking, which at
+  * autoK-scale cluster counts is a full extra exchange of the query
+  * corpus. Same foldable-centroid-literal contract as
+  * [[CentroidArgmax]]; ranking semantics pinned to the t25 oracle's
+  * `row_number() OVER (ORDER BY sim DESC, cluster)` by the masked
+  * re-argmax construction in [[CentroidKernel.topn]]. */
+case class CentroidTopN(left: Expression, right: Expression, k: Int, n: Int)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (l, ArrayType(DoubleType, _)) if elemOk(l) && right.foldable =>
+        if (k >= 1 && n >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_topn_cosine: k and n must be >= 1")
+      case (l, r) if elemOk(l) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topn_cosine: centroids must be a foldable array<double>, got ${r.sql}")
+      case (l, _) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topn_cosine requires array<float|double> vec, got ${l.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_topn_cosine"
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val centroids: Array[Double] =
+    right.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override protected def nullSafeEval(vec: Any, _cb: Any): Any = {
+    val r = CentroidKernel.topn(vec.asInstanceOf[ArrayData], isFloat, centroids, k, n)
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val r = ctx.freshName("r")
+      s"""
+         |int[] $r = graft.expr.CentroidKernel.topn($v, $isFloat, $ref, $k, $n);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($r); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidTopN =
     copy(left = newLeft, right = newRight)
 }

@@ -117,6 +117,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_topn_cosine"),
+      new ExpressionInfo(classOf[CentroidTopN].getName, "graft_topn_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_topn_cosine expects (vec, centroids, k, n)")
+        CentroidTopN(children.head, children(1),
+          intArg(children(2), "graft_topn_cosine", 2),
+          intArg(children(3), "graft_topn_cosine", 3))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       (children: Seq[Expression]) => {
