@@ -62,7 +62,13 @@ object Bench {
     val total = ok.map(_._2).sum
     val totalCpu = math.round(ok.map(_._3).filter(_ >= 0).sum * 1000.0) / 1000.0
     val nErr = results.count(_._4.nonEmpty)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"queries":$qs,"cpu_s":$cpus,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg}"""
+    // field order is load-bearing: totals and errors FIRST, then cpu_s,
+    // then the wall-time queries map LAST — log tailing truncates the
+    // line's tail, and a tail-truncated line that still shows cpu_s
+    // where a reader expects wall seconds fabricates 3-8× phantom
+    // regressions (cpu_s sums 32 executor threads; r11's driver tail
+    // was misread exactly this way)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$totalCpu,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg,"cpu_s":$cpus,"queries":$qs}"""
     println(line)
     // also persist the full metric line: the console line can get
     // truncated by log tailing, losing the per-query breakdown that

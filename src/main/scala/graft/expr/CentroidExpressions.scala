@@ -51,11 +51,16 @@ object CentroidKernel {
 
   /** Top-`n` centroid ids by (cosine desc, id asc) — [[argmax]] applied
     * `n` times with already-picked ids masked, so the per-pick
-    * tie-break is identical to argmax's strict-`>` FIRST-max contract
-    * and the whole ranking equals `row_number() OVER (ORDER BY sim
-    * DESC, cluster) <= n` over unrounded sims (the t25 probe-ranking
-    * SQL). All-NaN sims degenerate to ids in index order (the argmax
-    * clamp generalized). Null element → null array. */
+    * tie-break is identical to argmax's strict-`>` FIRST-max contract.
+    * For NaN-free sims (every real corpus: cosine of finite vectors is
+    * finite) the ranking equals `row_number() OVER (ORDER BY sim DESC,
+    * cluster) <= n` over unrounded sims — the t25/t71 probe-ranking
+    * SQL. NaN sims are the one divergence from that SQL shape and it
+    * is deliberate: the strict-`>` loop ranks NaN sims LAST (a NaN
+    * never wins a comparison), whereas Spark's `ORDER BY sim DESC`
+    * sorts NaN greater than all doubles (NaN first) — matching argmax's
+    * all-NaN→centroid-0 clamp, not the window; an all-NaN row
+    * degenerates to ids in index order. Null element → null array. */
   def topn(vec: ArrayData, isFloat: Boolean, cb: Array[Double],
            k: Int, n: Int): Array[Int] = {
     val dims = vec.numElements()
@@ -99,6 +104,30 @@ object CentroidKernel {
     }
     out
   }
+
+  /** Analysis-time guard for the foldable centroids literal: both
+    * expressions eagerly `toDoubleArray()` it for `addReferenceObj`, so
+    * a foldable-but-NULL codebook (`CAST(NULL AS ARRAY<DOUBLE>)`) or an
+    * array literal holding null elements — which sail through the
+    * dataType match — would otherwise NPE at planning/codegen time. A
+    * TypeCheckFailure here surfaces the malformed codebook where the
+    * user can see it. */
+  private[expr] def checkCentroidLiteral(name: String,
+                                         right: Expression): TypeCheckResult = {
+    val v = right.eval(null)
+    if (v == null)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$name: centroids literal evaluates to NULL")
+    val a = v.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i))
+        return TypeCheckResult.TypeCheckFailure(
+          s"$name: centroids literal holds a null element (index $i)")
+      i += 1
+    }
+    TypeCheckResult.TypeCheckSuccess
+  }
 }
 
 /** `graft_argmax_cosine(vec, centroids, k)` → int id of the
@@ -120,8 +149,9 @@ case class CentroidArgmax(left: Expression, right: Expression, k: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (l, ArrayType(DoubleType, _)) if elemOk(l) && right.foldable =>
-        if (k >= 1) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("graft_argmax_cosine: k must be >= 1")
+        if (k < 1)
+          TypeCheckResult.TypeCheckFailure("graft_argmax_cosine: k must be >= 1")
+        else CentroidKernel.checkCentroidLiteral("graft_argmax_cosine", right)
       case (l, r) if elemOk(l) => TypeCheckResult.TypeCheckFailure(
         s"graft_argmax_cosine: centroids must be a foldable array<double>, got ${r.sql}")
       case (l, _) => TypeCheckResult.TypeCheckFailure(
@@ -185,8 +215,9 @@ case class CentroidTopN(left: Expression, right: Expression, k: Int, n: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (l, ArrayType(DoubleType, _)) if elemOk(l) && right.foldable =>
-        if (k >= 1 && n >= 1) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure("graft_topn_cosine: k and n must be >= 1")
+        if (k < 1 || n < 1)
+          TypeCheckResult.TypeCheckFailure("graft_topn_cosine: k and n must be >= 1")
+        else CentroidKernel.checkCentroidLiteral("graft_topn_cosine", right)
       case (l, r) if elemOk(l) => TypeCheckResult.TypeCheckFailure(
         s"graft_topn_cosine: centroids must be a foldable array<double>, got ${r.sql}")
       case (l, _) => TypeCheckResult.TypeCheckFailure(

@@ -34,27 +34,21 @@ object AnnEval {
   def ivfRecall(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                 queryPred: Column, k: Int, kClusters: Int = 16,
                 iters: Int = 3, nprobe: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val corpus = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = IvfIndex.train(corpus, "id", "vec", dims, kClusters, iters)
     val queries = broadcast(df.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec")))
 
-    // per-query probe set: rank the k (broadcast-sized) centroids by
-    // cosine to the query — same unrounded ranking as IvfIndex's
-    // driver-side rankClusters, but distributed over the query set
-    val centDf = broadcast(
-      centroids.zipWithIndex.map { case (c, i) => (i, c) }
-        .toDF("cluster", "centroid"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cluster"))
-    val probes = broadcast(queries.crossJoin(centDf)
-      .select(col("qid"), col("cluster"),
-        Similarity.cosine(col("qvec"), col("centroid")).as("csim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nprobe)
-      .select(col("qid"), col("cluster")))
+    // per-query probe set: the nprobe nearest centroids by unrounded
+    // cosine (id tie-break) — the native graft_topn_cosine kernel,
+    // scan-stage, centroids as a plan literal. Same ranking as
+    // IvfIndex's driver-side rankClusters distributed over the query
+    // set; the crossJoin(centroid table) + row_number window it
+    // replaces paid a window exchange over |Q|·k thin rows.
+    val probes = broadcast(queries
+      .select(col("qid"),
+        explode(IvfIndex.probeRanking(col("qvec"), centroids, nprobe))
+          .as("cluster")))
 
     // one scan: score every (corpus row, query) pair AND carry the
     // row's cluster assignment; both top-k arms derive from this frame

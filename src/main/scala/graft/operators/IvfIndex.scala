@@ -40,6 +40,21 @@ object IvfIndex {
     call_function("graft_argmax_cosine", vec,
       typedLit(centroids.flatten), lit(centroids.length))
 
+  /** Per-row `nprobe`-nearest centroid ids (cosine desc, id asc) as a
+    * Column — [[rankClusters]] distributed over a query SET, via the
+    * native [[graft.expr.CentroidTopN]] kernel. This is the scan-stage
+    * replacement for the crossJoin(centroid table) + row_number-window
+    * probe ranking: that shape shuffles |queries|·k thin rows per probe
+    * ranking (the window's partitionBy exchange), which at autoK-scale
+    * cluster counts is a full extra exchange of the query corpus — the
+    * kernel ranks in-place, ONE static call per row, no exchange at
+    * all. Ranking semantics pinned to the same `ORDER BY sim DESC,
+    * cluster` contract by CentroidTopNSpec's composed-chain parity. */
+  private[operators] def probeRanking(vec: Column, centroids: Seq[Seq[Double]],
+                                      nprobe: Int): Column =
+    call_function("graft_topn_cosine", vec,
+      typedLit(centroids.flatten), lit(centroids.length), lit(nprobe))
+
   /** Corpus-proportional cluster count — the published IVF/SemDeDup
     * regime (~n / targetClusterSize clusters; 50 k clusters at LAION
     * scale) as code instead of a comment: a fixed k = 16 keeps the

@@ -263,6 +263,19 @@ class PlanAuditSpec extends SparkSpec {
       "document text must not be a shuffle key")
   }
 
+  test("t71 probe ranking is the native kernel — the crossJoin+window probe arm is gone") {
+    val plan = executedPlan(namedQuery("t71_ivf_recall"))
+    assert(plan.contains("graft_topn_cosine"),
+      "probe ranking must go through the native CentroidTopN kernel")
+    // exactly the two rank-within-query windows (exact arm + ivf arm)
+    // survive; a third window would mean the probe ranking regressed to
+    // the crossJoin(centroids) + row_number shape, which pays a window
+    // exchange over |Q|·k rows per probe ranking
+    val winLines = plan.linesIterator.count(_.trim.contains("Window ["))
+    assert(winLines <= 2,
+      s"expected only the two rank-within-query windows, found $winLines")
+  }
+
   test("native expressions appear in generated code, not as interpreted fallbacks") {
     val df = embeddings.limit(10).select(
       Similarity.cosine(col("embedding"), col("embedding")).as("c"))
