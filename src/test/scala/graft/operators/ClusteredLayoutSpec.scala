@@ -131,6 +131,55 @@ class ClusteredLayoutSpec extends SparkSpec {
     }
   }
 
+  test("curve-range decomposition equals the cell walk — every curve, bits, rectangle") {
+    // the property the bits > 8 path rests on (including the Hilbert
+    // quadrant-prefix claim): both enumerators must produce the SAME
+    // partition set. Exhaustive-ish sweep: both curves, several
+    // bits/partBits, 25 deterministic rectangles each (corners, full
+    // grid, thin stripes, interior boxes)
+    for (hilbert <- Seq(false, true); bits <- Seq(2, 3, 5, 8, 10);
+         partBits <- Seq(1, math.min(2 * bits, 5))) {
+      val layout = Layout.CurveLayout(0, 1, 0, 1, bits, partBits, hilbert)
+      val n = (1L << bits) - 1
+      val rects = Seq(
+        (0L, n, 0L, n), (0L, 0L, 0L, 0L), (n, n, n, n),
+        (0L, n, n / 2, n / 2), (n / 2, n / 2, 0L, n)) ++
+        (1 to 20).map { i =>
+          val a = (i * 7L) % (n + 1); val b2 = (i * 13L + 3) % (n + 1)
+          val c = (i * 5L + 1) % (n + 1); val d = (i * 11L + 2) % (n + 1)
+          (math.min(a, b2), math.max(a, b2), math.min(c, d), math.max(c, d))
+        }
+      rects.foreach { case (xl, xh, yl, yh) =>
+        val walk = Layout.partsByCellWalk(layout, xl, xh, yl, yh)
+        val ranges = Layout.partsByCurveRanges(layout, xl, xh, yl, yh)
+        assert(ranges === walk,
+          s"hilbert=$hilbert bits=$bits partBits=$partBits rect=($xl,$xh,$yl,$yh)")
+      }
+    }
+  }
+
+  test("bits = 16: range decomposition makes fine grids enumerable; pruning still exact") {
+    // 4^16 = 4.3e9 cells — the cell walk is unusable here; the range
+    // decomposition enumerates the same partitions from O(perimeter)
+    // quadrants. Full write/read cycle at the finer resolution:
+    val base = Files.createTempDirectory("layout16").toString
+    val layout = Layout.clusteredWrite(points, "x", "y", s"$base/t",
+      useHilbert = true, bits = 16, partBits = 5)
+    val t0 = System.nanoTime()
+    val pruned = Layout.prunedRead(spark, s"$base/t", layout,
+      "x", "y", 0.1, 0.3, 0.4, 0.6)
+    val enumMs = (System.nanoTime() - t0) / 1e6
+    assert(enumMs < 2000.0, s"partition enumeration took $enumMs ms")
+    val got = pruned.select(col("id")).collect().map(_.getLong(0)).sorted
+    val want = points.where(col("x").between(0.1, 0.3) &&
+        col("y").between(0.4, 0.6))
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.nonEmpty && got.sameElements(want))
+    val totalFiles = spark.read.parquet(s"$base/t").inputFiles.length.toLong
+    assert(filesRead(pruned) < totalFiles,
+      "bits=16 rectangle read must still be partition-pruned")
+  }
+
   test("clusteredWrite rejects reserved columns and degenerate inputs") {
     intercept[IllegalArgumentException] {
       Layout.clusteredWrite(points.withColumn("_zv", lit(1L)), "x", "y",
