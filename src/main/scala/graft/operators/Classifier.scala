@@ -67,33 +67,48 @@ object Classifier {
     * The gradient normalizes by the SELECTED count (computed inside the
     * same dims+2-cell aggregation — still one action per iteration);
     * an iteration whose slice is empty leaves the weights unchanged. */
+  /** [[trainMiniBatch]] with the feature-table cache as a knob —
+    * `cache = false` is the actual 100 TB posture: persisting the
+    * tokenized corpus for the iteration loop is the right call up to
+    * what the cluster's storage memory holds, but at corpus scales
+    * where the cache itself spills-and-thrashes, each iteration should
+    * instead RE-SCAN the raw corpus and filter to its 1/sample slice —
+    * `iters` scans of (1/sample)·corpus beats one full materialization
+    * plus `iters` cache reads once the feature table stops fitting.
+    * The weight sequence is bit-identical either way (spec-pinned):
+    * caching only changes where bytes are read from, and the
+    * per-update rounding contract absorbs nothing differently. */
   def trainMiniBatch(df: DataFrame, textCol: String, labelCol: Column,
                      idCol: Column, dims: Int = 256, iters: Int = 15,
                      lr: Double = 0.5, roundDp: Int = 6,
-                     sample: Int = 4): Seq[Double] = {
+                     sample: Int = 4, cache: Boolean = true): Seq[Double] = {
     require(dims >= 1 && iters >= 1 && lr > 0)
     require(sample >= 1, s"sample must be >= 1, got $sample")
     trainCore(df, textCol, labelCol, Some(idCol), dims, iters, lr,
-      roundDp, sample)
+      roundDp, sample, cache)
   }
 
   private def trainCore(df: DataFrame, textCol: String, labelCol: Column,
                         idCol: Option[Column], dims: Int, iters: Int,
-                        lr: Double, roundDp: Int, sample: Int): Seq[Double] = {
+                        lr: Double, roundDp: Int, sample: Int,
+                        cache: Boolean = true): Seq[Double] = {
     // the one corpus-derived table the loop touches: per doc its label,
     // id string (mini-batch selection key), token count, and the hashed
-    // bucket of every token. Fixed-width rows, cached so iterations
-    // read columnar blocks, not text.
+    // bucket of every token. Fixed-width rows; cached (the default) so
+    // iterations read columnar blocks, not text — see trainMiniBatch's
+    // cache knob for the re-scan posture.
     // NULL ids coalesce to "" — otherwise md5(concat(iter, NULL)) is
     // NULL and the row would silently vanish from EVERY mini-batch
-    val feats = df.select(
+    val plan = df.select(
         labelCol.cast("int").cast("double").as("y"),
         coalesce(idCol.getOrElse(lit("")).cast("string"), lit("")).as("sid"),
         toks(col(textCol)).as("__t"))
       .select(col("y"), col("sid"),
         size(col("__t")).cast("double").as("n"),
         transform(col("__t"), t => bucket(t, dims).cast("int")).as("bs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats =
+      if (cache) plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else plan
     try {
       require(feats.count() > 0, "Classifier.train needs a non-empty corpus")
       var w: IndexedSeq[Double] = IndexedSeq.fill(dims + 1)(0.0)
@@ -143,7 +158,7 @@ object Classifier {
         i += 1
       }
       w
-    } finally feats.unpersist(blocking = false)
+    } finally if (cache) feats.unpersist(blocking = false)
   }
 
   /** Score a corpus with trained weights: (idCol, margin, label) where

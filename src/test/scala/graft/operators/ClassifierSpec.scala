@@ -93,6 +93,20 @@ class ClassifierSpec extends SparkSpec {
     assert(w1 !== full, "sampled training unexpectedly equals full-batch")
   }
 
+  test("cache = false (per-iteration re-scan) trains bit-identical weights") {
+    // the 100 TB posture: no persisted feature table, each iteration
+    // re-scans the corpus for its slice — same weights to the last bit
+    for (sample <- Seq(1, 3)) {
+      val cached = Classifier.trainMiniBatch(corpus, "text",
+        col("src") === "good", col("doc_id"), dims = 64, iters = 10,
+        sample = sample, cache = true)
+      val rescan = Classifier.trainMiniBatch(corpus.repartition(5), "text",
+        col("src") === "good", col("doc_id"), dims = 64, iters = 10,
+        sample = sample, cache = false)
+      assert(rescan === cached, s"sample=$sample")
+    }
+  }
+
   test("mini-batch still fits the separable corpus") {
     val w = Classifier.trainMiniBatch(corpus, "text", col("src") === "good",
       col("doc_id"), dims = 64, iters = 45, lr = 1.0, sample = 3)
