@@ -155,10 +155,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** Corpus-proportional LSH sizing — the [[IvfIndex.autoK]] regime
+    * applied to the hyperplane tables, forced by the 100× scaling probe:
+    * FIXED `bits` keeps 2^bits buckets while the corpus grows, so
+    * per-bucket occupancy rises linearly and candidate pairs
+    * QUADRATICALLY — at 2 M vectors and bits = 8 the probe measured
+    * [[nearDupPairs]] spilling the disk dry (> 79 GB) and failing;
+    * salting had kept it parallel, but parallel-quadratic is still
+    * quadratic. Sizing discipline:
+    *
+    *   - `bits` from target occupancy: 2^bits ≈ n / targetBucketSize
+    *     keeps expected bucket size constant, so candidate volume grows
+    *     LINEARLY in n (≈ tables · n · targetBucketSize/2 pairs);
+    *   - `tables` from the recall bound at that width: a hyperplane
+    *     splits a pair at angle θ with probability θ/π, so the
+    *     per-table collision probability is p^bits with
+    *     p = 1 − acos(sim)/π, and `tables` OR-attempts give recall
+    *     1 − (1 − p^bits)^tables ≥ targetRecall when
+    *     tables ≥ ln(1 − targetRecall) / ln(1 − p^bits). Finer buckets
+    *     NEED more tables — sizing one without the other silently
+    *     trades recall for speed.
+    *
+    * `maxTables` caps the duplication factor (bucketed rows =
+    * tables · n); if the cap binds, the returned plan delivers less
+    * than targetRecall — callers that cannot accept that must lower
+    * simThreshold's resolution (larger targetBucketSize) instead. */
+  def lshPlan(n: Long, simThreshold: Double, targetRecall: Double = 0.9,
+              targetBucketSize: Long = 64, minBits: Int = 4,
+              maxBits: Int = 24, maxTables: Int = 64): (Int, Int) = {
+    require(n >= 0 && targetBucketSize >= 1)
+    require(simThreshold > 0.0 && simThreshold < 1.0,
+      s"simThreshold must be in (0, 1), got $simThreshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    require(minBits >= 1 && maxBits >= minBits && maxTables >= 1)
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt
+    val bits = math.min(maxBits, math.max(minBits, needed))
+    val pBit = 1.0 - math.acos(simThreshold) / math.Pi
+    val pTable = math.pow(pBit, bits)
+    val tables =
+      if (pTable >= 1.0) 1
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pTable)).toInt
+    (bits, math.min(maxTables, math.max(1, tables)))
+  }
+
+  /** [[nearDupPairs]] at [[lshPlan]]-sized width — the production
+    * default for corpora of unknown size (one count action sizes the
+    * plan; the fixed-bits variant stays for oracle determinism, exactly
+    * the autoK/pruneAuto convention). */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, threshold: Double,
+                       targetRecall: Double = 0.9,
+                       targetBucketSize: Long = 64,
+                       chunkSize: Int = 2048): DataFrame = {
+    val (bits, tables) = lshPlan(df.count(), threshold, targetRecall,
+      targetBucketSize)
+    nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables, chunkSize)
+  }
+
   /** Embedding near-duplicate pairs: multi-table LSH-bucket self-join on
     * (tbl, bucket, id) rows ONLY — vectors are re-joined by id for the
     * cosine verify over the distinct candidate-pair set, mirroring the
-    * Dedup scale contract. */
+    * Dedup scale contract. Fixed `bits` is the oracle-deterministic
+    * surface; at unknown corpus scale use [[nearDupPairsAuto]] — the
+    * 100× probe measured THIS shape going quadratic at constant bits. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                    threshold: Double, bits: Int = 8, tables: Int = 4,
                    chunkSize: Int = 2048): DataFrame = {

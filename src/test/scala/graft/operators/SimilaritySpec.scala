@@ -140,6 +140,46 @@ class SimilaritySpec extends SparkSpec {
     assert(salted === got, "chunk-salted LSH join changed the pair set")
   }
 
+  test("lshPlan: occupancy-driven bits, recall-driven tables, caps honored") {
+    // bits tracks corpus size at constant occupancy
+    val (b1, _) = Similarity.lshPlan(20000L, 0.95)
+    val (b2, t2) = Similarity.lshPlan(2000000L, 0.95)
+    assert(b2 > b1, "100x corpus must get finer buckets")
+    assert((1L << b2) * 64 >= 2000000L, "occupancy bound")
+    // finer buckets need more OR-attempts to hold recall
+    val (_, t1) = Similarity.lshPlan(20000L, 0.95)
+    assert(t2 > t1, "more bits must bring more tables at equal recall")
+    // analytic recall at the returned plan meets the target
+    def recall(bits: Int, tables: Int, sim: Double): Double = {
+      val p = math.pow(1.0 - math.acos(sim) / math.Pi, bits)
+      1.0 - math.pow(1.0 - p, tables)
+    }
+    assert(recall(b2, t2, 0.95) >= 0.9, s"plan ($b2, $t2) misses target recall")
+    // caps bind
+    val (b3, t3) = Similarity.lshPlan(1L << 40, 0.6, maxBits = 24, maxTables = 64)
+    assert(b3 === 24 && t3 === 64)
+    // degenerate corpora stay at the floor
+    assert(Similarity.lshPlan(0L, 0.95)._1 === 4)
+  }
+
+  test("nearDupPairsAuto recovers the planted pairs via the sized plan") {
+    val auto = Similarity.nearDupPairsAuto(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ids = embeddings.select("vec_id").collect().map(_.getLong(0))
+    val recovered = ids.count(id => auto.contains((id, id + 1000000L)))
+    assert(recovered.toDouble / ids.length >= 0.9,
+      s"auto-sized recall ${recovered}/${ids.length}")
+    // and auto == the fixed-bits call at the plan it chose
+    val (bits, tables) = Similarity.lshPlan(plantedEmb.count(), 0.95)
+    val manual = Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95, bits = bits, tables = tables)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === manual)
+  }
+
   test("lshBucket is deterministic and within [0, 2^bits)") {
     val out = embeddings.limit(50)
       .select(Similarity.lshBucket(col("embedding"), 64, bits = 6).as("b1"),
