@@ -833,7 +833,11 @@ object LlmQueries {
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("t"))
-      tf.join(dfreq, Seq("t")).crossJoin(broadcast(nDocs))
+      // dfreq is VOCABULARY-sized (one row per distinct term) while tf is
+      // corpus-sized: broadcasting it keeps the 100×-probe's measured
+      // skew off the term join — a shuffled term join hashes every
+      // (doc, term) row into ~|vocab| keys, and the hot terms serialize
+      tf.join(broadcast(dfreq), Seq("t")).crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("tf") * (log((col("n_docs") + 1).cast("double")
             / (col("df") + 1)) + 1), 4))
@@ -1444,13 +1448,29 @@ object LlmQueries {
         |SELECT doc_id, n_ngrams, n_shared,
         |  round(n_shared::DOUBLE / n_ngrams, 4) AS boilerplate_share
         |FROM agg ORDER BY doc_id""") { (s, d) =>
+      // SKEW-PROOF complement form (100× probe: the direct
+      // docNg ⋈ dfreq join serialized on hot n-grams — a dense corpus
+      // puts most occurrences under a few ng keys, and a key-skewed
+      // join of the corpus-sized side cannot be split by count).
+      // n_shared = n_ngrams − (occurrences of df = 1 n-grams), and a
+      // df = 1 n-gram has exactly ONE occurrence corpus-wide, so its
+      // (ng → df) aggregate row already names its only doc (min = the
+      // doc) — the whole query is then two AGGREGATIONS (map-side
+      // combine absorbs hot keys; nothing amplifies) and one
+      // doc-keyed join of two per-doc tables. Value-identical to the
+      // oracle's join form.
       val docNg = Tables.documents(s, d).select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), 3)).as("ng"))
-      val dfreq = docNg.groupBy(col("ng")).agg(count(lit(1)).as("df"))
-      docNg.join(dfreq, Seq("ng"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_ngrams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      val perDoc = docNg.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"))
+      val uniquePerDoc = docNg.groupBy(col("ng"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("__doc"))
+        .where(col("df") === 1)
+        .groupBy(col("__doc")).agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniquePerDoc, perDoc("doc_id") === uniquePerDoc("__doc"),
+          "left")
+        .select(col("doc_id"), col("n_ngrams"),
+          (col("n_ngrams") - coalesce(col("n_unique"), lit(0L))).as("n_shared"))
         .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
           round(col("n_shared").cast("double") / col("n_ngrams"), 4)
             .as("boilerplate_share"))
