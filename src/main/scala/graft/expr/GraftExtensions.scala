@@ -107,6 +107,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_clean_len"),
+      new ExpressionInfo(classOf[GraftCleanLen].getName, "graft_clean_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_clean_len expects (str)")
+        GraftCleanLen(children.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_stop_ratio"),
+      new ExpressionInfo(classOf[GraftStopRatio].getName, "graft_stop_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_stop_ratio expects (str, stopwords)")
+        GraftStopRatio(children.head, children(1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_argmax_cosine"),
       new ExpressionInfo(classOf[CentroidArgmax].getName, "graft_argmax_cosine"),
       (children: Seq[Expression]) => {

@@ -178,3 +178,129 @@ case class GraftShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftShingles =
     copy(child = newChild)
 }
+
+/** Single-pass character/token kernels for the quality-signal hot path
+  * (symbol ratio, stopword ratio — computed for EVERY document by every
+  * quality gate: t02/t16/t22/t33/t43/t45, CurationPipeline). The
+  * composed forms were measured at 100× scale costing 420 cpu-s
+  * (symbolRatio: `regexp_replace(lower(text), "[^a-z0-9 ]", "")`
+  * builds a replacement string per row through java.util.regex) and
+  * 118 cpu-s (stopwordRatio: the `split` evaluated THREE times — in
+  * the filter, and in both `size` calls — plus an interpreted lambda
+  * per token) on a 500 k-doc corpus. These kernels are value-identical
+  * byte scans / single splits. */
+object QualityKernel {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Code points of `s` inside `[a-z0-9 ]` — exactly
+    * `length(regexp_replace(s, "[^a-z0-9 ]", ""))` without building
+    * the replacement string: the class is pure ASCII, so a multi-byte
+    * UTF-8 code point can never match and is skipped whole (length()
+    * counts code points, so skipping keeps the arithmetic aligned). */
+  def cleanLen(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var i = 0
+    var keep = 0L
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) {
+        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == ' ')
+          keep += 1
+        i += 1
+      } else i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    keep
+  }
+
+  /** Fraction of whitespace tokens of `s` that appear in `stops` —
+    * exactly `size(filter(split(trim(s), "\\s+"), t => t IN stops)) /
+    * size(split(trim(s), "\\s+"))` with the zero-token guard: same
+    * ASCII-space trim (`UTF8String.trim`), same java.util.regex split
+    * with limit −1 (the [[ShingleSet]] parity contract), ONE split
+    * evaluation, hash-set membership. */
+  def stopRatio(s: UTF8String, stops: java.util.HashSet[String]): Double = {
+    val parts = ws.split(s.trim().toString, -1)
+    if (parts.length == 0) return 0.0
+    var hits = 0
+    var i = 0
+    while (i < parts.length) {
+      if (stops.contains(parts(i))) hits += 1
+      i += 1
+    }
+    hits.toDouble / parts.length
+  }
+}
+
+/** `graft_clean_len(str)` → count of `str`'s code points inside
+  * `[a-z0-9 ]`. Callers keep the composed shape around it (lower()
+  * upstream, the total/clean arithmetic downstream) so the value path
+  * is unchanged — only the per-row regex replacement is gone. */
+case class GraftCleanLen(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_clean_len requires string input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_clean_len"
+
+  override def nullSafeEval(input: Any): Any =
+    QualityKernel.cleanLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.QualityKernel.cleanLen($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftCleanLen =
+    copy(child = newChild)
+}
+
+/** `graft_stop_ratio(str, stopwords)` → stopword-token fraction of
+  * `str` (pass the lowercased text; the 10-word public list rides as a
+  * foldable array<string> literal, same contract as the centroid
+  * kernels). */
+case class GraftStopRatio(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if right.foldable =>
+        if (right.eval(null) == null)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_stop_ratio: stopwords literal evaluates to NULL")
+        else TypeCheckResult.TypeCheckSuccess
+      case (StringType, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_stop_ratio: stopwords must be a foldable array<string>, got ${r.sql}")
+      case (l, _) => TypeCheckResult.TypeCheckFailure(
+        s"graft_stop_ratio requires string input, got ${l.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_stop_ratio"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val a = right.eval(null).asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) s.add(a.getUTF8String(i).toString)
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(str: Any, _w: Any): Any =
+    QualityKernel.stopRatio(str.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftStopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.expr.QualityKernel.stopRatio($s, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftStopRatio =
+    copy(left = newLeft, right = newRight)
+}

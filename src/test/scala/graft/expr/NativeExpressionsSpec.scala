@@ -302,4 +302,61 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(!sigPlan.contains("Exchange"),
       "native simhash signature must not shuffle:\n" + sigPlan)
   }
+
+  test("graft_clean_len equals length(regexp_replace(...)) on real documents + edges") {
+    // the composed symbolRatio reference the kernel replaced
+    def composedClean(c: org.apache.spark.sql.Column) =
+      length(regexp_replace(lower(c), "[^a-z0-9 ]", "")).cast("long")
+    val mismatches = documents
+      .select(call_function("graft_clean_len", lower(col("text"))).as("n"),
+        composedClean(col("text")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(mismatches == 0)
+    val edges = Seq("", "   ", "ABC def", "a\tb\nc", "héllo wörld 中文 🙂 12",
+      "!@#$%^&*()", "ümlaut ÉÈ ss")
+      .toDF("t")
+      .select(call_function("graft_clean_len", lower(col("t"))).as("n"),
+        composedClean(col("t")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(edges == 0)
+    assert(spark.sql("SELECT graft_clean_len(CAST(NULL AS STRING))").head.isNullAt(0))
+  }
+
+  test("graft_stop_ratio equals the composed filter/size chain on real documents + edges") {
+    def composed(c: org.apache.spark.sql.Column) = {
+      val ts = split(trim(lower(c)), "\\s+")
+      val stops = size(filter(ts,
+        (t: org.apache.spark.sql.Column) =>
+          t.isInCollection(TextFunctions.Stopwords))).cast("double")
+      when(size(ts) === 0, 0.0).otherwise(stops / size(ts).cast("double"))
+    }
+    def native(c: org.apache.spark.sql.Column) =
+      call_function("graft_stop_ratio", lower(c),
+        typedLit(TextFunctions.Stopwords))
+    val mismatches = documents
+      .select(native(col("text")).as("n"), composed(col("text")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(mismatches == 0)
+    // edges: empty (split("") = [""] → ratio 0/1), whitespace-only,
+    // leading tabs (leading "" token from the space-only trim),
+    // all-stopwords, mixed case, null
+    val edges = Seq("", " ", "\tthe and", "the the THE", "The quick the", "of")
+      .toDF("t")
+      .select(native(col("t")).as("n"), composed(col("t")).as("c"))
+      .filter(col("n") =!= col("c") || col("n").isNull =!= col("c").isNull)
+      .count()
+    assert(edges == 0)
+    assert(spark.sql(
+      "SELECT graft_stop_ratio(CAST(NULL AS STRING), array('the'))").head.isNullAt(0))
+  }
+
+  test("quality kernels participate in whole-stage codegen") {
+    val df = documents.limit(20).select(
+      TextFunctions.symbolRatio(col("text")).as("s"),
+      TextFunctions.stopwordRatio(col("text")).as("r"))
+    df.collect()
+    val code = df.queryExecution.debug.codegenToSeq()
+    assert(code.exists(_._2.contains("graft.expr.QualityKernel.cleanLen(")))
+    assert(code.exists(_._2.contains("graft.expr.QualityKernel.stopRatio(")))
+  }
 }
