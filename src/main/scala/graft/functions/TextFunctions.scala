@@ -244,11 +244,12 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que"),
     "fr" -> Seq("le", "la", "les", "et", "est", "en", "que", "une"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val ts = tokens(lower(text))
-    val hits = size(filter(ts, (t: Column) => t.isInCollection(LangProfiles(lang)))).cast("double")
-    when(size(ts) === 0, 0.0).otherwise(hits / size(ts).cast("double"))
-  }
+  def langScore(text: Column, lang: String): Column =
+    // the same shape as stopwordRatio with the language's function-word
+    // profile — and the same native kernel: the composed form paid the
+    // triple split + interpreted lambda ONCE PER CANDIDATE LANGUAGE
+    call_function("graft_stop_ratio", lower(text),
+      typedLit(LangProfiles(lang)))
 
   def languageId(text: Column, minScore: Double = 0.02): Column = {
     val langs = LangProfiles.keys.toSeq.sorted
