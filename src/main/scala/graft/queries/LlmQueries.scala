@@ -229,15 +229,22 @@ object LlmQueries {
     * attributed to whichever query happens to run first (it wandered
     * between t16/t22/t30 across rounds, making per-query comparison
     * noisy). Verify/specs don't need it — correctness is unaffected by
-    * who pays the materialization. */
-  def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    * who pays the materialization.
+    *
+    * `layouts = false` skips the t105/t106 clustered-table writes: a
+    * scaling probe that only drives the corpus queries should not pay
+    * two sorted rewrites of the full events table up front. */
+  def warmShared(s: org.apache.spark.sql.SparkSession, d: String,
+                 layouts: Boolean = true): Unit = {
     plantedCorpus(s, d).count()
     plantedEmbeddings(s, d).count()
-    // the t105/t106 clustered-table writes are likewise one-per-session
-    // artifacts — build them here so the first layout query times the
-    // READ path, not the write
-    clusteredEventsCached(s, d, useHilbert = false)
-    clusteredEventsCached(s, d, useHilbert = true)
+    if (layouts) {
+      // the t105/t106 clustered-table writes are likewise one-per-session
+      // artifacts — build them here so the first layout query times the
+      // READ path, not the write
+      clusteredEventsCached(s, d, useHilbert = false)
+      clusteredEventsCached(s, d, useHilbert = true)
+    }
   }
 
   /** Bounded connected-components rounds for the t15/t23 oracles — the
