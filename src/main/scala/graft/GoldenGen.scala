@@ -67,7 +67,13 @@ object GoldenGen {
     val IvfClusters = 16; val IvfIters = 3; val IvfProbe = 2
     val PqM = 8; val PqCodes = 16; val PqIters = 3; val PqRefine = 4
     val LshBits = 6; val LshTables = 4
-    val NearDupBits = 10; val NearDupThreshold = 0.95 // t13
+    // t13: the bucket width is NOT a constant — it is Similarity.lshPlan
+    // applied to the planted corpus size (occupancy-driven bits,
+    // recall-driven tables), so the oracled query exercises the exact
+    // sizing a 100 TB corpus must run. The plan inputs below are the
+    // committed record; [[nearDupPlan]] derives (bits, tables) per SF.
+    val NearDupThreshold = 0.95
+    val NearDupTargetRecall = 0.9; val NearDupBucketSize = 64L
     val SimHamming = 6; val SimBlocks = 7 // t08
     val MinHashes = 32; val MinHashBands = 8 // t07 + t58
     val ParaNearDupThreshold = 0.7 // t58 signature-agreement cut
@@ -78,7 +84,21 @@ object GoldenGen {
     // t104 mini-batch variant: each iteration reads a deterministic
     // 1/LrSample hash-slice of the corpus (the 100 TB training path)
     val LrSample = 4
+    // t107: fixed-size query panel for the sampled IVF recall audit —
+    // |Q| stays 64 as the corpus grows (the production posture; the
+    // full t71 audit is contract-quadratic and reserved for small SFs)
+    val RecallQueries = 64
   }
+
+  /** The t13 auto-sized LSH plan for a planted corpus of `n` vectors —
+    * the SINGLE derivation shared by the query (via
+    * [[graft.operators.Similarity.nearDupPairsAuto]], which recomputes
+    * it from its own count action) and the artifact generator, so the
+    * committed bucket table and the live query always agree on width.
+    * Deterministic: a pure function of the corpus row count. */
+  def nearDupPlan(n: Long): (Int, Int) =
+    graft.operators.Similarity.lshPlan(n, ModelParams.NearDupThreshold,
+      ModelParams.NearDupTargetRecall, ModelParams.NearDupBucketSize)
 
   /** The verify SFs goldens exist for, with the `customer` row count the
     * oracle SQL keys on. */
@@ -199,12 +219,17 @@ object GoldenGen {
           graft.queries.LlmQueries.plantedCorpus(spark, sfDir),
           "text", "doc_id")
       case "t13_buckets" =>
-        graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
+        // sized per SF by the SAME lshPlan the production entry point
+        // (nearDupPairsAuto) applies — the artifact is the record of the
+        // auto plan at this corpus size, not a hand-picked constant
+        val planted = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
+        val (bits, tables) = nearDupPlan(planted.count())
+        planted
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.explode(
               graft.operators.Similarity.lshBuckets(
                 org.apache.spark.sql.functions.col("embedding"),
-                dims = Dims, bits = NearDupBits, tables = LshTables)).as("tb"))
+                dims = Dims, bits = bits, tables = tables)).as("tb"))
           .select(org.apache.spark.sql.functions.col("vec_id"),
             org.apache.spark.sql.functions.col("tb.tbl").as("tbl"),
             org.apache.spark.sql.functions.col("tb.bucket").as("bucket"))

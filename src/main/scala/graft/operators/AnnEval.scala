@@ -30,14 +30,46 @@ object AnnEval {
 
   /** (qid, n_hit, recall) per query: how many of the exact cosine
     * top-`k` the IVF probe path recovered. Queries = corpus rows
-    * matching `queryPred` (each excluded from its own neighbor sets). */
+    * matching `queryPred` (each excluded from its own neighbor sets).
+    *
+    * SCALE CONTRACT: a predicate that selects a fixed FRACTION of the
+    * corpus (the `% 97` style) makes the audit quadratic — |Q| ∝ n and
+    * every query scores the whole corpus, so scored pairs ∝ n². That is
+    * fine at small SFs where the exhaustive audit is the point; at
+    * unknown/large scale use [[ivfRecallSampled]], whose panel size is
+    * FIXED as the corpus grows. */
   def ivfRecall(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                 queryPred: Column, k: Int, kClusters: Int = 16,
-                iters: Int = 3, nprobe: Int = 2): DataFrame = {
+                iters: Int = 3, nprobe: Int = 2): DataFrame =
+    recallAgainst(df, idCol, vecCol, dims,
+      df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      k, kClusters, iters, nprobe)
+
+  /** [[ivfRecall]] over a FIXED-SIZE deterministic query panel: the
+    * `numQueries` corpus rows ranked by md5 of the id rendered as a
+    * string (id tie-break) — the t34/t103 hash convention, uncorrelated
+    * with any id-ordered attribute and replayable verbatim in SQL. |Q|
+    * stays `numQueries` as the corpus grows, so the audit's scored
+    * pairs are LINEAR in n — the production posture for recurring
+    * index-quality checks at 100 TB. The panel selection is a top-k by
+    * hash (TakeOrdered — k rows per partition, no global sort). */
+  def ivfRecallSampled(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, numQueries: Int, k: Int,
+                       kClusters: Int = 16, iters: Int = 3,
+                       nprobe: Int = 2): DataFrame =
+    recallAgainst(df, idCol, vecCol, dims,
+      df.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+        .orderBy(md5(col("qid").cast("string")), col("qid"))
+        .limit(numQueries),
+      k, kClusters, iters, nprobe)
+
+  private def recallAgainst(df: DataFrame, idCol: String, vecCol: String,
+                            dims: Int, querySet: DataFrame, k: Int,
+                            kClusters: Int, iters: Int,
+                            nprobe: Int): DataFrame = {
     val corpus = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val centroids = IvfIndex.train(corpus, "id", "vec", dims, kClusters, iters)
-    val queries = broadcast(df.filter(queryPred)
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec")))
+    val queries = broadcast(querySet)
 
     // per-query probe set: the nprobe nearest centroids by unrounded
     // cosine (id tie-break) — the native graft_topn_cosine kernel,

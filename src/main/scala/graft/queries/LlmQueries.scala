@@ -1119,12 +1119,19 @@ object LlmQueries {
         dims = Dims, queryId = 0L, k = 20, bits = LshBits, tables = LshTables)
     },
 
-    // bits=10: 1024 buckets/table keeps candidate volume subquadratic
-    // as the corpus grows; 4 tables hold planted recall >= 0.95. The
-    // oracle reconstructs the planted corpus in SQL (the float nudge is
-    // bit-exact: FLOAT + FLOAT), reads the committed per-(vec, table)
-    // bucket artifact, and replays candidate selection + the cosine
-    // verify — only the hyperplane bucketing stays artifact-gated.
+    // AUTO-SIZED LSH (round 13): the query runs the production entry
+    // point — Similarity.nearDupPairsAuto sizes (bits, tables) from the
+    // corpus count via lshPlan (occupancy-driven bits keep candidates
+    // LINEAR in n; recall-driven tables hold the 0.9 bound at that
+    // width), the exact path a 100 TB corpus must take. The committed
+    // per-SF bucket artifact is generated at the SAME plan
+    // (GoldenGen.nearDupPlan — one derivation), so the oracle
+    // reconstructs the planted corpus in SQL (the float nudge is
+    // bit-exact: FLOAT + FLOAT), reads the artifact, and replays
+    // candidate selection + the cosine verify at the sized width — the
+    // SQL itself is width-independent. Fixed-bits nearDupPairs remains
+    // the spec'd deterministic primitive (SimilaritySpec planted-recall
+    // cases unchanged).
     sql("t13_embedding_neardup")(
       s"""WITH buckets AS (${graft.GoldenGen.artifactSql("t13_buckets")}),
         |emb AS (
@@ -1148,11 +1155,11 @@ object LlmQueries {
         |         * sqrt(list_dot_product(b.v, b.v))), 4)
         |      >= ${graft.GoldenGen.ModelParams.NearDupThreshold}
         |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
-      Similarity.nearDupPairs(plantedEmbeddings(s, d), "vec_id", "embedding",
-        dims = graft.GoldenGen.ModelParams.Dims,
-        threshold = graft.GoldenGen.ModelParams.NearDupThreshold,
-        bits = graft.GoldenGen.ModelParams.NearDupBits,
-        tables = graft.GoldenGen.ModelParams.LshTables)
+      import graft.GoldenGen.ModelParams._
+      Similarity.nearDupPairsAuto(plantedEmbeddings(s, d), "vec_id",
+          "embedding", dims = Dims, threshold = NearDupThreshold,
+          targetRecall = NearDupTargetRecall,
+          targetBucketSize = NearDupBucketSize)
         .orderBy(col("left_id"), col("right_id"))
     },
 
@@ -3375,6 +3382,76 @@ object LlmQueries {
           "vec_id", "embedding", dims = Dims,
           queryPred = col("vec_id") % 97 === 0, k = 20,
           kClusters = IvfClusters, iters = IvfIters, nprobe = IvfProbe)
+        .orderBy(col("qid"))
+    },
+
+    // The SAMPLED form of the t71 audit — the production posture at
+    // scale. t71's %97 predicate keeps a fixed FRACTION of the corpus
+    // as queries, so its scored pairs grow ∝ n² (contract-quadratic:
+    // fine for exhaustive small-SF audits, not runnable at 100 TB).
+    // Here the panel is the 64 vectors with the smallest
+    // md5(vec_id::VARCHAR) (id tie-break — the t34/t103 hash-slice
+    // convention): |Q| is FIXED as the corpus grows, making the audit
+    // linear in n. Same centroid artifact, same rounded-sim/id-tiebreak
+    // ranking, same recall readout as t71.
+    sql("t107_ivf_recall_sampled") {
+      val cos = (a: String, b: String) =>
+        s"""CASE WHEN sqrt(list_dot_product($a, $a))
+           |          * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+           |     ELSE list_dot_product($a, $b)
+           |          / (sqrt(list_dot_product($a, $a))
+           |             * sqrt(list_dot_product($b, $b))) END""".stripMargin
+      s"""WITH cents AS (${graft.GoldenGen.artifactSql("t25_centroids")}),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        |      FROM embeddings
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id
+        |      LIMIT ${graft.GoldenGen.ModelParams.RecallQueries}),
+        |assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT e.vec_id, c.cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        ${cos("e.embedding::DOUBLE[]", "c.centroid")} DESC,
+        |        c.cluster) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT qid, cluster FROM (
+        |    SELECT q.qid, c.cluster,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        ${cos("q.qv", "c.centroid")} DESC, c.cluster) AS rn
+        |    FROM q CROSS JOIN cents c) t
+        |  WHERE rn <= 2),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id, a.cluster,
+        |    round(${cos("e.embedding::DOUBLE[]", "q.qv")}, 4) AS s
+        |  FROM embeddings e
+        |  JOIN assign a ON a.vec_id = e.vec_id
+        |  CROSS JOIN q
+        |  WHERE e.vec_id <> q.qid),
+        |exact AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+        |    FROM scored) t
+        |  WHERE rn <= 20),
+        |ivf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT sc.qid, sc.vec_id,
+        |      row_number() OVER (PARTITION BY sc.qid ORDER BY sc.s DESC, sc.vec_id) AS rn
+        |    FROM scored sc JOIN probes p ON p.qid = sc.qid AND p.cluster = sc.cluster) t
+        |  WHERE rn <= 20)
+        |SELECT x.qid, count(i.vec_id)::BIGINT AS n_hit,
+        |  round(count(i.vec_id) / 20.0, 4) AS recall
+        |FROM exact x
+        |LEFT JOIN ivf i ON i.qid = x.qid AND i.vec_id = x.vec_id
+        |GROUP BY x.qid
+        |ORDER BY x.qid""".stripMargin
+    } { (s, d) =>
+      import graft.GoldenGen.ModelParams._
+      graft.operators.AnnEval.ivfRecallSampled(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = Dims, numQueries = RecallQueries,
+          k = 20, kClusters = IvfClusters, iters = IvfIters,
+          nprobe = IvfProbe)
         .orderBy(col("qid"))
     },
 

@@ -50,6 +50,32 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  // the t13 artifact must be sized by the SAME lshPlan the production
+  // entry point (nearDupPairsAuto) derives from the corpus count — a
+  // hand-edited or stale-width artifact would keep GoldenSpec's parity
+  // test green (modelFrame reads the same plan) but betray the point of
+  // the round-13 re-pin: the oracled row must exercise the auto-sized
+  // path. Pins implied width (table count, bucket domain) to the plan.
+  GoldenGen.sfTags.foreach { case (sfTag, _) =>
+    test(s"t13_buckets artifact width matches lshPlan at $sfTag") {
+      val n = graft.queries.LlmQueries
+        .plantedEmbeddings(spark, s"/root/testdata/$sfTag").count()
+      val (bits, tables) = GoldenGen.nearDupPlan(n)
+      val art = spark.read.parquet(GoldenGen.goldenPath(sfTag, "t13_buckets"))
+      val stats = art.agg(
+        countDistinct(col("tbl")).as("tables"),
+        max(col("bucket")).as("maxBucket"),
+        min(col("bucket")).as("minBucket"),
+        count(lit(1)).as("rows")).head()
+      assert(stats.getLong(0) === tables.toLong,
+        s"artifact table count != lshPlan tables at $sfTag")
+      assert(stats.getLong(1) < (1L << bits) && stats.getLong(2) >= 0L,
+        s"artifact bucket domain exceeds lshPlan bits=$bits at $sfTag")
+      assert(stats.getLong(3) === n * tables,
+        s"artifact must hold one row per (vector, table) at $sfTag")
+    }
+  }
+
   test("t12 hyperplane artifact matches Hyperplanes.sign exactly") {
     val path = GoldenGen.hyperplanePath
     assert(new java.io.File(path).isFile, s"missing artifact $path")

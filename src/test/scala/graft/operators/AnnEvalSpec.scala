@@ -89,6 +89,44 @@ class AnnEvalSpec extends SparkSpec {
       s"expected a broadcast join in: $names")
   }
 
+  test("sampled panel: |Q| fixed, rows equal the full audit restricted " +
+      "to the panel") {
+    // the md5-ranked panel must (a) hold exactly numQueries rows no
+    // matter the corpus size, (b) agree row-for-row with the exhaustive
+    // audit on those qids — sampling changes WHICH queries run, never
+    // what any query reports
+    val numQ = 7
+    val panel = twoClusters
+      .select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numQ).collect().map(_.getLong(0)).toSeq
+    assert(panel.length == numQ)
+    val sampled = AnnEval.ivfRecallSampled(twoClusters, "vec_id",
+        "embedding", dims, numQueries = numQ, k = 5,
+        kClusters = 2, iters = 2, nprobe = 2)
+      .orderBy("qid").collect().toSeq
+    assert(sampled.map(_.getLong(0)).sorted == panel.sorted,
+      "panel must be the numQueries smallest md5(id) rows")
+    val full = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
+        queryPred = lit(true), k = 5, kClusters = 2, iters = 2, nprobe = 2)
+      .filter(col("qid").isin(panel: _*))
+      .orderBy("qid").collect().toSeq
+    assert(sampled == full)
+  }
+
+  test("sampled panel is stable under corpus growth: old rows unchanged") {
+    // grow the corpus; the panel may rotate members in/out by hash rank,
+    // but |Q| stays fixed — the property that makes the audit linear
+    val grown = twoClusters.unionAll(
+      (0 until 40).map(i => (1000L + i,
+        Array.tabulate(dims)(d => if (d == 2) 10f else i * 0.001f)))
+        .toDF("vec_id", "embedding"))
+    val out = AnnEval.ivfRecallSampled(grown, "vec_id", "embedding", dims,
+        numQueries = 7, k = 5, kClusters = 3, iters = 2, nprobe = 3)
+      .collect()
+    assert(out.length == 7, "panel size must not grow with the corpus")
+  }
+
   test("deterministic: repartitioned input gives identical recall rows") {
     val a = AnnEval.ivfRecall(twoClusters, "vec_id", "embedding", dims,
         queryPred = col("vec_id") % 7 === 0, k = 5,
