@@ -21,12 +21,19 @@ object Sessions {
     * alone is the wrong knob to grow with data: it is also the FLOOR
     * for every tiny shuffle. AQE's split is the right shape — start
     * every exchange at `initialPartitionNum` and let the coalescer
-    * merge down to advisory-sized (64 MB) partitions — so small stages
-    * still collapse to a handful of tasks while a 100× corpus's sorts
-    * and aggregations fan out to 8× the cores instead of spilling 32
+    * merge small shuffles back down — so a 100× corpus's sorts and
+    * aggregations fan out to 8× the cores instead of spilling 32
     * oversized partitions (the t16/t44 third-decade sort-spill was
     * exactly this: fixed 32-way sorts over 100× rows re-merging from
-    * disk). On a real cluster this is sized ~2-3× total cores; locally
+    * disk). Note the coalescer's default posture is PARALLELISM-FIRST
+    * (`coalescePartitions.parallelismFirst=true`): small shuffles
+    * merge toward the core count at ~1 MB minimum partitions, NOT to
+    * a handful of advisory-sized (64 MB) tasks. Measured at sf0.1
+    * (round 14, PLANS.md): the iterative graph family's wall is the
+    * same at initialPartitionNum 32 vs 256, and the same again under
+    * `parallelismFirst=false` — the extra initial width costs nothing
+    * measurable at small scale, so the flat 8×-cores setting stays.
+    * On a real cluster this is sized ~2-3× total cores; locally
     * 8× local cores keeps per-partition sort buffers inside the heap at
     * the 100× probe scale. Env-overridable for probes. */
   def initialPartitions: String =

@@ -69,8 +69,19 @@ class GoldenSpec extends SparkSpec {
         count(lit(1)).as("rows")).head()
       assert(stats.getLong(0) === tables.toLong,
         s"artifact table count != lshPlan tables at $sfTag")
+      // two-sided width pin: `< 2^bits` alone is one-sided (an artifact
+      // generated at NARROWER bits also satisfies it), so additionally
+      // require the top half of the planned domain to be occupied — a
+      // bits-1 artifact can never reach it, and with n·tables sign-hash
+      // rows over 2^bits buckets an empty top half at matching width
+      // has vanishing probability (both signs of the leading hyperplane
+      // occur across any non-degenerate corpus)
       assert(stats.getLong(1) < (1L << bits) && stats.getLong(2) >= 0L,
         s"artifact bucket domain exceeds lshPlan bits=$bits at $sfTag")
+      assert(stats.getLong(1) >= (1L << (bits - 1)),
+        s"artifact max bucket ${stats.getLong(1)} never reaches the top " +
+          s"half of the planned 2^$bits domain at $sfTag — artifact " +
+          "generated at narrower bits than lshPlan?")
       assert(stats.getLong(3) === n * tables,
         s"artifact must hold one row per (vector, table) at $sfTag")
     }

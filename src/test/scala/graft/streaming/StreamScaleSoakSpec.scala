@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * events than the parity specs across many micro-batches and asserts
   * the state-store row counts from the progress telemetry plateau
   * instead of tracking cumulative input. The measured per-batch counts
-  * are recorded in PLANS.md (round 13).
+  * are recorded in PLANS.md ("Streaming state soak" — round 14; the
+  * round-13 commit claimed this entry before writing it).
   */
 class StreamScaleSoakSpec extends SparkSpec {
   import testImplicits._
@@ -74,7 +75,13 @@ class StreamScaleSoakSpec extends SparkSpec {
       }
       info(s"latestCompacting state rows per batch: ${trace.mkString(", ")}")
       val distinctKeysSeen = liveKeys + batches * churnPerBatch // 16 500
-      val steadyBound = liveKeys + 2 * churnPerBatch // live + ≤2 batches' tombstones
+      // steady state is live + ≤2 batches' unexpired tombstones, but
+      // reaching exactly that depends on the watermark-advancing
+      // no-data micro-batch having run before processAllAvailable
+      // returns; one extra batch of slack keeps the bound a property
+      // of the OPERATOR (state plateaus at O(working set)) instead of
+      // of micro-batch scheduling timing (3 batches ≈ 6 500 ≪ 16 500)
+      val steadyBound = liveKeys + 3 * churnPerBatch
       assert(trace.last <= steadyBound,
         s"final state ${trace.last} exceeds live-set bound $steadyBound " +
           s"(unbounded would approach $distinctKeysSeen)")
