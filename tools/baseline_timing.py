@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Time DuckDB executing every committed oracle VERBATIM on the same
+parquet tables the engine benches against — the denominator of the
+PLANS.md "baseline ratio" entries. Driver-side python only (duckdb,
+pandas are NOT engine dependencies).
+
+Usage: python3 tools/baseline_timing.py <sfDir> <verifyOutDir> [outJson]
+
+<verifyOutDir> only supplies oracle_sql.json (a graft.Verify dump at any
+SF — the SQL is SF-independent; tables are views over <sfDir>). Each
+query's result is fully materialized to a DataFrame, mirroring the
+engine bench's full-evaluation sink. Emits one JSON line (and
+optionally writes it to [outJson]) with the same field conventions as
+graft.Bench: total first, then per-query walls, plus a provenance
+stamp (UTC timestamp + query count) so a regenerated artifact is
+distinguishable from an edited one.
+"""
+import datetime
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str, out_json: str = "") -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    walls, errors = {}, {}
+    for name, sql in sorted(oracle.items()):
+        t0 = time.monotonic()
+        try:
+            con.execute(sql).df()  # full materialization, like toRdd
+        except Exception as e:  # noqa: BLE001
+            errors[name] = type(e).__name__
+        walls[name] = round(time.monotonic() - t0, 3)
+    total = round(sum(w for n, w in walls.items() if n not in errors), 3)
+    line = {
+        "metric": "duckdb_baseline_total", "value": total, "unit": "sec",
+        "errors": len(errors), "error_names": errors, "sf": sf_dir,
+        "nqueries": len(oracle), "threads":
+            con.execute("SELECT current_setting('threads')").fetchone()[0],
+        "generated_utc":
+            datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "loadavg_start": round(os.getloadavg()[0], 2),
+        "queries": walls,
+    }
+    s = json.dumps(line)
+    print(s)
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(s + "\n")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -77,7 +77,12 @@ def main(sf_dir: str, out_dir: str, skip: str = "") -> None:
         ok += 1
         print(f"ok   {name} ({len(got)} rows)")
     tail = f", {n_skipped} skipped" if n_skipped else ""
-    print(f"\n{ok} ok, {bad} failed{tail}")
+    # provenance stamp: a regenerated run is distinguishable from an
+    # edited transcript (timestamp + oracle count + corpus dir)
+    import datetime
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    print(f"\n{ok} ok, {bad} failed{tail}  "
+          f"[{len(oracle)} oracles, {sf_dir}, {stamp}]")
     sys.exit(1 if bad else 0)
 
 
