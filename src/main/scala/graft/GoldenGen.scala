@@ -78,6 +78,18 @@ object GoldenGen {
     val MinHashes = 32; val MinHashBands = 8 // t07 + t58
     val ParaNearDupThreshold = 0.7 // t58 signature-agreement cut
     val SemThreshold = 0.9 // t28
+    // t28: like t13, the cluster count is NOT a constant — it is
+    // IvfIndex.autoK(plantedCount, SemTargetClusterSize) (floor =
+    // IvfClusters), so the oracled query runs the production
+    // auto-scaled path: within-cluster pair work stays bounded by the
+    // target cluster size as the corpus grows instead of growing as
+    // (n/16)² — measured 521 s wall / 4 390 cpu-s at the 100× probe
+    // corpus under the fixed k = 16. At every driver SF the planted
+    // corpus (≤ 40 k vectors) resolves to the floor 16, so the
+    // committed centroid artifacts and the oracle SQL are unchanged;
+    // [[semDedupK]] is the single derivation shared by the query and
+    // the artifact generator.
+    val SemTargetClusterSize = 4096L
     val BpeMerges = 100; val BpeVocab = 4096
     // t57 logistic regression (target = the DSIR src0/src1 slice)
     val LrDims = 256; val LrIters = 15; val LrRate = 0.5; val LrRoundDp = 6
@@ -96,6 +108,15 @@ object GoldenGen {
     * it from its own count action) and the artifact generator, so the
     * committed bucket table and the live query always agree on width.
     * Deterministic: a pure function of the corpus row count. */
+  /** The t28 auto-scaled cluster count for a planted corpus of `n`
+    * vectors — shared by the query (via
+    * [[graft.operators.SemDedup.pruneAuto]], which recomputes it from
+    * its own count action) and the centroid artifact generator.
+    * Resolves to the IvfClusters floor (16) at every driver SF. */
+  def semDedupK(n: Long): Int =
+    graft.operators.IvfIndex.autoK(n, ModelParams.SemTargetClusterSize,
+      minK = ModelParams.IvfClusters)
+
   def nearDupPlan(n: Long): (Int, Int) =
     graft.operators.Similarity.lshPlan(n, ModelParams.NearDupThreshold,
       ModelParams.NearDupTargetRecall, ModelParams.NearDupBucketSize)
@@ -257,10 +278,10 @@ object GoldenGen {
           .zipWithIndex.map { case (w, b) => (b, w) }
           .toDF("bucket", "w")
       case "t28_centroids" =>
+        val planted = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
         graft.operators.IvfIndex.train(
-            graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir),
-            "vec_id", "embedding", dims = Dims, k = IvfClusters,
-            iters = IvfIters)
+            planted, "vec_id", "embedding", dims = Dims,
+            k = semDedupK(planted.count()), iters = IvfIters)
           .zipWithIndex.map { case (c, i) => (i, c) }
           .toDF("cluster", "centroid")
       case other =>

@@ -90,6 +90,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_rep_ratio"),
+      new ExpressionInfo(classOf[GraftRepRatio].getName, "graft_rep_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_rep_ratio expects (text, n)")
+        GraftRepRatio(children.head, intArg(children(1), "graft_rep_ratio", 1))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

@@ -304,3 +304,76 @@ case class GraftStopRatio(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftStopRatio =
     copy(left = newLeft, right = newRight)
 }
+
+/** One-pass n-gram repetition kernel shared by [[GraftRepRatio]] and
+  * its parity spec: the fraction of a document's raw n-grams claimed by
+  * its single most repeated n-gram (Gopher-style repetition signal).
+  * Value-identical to the relational form it replaces —
+  * `explode(ngramsRaw(text, n)) → groupBy(doc_id, gram).count() →
+  * groupBy(doc_id).agg(max(c) / sum(c))` — but computed per document
+  * at the SCAN, so the (doc_id, gram-text) rows never exist and
+  * nothing shuffles: the relational plan's exchange carries one row
+  * per n-gram OCCURRENCE (~100 M rows of text keys at the 100× probe
+  * corpus, measured 2 628 cpu-s / 93 s wall for t17), while this
+  * kernel is one JIT'd call per document over the same tokenization
+  * contract as [[ShingleSet]] (UTF8String.trim, java regex `\s+`
+  * split, limit −1).
+  *
+  * `< n` tokens → 0.0 (the relational form's left-join/coalesce path
+  * for documents that produce no n-grams). */
+object RepRatio {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String, n: Int): Double = {
+    val toks = ws.split(text.trim().toString, -1)
+    val total = toks.length - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder
+    var max = 0
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toDouble / total
+  }
+}
+
+/** `graft_rep_ratio(text, n)` → max n-gram count / total n-grams of
+  * `text` (0.0 below n tokens; null text → null). The t17 repetition
+  * signal as a scan-stage kernel — see [[RepRatio]] for the shuffle it
+  * deletes. Callers keep rounding (`round(..., 4)`) in the query so
+  * the value path matches the SQL oracle's `round(max(c) / sum(c), 4)`
+  * bit for bit. */
+case class GraftRepRatio(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "graft_rep_ratio: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_rep_ratio requires string input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_rep_ratio"
+
+  override def nullSafeEval(input: Any): Any =
+    RepRatio.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.RepRatio.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftRepRatio =
+    copy(child = newChild)
+}

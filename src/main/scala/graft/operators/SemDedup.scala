@@ -50,9 +50,9 @@ object SemDedup {
     * remains the oracle-determinism path (t28 pins k = 16). */
   def pruneAuto(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                 threshold: Double, targetClusterSize: Long = 4096,
-                iters: Int = 3): DataFrame =
+                iters: Int = 3, minK: Int = 16): DataFrame =
     prune(df, idCol, vecCol, dims, threshold,
-      IvfIndex.autoK(df.count(), targetClusterSize), iters)
+      IvfIndex.autoK(df.count(), targetClusterSize, minK = minK), iters)
 
   def prune(df: DataFrame, idCol: String, vecCol: String, dims: Int,
             threshold: Double, kClusters: Int = 16, iters: Int = 3)

@@ -708,9 +708,12 @@ object LlmQueries {
 
     // Gopher-style repetition signal: fraction of a document's bigrams
     // claimed by its single most repeated bigram (raw n-grams, duplicates
-    // kept). The explode/groupBy stream is (doc_id, bigram) only — the
-    // same bounded-key shape as the shingle blocking — and short docs
-    // never enter the aggregation (left join restores them with 0.0).
+    // kept). Per-document computation, so it runs AT THE SCAN via the
+    // graft_rep_ratio kernel — no explode, no (doc_id, bigram-text)
+    // exchange (the relational form shuffled one row per bigram
+    // occurrence: measured 2 628 cpu-s / 93 s wall at the 100× probe
+    // corpus vs ~linear for the kernel; see expr/TextExpressions
+    // RepRatio). Rounding stays in the query to mirror the oracle.
     sql("t17_repetition_ratio")(
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts FROM documents
@@ -731,16 +734,10 @@ object LlmQueries {
         |SELECT d.doc_id, coalesce(a.rep_ratio, 0.0) AS rep_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val agg = docs
-        .select(col("doc_id"),
-          explode(TextFunctions.ngramsRaw(col("text"), 2)).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as("rep_ratio"))
-      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("rep_ratio"), lit(0.0)).as("rep_ratio"))
+      Tables.documents(s, d).select(col("doc_id"),
+          coalesce(
+            round(call_function("graft_rep_ratio", col("text"), lit(2)), 4),
+            lit(0.0)).as("rep_ratio"))
         .orderBy(col("doc_id"))
     },
 
@@ -1398,11 +1395,18 @@ object LlmQueries {
         |  (coalesce(g.m, -2.0) >= ${graft.GoldenGen.ModelParams.SemThreshold}) AS pruned
         |FROM assign a3 LEFT JOIN agg g ON g.id = a3.vec_id
         |ORDER BY a3.vec_id""".stripMargin) { (s, d) =>
-      SemDedup.prune(plantedEmbeddings(s, d), "vec_id", "embedding",
+      // PRODUCTION path (round 14): auto-scaled cluster count — the
+      // same GoldenGen.semDedupK derivation that sized the committed
+      // centroid artifact (resolves to the 16-cluster floor at every
+      // driver SF, so the artifact and oracle replay are unchanged;
+      // at the 100× probe corpus k grows to 98 and the within-cluster
+      // quadratic term stays bounded by the target cluster size).
+      SemDedup.pruneAuto(plantedEmbeddings(s, d), "vec_id", "embedding",
           dims = graft.GoldenGen.ModelParams.Dims,
           threshold = graft.GoldenGen.ModelParams.SemThreshold,
-          kClusters = graft.GoldenGen.ModelParams.IvfClusters,
-          iters = graft.GoldenGen.ModelParams.IvfIters)
+          targetClusterSize = graft.GoldenGen.ModelParams.SemTargetClusterSize,
+          iters = graft.GoldenGen.ModelParams.IvfIters,
+          minK = graft.GoldenGen.ModelParams.IvfClusters)
         .orderBy(col("vec_id"))
     },
 

@@ -87,6 +87,30 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  // t28's centroid artifact must be sized by the SAME semDedupK
+  // derivation the production entry point (SemDedup.pruneAuto) computes
+  // from the corpus count — the t13 lshPlan discipline applied to the
+  // cluster count. At every driver SF the planted corpus sits under
+  // the floor (16 = IvfClusters), which is the invariant that keeps
+  // the committed artifact and the oracle's 16-centroid replay valid;
+  // this test names that invariant so a corpus or parameter change
+  // that silently crosses the floor fails HERE, not as a baffling
+  // driver hash mismatch.
+  GoldenGen.sfTags.foreach { case (sfTag, _) =>
+    test(s"t28_centroids artifact width matches semDedupK at $sfTag") {
+      val n = graft.queries.LlmQueries
+        .plantedEmbeddings(spark, s"/root/testdata/$sfTag").count()
+      val k = GoldenGen.semDedupK(n)
+      assert(k === GoldenGen.ModelParams.IvfClusters,
+        s"planted corpus at $sfTag ($n vectors) now exceeds the autoK " +
+          "floor — the oracle SQL's fixed-width artifact replay no " +
+          "longer matches the production path; re-derive the oracle")
+      val art = spark.read.parquet(GoldenGen.goldenPath(sfTag, "t28_centroids"))
+      assert(art.select(countDistinct(col("cluster"))).head().getLong(0)
+        === k.toLong, s"artifact cluster count != semDedupK at $sfTag")
+    }
+  }
+
   test("t12 hyperplane artifact matches Hyperplanes.sign exactly") {
     val path = GoldenGen.hyperplanePath
     assert(new java.io.File(path).isFile, s"missing artifact $path")

@@ -350,13 +350,45 @@ class NativeExpressionsSpec extends SparkSpec {
       "SELECT graft_stop_ratio(CAST(NULL AS STRING), array('the'))").head.isNullAt(0))
   }
 
+  test("graft_rep_ratio equals the explode/groupBy relational form on real documents") {
+    // the t17 plan the kernel replaced: one row per bigram OCCURRENCE
+    // through an exchange, counted per (doc, bigram), max/sum per doc
+    val composed = documents
+      .select(col("doc_id"),
+        explode(TextFunctions.ngramsRaw(col("text"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("c_ratio"))
+    val mismatches = documents
+      .select(col("doc_id"),
+        call_function("graft_rep_ratio", col("text"), lit(2)).as("n_ratio"))
+      .join(composed, Seq("doc_id"), "left")
+      .filter(coalesce(col("c_ratio"), lit(0.0)) =!= col("n_ratio"))
+      .count()
+    assert(mismatches == 0)
+    // edges: < n tokens → 0.0 (empty, blank, single token), exact
+    // repetition → 1.0, trigram n, null text → null
+    val edge = Seq("", "   ", "one", "a b a b a b", "x y z").toDF("t")
+      .select(call_function("graft_rep_ratio", col("t"), lit(2)).as("r"),
+        call_function("graft_rep_ratio", col("t"), lit(3)).as("r3"))
+      .collect()
+    assert(edge.map(_.getDouble(0)).toSeq ===
+      Seq(0.0, 0.0, 0.0, 3.0 / 5.0, 0.5))
+    assert(edge.map(_.getDouble(1)).toSeq ===
+      Seq(0.0, 0.0, 0.0, 2.0 / 4.0, 1.0 / 1.0))
+    assert(spark.sql(
+      "SELECT graft_rep_ratio(CAST(NULL AS STRING), 2)").head.isNullAt(0))
+  }
+
   test("quality kernels participate in whole-stage codegen") {
     val df = documents.limit(20).select(
       TextFunctions.symbolRatio(col("text")).as("s"),
-      TextFunctions.stopwordRatio(col("text")).as("r"))
+      TextFunctions.stopwordRatio(col("text")).as("r"),
+      call_function("graft_rep_ratio", col("text"), lit(2)).as("rr"))
     df.collect()
     val code = df.queryExecution.debug.codegenToSeq()
     assert(code.exists(_._2.contains("graft.expr.QualityKernel.cleanLen(")))
     assert(code.exists(_._2.contains("graft.expr.QualityKernel.stopRatio(")))
+    assert(code.exists(_._2.contains("graft.expr.RepRatio.compute(")))
   }
 }
