@@ -27,5 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs 32 executor threads into one JVM; at the 100x bench
+  // corpus a JNI critical section (compression codecs) can hold the
+  // GCLocker while a large task-result allocation waits, and HotSpot's
+  // default of 2 retries then fails the allocation ("Retried waiting
+  // for GCLocker too often"), surfacing as a spurious block-fetch
+  // SparkException. 32 retries rides out the critical section.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=32",
 )
 scalacOptions ++= Seq("-deprecation")

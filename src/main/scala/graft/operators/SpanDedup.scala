@@ -65,8 +65,16 @@ object SpanDedup {
     val perDocKey = wins.groupBy(id, col("k")).agg(count(lit(1)).as("c"))
     val totals = perDocKey.groupBy(col("k")).agg(sum(col("c")).as("tot"))
 
+    // `totals` is O(distinct windows) — unbounded in corpus size — so it
+    // must NEVER be a broadcast build side. Without the hint, Spark's
+    // static size estimate (which shrinks through the two aggregations)
+    // drops it under autoBroadcastJoinThreshold and plans a broadcast
+    // hash join whose deserialized relation needs a ~1 GB hash array per
+    // task at the 100x corpus (~45 M keys) — measured as a reproducible
+    // UNABLE_TO_ACQUIRE_MEMORY abort. Sort-merge is the spill-safe shape
+    // for this unbounded ⋈ unbounded join at every scale.
     val per = perDocKey
-      .join(totals, "k")
+      .join(totals.hint("merge"), "k")
       .groupBy(id)
       .agg(
         sum(col("c")).as("n_windows"),
@@ -119,9 +127,11 @@ object SpanDedup {
         .as(Seq("p0", "gram")))
       .select(id, (col("p0") + 1).as("i"), md5(col("gram")).as("k"))
 
+    // Same unbounded-⋈-unbounded posture as [[duplicateSpans]]: `tot` is
+    // O(distinct windows), never broadcastable (see the comment there).
     val tot = wins.groupBy(col("k")).agg(count(lit(1)).as("tot"))
     val removed = wins
-      .join(tot, "k")
+      .join(tot.hint("merge"), "k")
       .filter(col("tot") >= 2)
       .select(id, explode(sequence(col("i"), col("i") + (window - 1))).as("p"))
       .distinct()
@@ -131,7 +141,7 @@ object SpanDedup {
       .select(id, (col("p0") + 1).as("p"), col("tok"))
 
     val kept = toks
-      .join(removed, Seq(idCol, "p"), "left_anti")
+      .join(removed.hint("merge"), Seq(idCol, "p"), "left_anti")
       .groupBy(id)
       .agg(concat_ws(" ",
         transform(
