@@ -209,6 +209,29 @@ class PlanAuditSpec extends SparkSpec {
       "window counts must combine map-side")
   }
 
+  /** Round-14 regression guard: the window-key joins in SpanDedup are
+    * unbounded ⋈ unbounded (both sides O(corpus windows)) and carry
+    * merge hints because Spark's STATIC size estimate shrinks through
+    * the aggregations — at the 100× corpus it priced the ~45 M-row
+    * distinct-window side under autoBroadcastJoinThreshold and planned
+    * a broadcast whose ~1 GB-per-task hash relation aborted the query
+    * (PLANS.md round 14). At this tiny SF a dropped hint would ALSO
+    * plan a broadcast, so asserting the md5-key join is sort-merge
+    * here catches the regression exactly where it would reappear. */
+  test("t42/t46 span joins: the md5 window-key join must never be a broadcast") {
+    Seq("t42_duplicate_spans", "t46_span_scrub").foreach { name =>
+      val plan = executedPlan(namedQuery(name))
+      val broadcastKeyJoins = plan.linesIterator
+        .filter(_.contains("BroadcastHashJoin"))
+        .filter(_.contains("[k#")).toSeq
+      assert(broadcastKeyJoins.isEmpty,
+        s"$name: window-key join planned as broadcast (unbounded build " +
+          s"side — the round-14 100× abort): $broadcastKeyJoins")
+      assert(plan.contains("SortMergeJoin"),
+        s"$name: expected the hinted sort-merge window-key join")
+    }
+  }
+
   test("t44 token budget: the CORPUS window is (level, chunk)-partitioned; partition-less windows touch only the chunk-totals table") {
     val plan = executedPlan(namedQuery("t44_token_budget"))
     // a physical Window node prints `Window [exprs], [partitionSpec],
