@@ -47,17 +47,47 @@ object SemDedup {
     * quadratic term stays bounded by targetClusterSize as the corpus
     * grows instead of growing as (n/16)² — the "50 k clusters at LAION
     * scale" regime as the production default. The fixed-k [[prune]]
-    * remains the oracle-determinism path (t28 pins k = 16). */
+    * remains the oracle-determinism path (t28 pins k = 16).
+    *
+    * Training is SAMPLE-CAPPED: with auto-k, full-corpus Lloyd's costs
+    * O(n·k) = O(n²/targetClusterSize) cosines PER ITERATION — measured
+    * at the 1000× probe corpus (round 14): the iters+1 full passes at
+    * k = 977 over 4 M vectors put t28 at 11.1× its 100× wall for 10×
+    * the data, and the next decade multiplies per-row work another
+    * ~10×. The published regime trains on a bounded sample (k-means
+    * sees a few hundred rows per centroid); here: when
+    * n > max(trainSampleCap, 256·k), train on the deterministic
+    * lowest-hash subset of ~1.25× that size (xxhash64 of the id — no
+    * RNG, no partition-order dependence, golden-able), leaving only
+    * the single final assignment pass at full corpus width, which
+    * exact SemDeDup semantics require and [[IvfIndex.autoK]]'s maxK
+    * cap bounds asymptotically. Every driver-SF corpus (≤ 40 k
+    * vectors) sits below the cap, so oracles and committed centroid
+    * artifacts are unchanged. */
   def pruneAuto(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                 threshold: Double, targetClusterSize: Long = 4096,
-                iters: Int = 3, minK: Int = 16): DataFrame =
-    prune(df, idCol, vecCol, dims, threshold,
-      IvfIndex.autoK(df.count(), targetClusterSize, minK = minK), iters)
+                iters: Int = 3, minK: Int = 16,
+                trainSampleCap: Long = 65536L): DataFrame = {
+    val n = df.count()
+    val k = IvfIndex.autoK(n, targetClusterSize, minK = minK)
+    val cap = math.max(trainSampleCap, 256L * k)
+    val trainOn =
+      if (n <= cap) None
+      else {
+        // ~1.25·cap expected rows; the margin keeps the sample ≥ k with
+        // overwhelming probability (train() requires ≥ k and fails loud)
+        val m = 1L << 20
+        val thresh = math.min(m, (m * 1.25 * cap / n).toLong.max(1L))
+        Some(df.filter(pmod(xxhash64(col(idCol)), lit(m)) < lit(thresh)))
+      }
+    prune(df, idCol, vecCol, dims, threshold, k, iters, trainOn)
+  }
 
   def prune(df: DataFrame, idCol: String, vecCol: String, dims: Int,
-            threshold: Double, kClusters: Int = 16, iters: Int = 3)
-      : DataFrame = {
-    val centroids = IvfIndex.train(df, idCol, vecCol, dims, kClusters, iters)
+            threshold: Double, kClusters: Int = 16, iters: Int = 3,
+            trainOn: Option[DataFrame] = None): DataFrame = {
+    val centroids = IvfIndex.train(trainOn.getOrElse(df), idCol, vecCol,
+      dims, kClusters, iters)
     val assigned = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cluster", IvfIndex.assignment(col("vec"), centroids))

@@ -94,4 +94,38 @@ class SemDedupSpec extends SparkSpec {
       s"giant cluster of ${sizes.max} rows at target $target")
     small.unpersist(); big.unpersist()
   }
+
+  test("pruneAuto sample-capped training: full-corpus output, deterministic, duplicates still pruned") {
+    // a tiny trainSampleCap forces the sampled-training path that
+    // production hits past ~65k vectors (round-14 1000x finding: full-
+    // corpus Lloyd's at auto-k is O(n^2/target) per iteration)
+    def base(n: Int) = spark.range(n).selectExpr("id",
+      "transform(sequence(0, 7), i -> cast(pmod(hash(id * 31 + i), 1000) / 500.0 - 1.0 AS FLOAT)) AS vec")
+    // plant exact duplicates of the first 20 vectors at high ids: a
+    // duplicate assigns to the same cluster as its original regardless
+    // of which centroids the sample produced, so it MUST be pruned
+    val dups = base(20).selectExpr("id + 1000000 AS id", "vec")
+    val corpus = base(2000).union(dups)
+    val out = SemDedup.pruneAuto(corpus, "id", "vec", dims = 8,
+      threshold = 0.999, targetClusterSize = 256L, trainSampleCap = 64L)
+      .cache()
+    // one verdict row per input vector, sampled training notwithstanding
+    assert(out.count() === 2020)
+    // every planted duplicate is pruned (cosine 1.0 to an earlier mate)
+    val prunedDups = out.filter(col("id") >= 1000000 && col("pruned")).count()
+    assert(prunedDups === 20, s"only $prunedDups of 20 duplicates pruned")
+    // deterministic: the sampled path has no RNG or order dependence
+    val again = SemDedup.pruneAuto(corpus, "id", "vec", dims = 8,
+      threshold = 0.999, targetClusterSize = 256L, trainSampleCap = 64L)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // below the cap the path is bit-identical to unsampled (oracle
+    // safety: every driver-SF corpus sits below the default cap)
+    val sampled = SemDedup.pruneAuto(base(512), "id", "vec", dims = 8,
+      threshold = 0.95, targetClusterSize = 256L, trainSampleCap = 100000L)
+    val unsampled = SemDedup.prune(base(512), "id", "vec", dims = 8,
+      threshold = 0.95, kClusters = 16)
+    assert(sampled.exceptAll(unsampled).isEmpty
+      && unsampled.exceptAll(sampled).isEmpty)
+    out.unpersist()
+  }
 }
