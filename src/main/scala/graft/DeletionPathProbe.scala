@@ -56,6 +56,14 @@ object DeletionPathProbe {
     val survivors = clusters.filter(col("doc_id") === col("cluster_id"))
     val nSurvivors = survivors.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    // snapshot the shuffle telemetry NOW, before the out-of-band
+    // pair/doc counts below add their own shuffle — the emitted numbers
+    // must cover exactly the timed composed run, or the probe's
+    // "shuffle-bounded" claim includes the very pair-dump cost it
+    // exists to exclude
+    val composedShuffleWrite = shuffleWrite.sum
+    val composedShuffleRead = shuffleRead.sum
+    val composedPeakStage = peakStageShuffleWrite
 
     // answer-size context, measured OUTSIDE the timed composed run (a
     // deletion pipeline never pays this count; it is the number the
@@ -66,7 +74,7 @@ object DeletionPathProbe {
 
     val nDocs = docs.count()
     def mb(b: Long) = math.round(b / 1e5) / 10.0
-    println(s"""{"metric":"deletion_path_probe","sf":"$sfDir","docs":$nDocs,"survivors":$nSurvivors,"composed_wall_s":${math.round(wall * 10) / 10.0},"pair_count":$nPairs,"pair_dump_wall_s":${math.round(pairWall * 10) / 10.0},"shuffle_write_mb":${mb(shuffleWrite.sum)},"shuffle_read_mb":${mb(shuffleRead.sum)},"peak_stage_shuffle_write_mb":${mb(peakStageShuffleWrite)},"loadavg_start":${math.round(load0 * 100) / 100.0}}""")
+    println(s"""{"metric":"deletion_path_probe","sf":"$sfDir","docs":$nDocs,"survivors":$nSurvivors,"composed_wall_s":${math.round(wall * 10) / 10.0},"pair_count":$nPairs,"pair_dump_wall_s":${math.round(pairWall * 10) / 10.0},"shuffle_write_mb":${mb(composedShuffleWrite)},"shuffle_read_mb":${mb(composedShuffleRead)},"peak_stage_shuffle_write_mb":${mb(composedPeakStage)},"loadavg_start":${math.round(load0 * 100) / 100.0}}""")
     spark.stop()
   }
 }

@@ -102,12 +102,6 @@ object GoldenGen {
     val RecallQueries = 64
   }
 
-  /** The t13 auto-sized LSH plan for a planted corpus of `n` vectors —
-    * the SINGLE derivation shared by the query (via
-    * [[graft.operators.Similarity.nearDupPairsAuto]], which recomputes
-    * it from its own count action) and the artifact generator, so the
-    * committed bucket table and the live query always agree on width.
-    * Deterministic: a pure function of the corpus row count. */
   /** The t28 auto-scaled cluster count for a planted corpus of `n`
     * vectors — shared by the query (via
     * [[graft.operators.SemDedup.pruneAuto]], which recomputes it from
@@ -117,6 +111,12 @@ object GoldenGen {
     graft.operators.IvfIndex.autoK(n, ModelParams.SemTargetClusterSize,
       minK = ModelParams.IvfClusters)
 
+  /** The t13 auto-sized LSH plan for a planted corpus of `n` vectors —
+    * the SINGLE derivation shared by the query (via
+    * [[graft.operators.Similarity.nearDupPairsAuto]], which recomputes
+    * it from its own count action) and the artifact generator, so the
+    * committed bucket table and the live query always agree on width.
+    * Deterministic: a pure function of the corpus row count. */
   def nearDupPlan(n: Long): (Int, Int) =
     graft.operators.Similarity.lshPlan(n, ModelParams.NearDupThreshold,
       ModelParams.NearDupTargetRecall, ModelParams.NearDupBucketSize)

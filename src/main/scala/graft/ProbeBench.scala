@@ -49,7 +49,11 @@ object ProbeBench {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
-      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed SPARK_GRAFT_EXTRA_CONF entry (need key=value): $kv")
+        (kv.take(i), kv.drop(i + 1))
+      }
     val load0 = loadAvg
     val spark: SparkSession = {
       val b = graft.core.Sessions.builder("graft-probe")

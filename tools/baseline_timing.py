@@ -38,10 +38,12 @@ def main(sf_dir: str, out_dir: str, out_json: str = "") -> None:
         t0 = time.monotonic()
         try:
             con.execute(sql).df()  # full materialization, like toRdd
+            walls[name] = round(time.monotonic() - t0, 3)
         except Exception as e:  # noqa: BLE001
+            # errored queries stay OUT of the walls map — a partial wall
+            # for a failed query is indistinguishable from a fast success
             errors[name] = type(e).__name__
-        walls[name] = round(time.monotonic() - t0, 3)
-    total = round(sum(w for n, w in walls.items() if n not in errors), 3)
+    total = round(sum(walls.values()), 3)
     line = {
         "metric": "duckdb_baseline_total", "value": total, "unit": "sec",
         "errors": len(errors), "error_names": errors, "sf": sf_dir,
@@ -60,4 +62,7 @@ def main(sf_dir: str, out_dir: str, out_json: str = "") -> None:
 
 
 if __name__ == "__main__":
+    if not 3 <= len(sys.argv) <= 4:
+        sys.exit(
+            "usage: baseline_timing.py <sfDir> <verifyOutDir> [outJson]")
     main(*sys.argv[1:])
