@@ -163,6 +163,102 @@ class ScaleGenSpec extends SparkSpec {
       .exceptAll(unionEmbeddings(embs, 4)).isEmpty)
   }
 
+  // ---- heaps mode (round 15): Heaps-law type growth ----
+
+  /** Deterministic 200-doc × 30-token base over a 40-word vocabulary —
+    * the shape of the driver corpus (tiny fixed vocab), which is
+    * exactly what the fixed resample saturates. */
+  private def heapsBase = {
+    val words = (1 to 40).map(i => s"w$i")
+    (0 until 200).map { d =>
+      val toks = (0 until 30).map(j => words((d * 31 + j * 7) % 40))
+      (d.toLong, toks.mkString(" "), "en", "src0", toks.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private def copyTokens(out: DataFrame) = out
+    .where(col("doc_id") >= 10000000L)
+    .select(explode(split(col("text"), " ")).as("w"))
+
+  test("heaps documents: copy 0 verbatim, lengths preserved, deterministic") {
+    val out = ScaleGen.scaleDocumentsHeaps(spark, heapsBase, 4).cache()
+    assert(out.count() === 800)
+    assert(out.where(col("doc_id") < 1000000L).exceptAll(heapsBase).isEmpty)
+    val lens = out.select((col("doc_id") % 10000000L).as("base"),
+        size(split(trim(col("text")), "\\s+")).as("n"))
+      .groupBy("base").agg(countDistinct(col("n")).as("d")).collect()
+    assert(lens.forall(_.getLong(1) === 1L), "token count drifted across copies")
+    assert(ScaleGen.scaleDocumentsHeaps(spark, heapsBase, 4).exceptAll(out).isEmpty)
+  }
+
+  test("heaps documents: type space grows ~sqrt(N) — Heaps beta ≈ 0.5") {
+    // factor 16 draws 5x the tokens of factor 4 (15 vs 3 fresh copies);
+    // beta = 0.5 predicts a sqrt(5) ≈ 2.24x type ratio. The fixed mode
+    // would give exactly 1.0 (same 40-word vocab at every factor) —
+    // that flatline is the round-14 saturation defect this mode fixes.
+    val v4 = copyTokens(ScaleGen.scaleDocumentsHeaps(spark, heapsBase, 4))
+      .distinct().count()
+    val v16 = copyTokens(ScaleGen.scaleDocumentsHeaps(spark, heapsBase, 16))
+      .distinct().count()
+    val ratio = v16.toDouble / v4
+    assert(v4 > 100, s"factor-4 copies should already mint novel types, got $v4")
+    assert(ratio > 1.7 && ratio < 2.9,
+      s"type growth ratio $ratio outside the Heaps beta=0.5 band (expect ~2.24)")
+  }
+
+  test("heaps documents: head is smoothed and the rare-shingle band stays populated") {
+    val out = ScaleGen.scaleDocumentsHeaps(spark, heapsBase, 16).cache()
+    val toks = copyTokens(out).cache()
+    val n = toks.count().toDouble
+    val topShare = toks.groupBy("w").count()
+      .orderBy(col("count").desc).head().getLong(1) / n
+    // P(rank 1) = 1/(H+1) ≈ 5.9%; a bare 1/u draw would put ~50% here
+    assert(topShare > 0.02 && topShare < 0.12,
+      s"head token share $topShare outside the smoothed band")
+    // the round-14 defect in one number: count 3-gram shingle types in
+    // the rare-df band [2, 20] — fixed mode saturates this to zero as
+    // the factor grows; heaps mode must keep it populated
+    val band = out.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+      .groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df").between(2, 20)).count()
+    assert(band > 50, s"rare-shingle band nearly empty at factor 16: $band types")
+    toks.unpersist(); out.unpersist()
+  }
+
+  test("scattered embeddings: isometric, decorrelated across copies, deterministic") {
+    // a SMOOTH base vector is the adversarial case: its rotations are
+    // highly self-similar (cos(rot_j(v), rot_l(v)) = autocorrelation),
+    // which is the r14 t13 densification artifact. 64 dims, near-DC.
+    val d = 64
+    val smooth = (0 until d).map(i => (1.0 + 0.05 * math.sin(2 * math.Pi * i / d)).toFloat).toArray
+    val base = Seq((0L, smooth, 1)).toDF("vec_id", "embedding", "label")
+    val factor = 8
+    val legacy = ScaleGen.scaleEmbeddings(base, factor)
+    val scat = ScaleGen.scaleEmbeddingsScattered(base, factor).cache()
+    def vecs(df: DataFrame) = df.orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val lv = vecs(legacy); val sv = vecs(scat)
+    def maxCrossCos(vs: Array[Array[Double]]) = (for {
+      i <- vs.indices; j <- vs.indices if i < j
+    } yield math.abs(cos(vs(i), vs(j)))).max
+    // legacy pure rotations of a smooth vector: near-identical copies
+    assert(maxCrossCos(lv) > 0.9,
+      "the adversarial case should show the legacy family similarity")
+    // scattered: unrelated-vector statistics
+    assert(maxCrossCos(sv) < 0.6,
+      s"scattered copies still correlated: ${maxCrossCos(sv)}")
+    // every copy is still an isometry of the base
+    val n0 = math.sqrt(smooth.map(x => x.toDouble * x).sum)
+    sv.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - n0) < 1e-3) }
+    assert(ScaleGen.scaleEmbeddingsScattered(base, factor).exceptAll(scat).isEmpty)
+  }
+
   test("scaleEvents: factor x users over the same time range") {
     val ev = events.limit(1)
     val out = ScaleGen.scaleEvents(ev, 5).cache()
