@@ -224,23 +224,36 @@ object Similarity {
                    threshold: Double, bits: Int = 8, tables: Int = 4,
                    chunkSize: Int = 2048): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val bucketed = vecs.select(col("id"),
-      explode(lshBuckets(col("vec"), dims, bits, tables)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // chunk-salted bucket self-join ([[SaltedSelfJoin]]): an LSH bucket
-    // capturing a large slice of the corpus would otherwise serialize
-    // its quadratic enumeration (the t08 skew class); lower-chunk lands
-    // left, so canonicalize by least/greatest before the distinct
-    val candidates = SaltedSelfJoin.pairs(bucketed, Seq("tbl", "bucket"),
-        "id", chunkSize = chunkSize)
-      .select(least(col("left_id"), col("right_id")).as("left_id"),
-        greatest(col("left_id"), col("right_id")).as("right_id"))
-      .distinct()
+    val candidates = lshCandidates(df, idCol, vecCol, dims, bits, tables,
+      chunkSize)
     val lv = vecs.select(col("id").as("left_id"), col("vec").as("left_vec"))
     val rv = vecs.select(col("id").as("right_id"), col("vec").as("right_vec"))
     candidates.join(lv, Seq("left_id")).join(rv, Seq("right_id"))
       .select(col("left_id"), col("right_id"),
         round(cosine(col("left_vec"), col("right_vec")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** The t13 CANDIDATE stage on its own — distinct canonical LSH
+    * bucket-collision id pairs, before the cosine verify.
+    * `private[graft]` so the scale probes can measure candidate growth
+    * directly under the production [[lshPlan]] width (round 14 measured
+    * it from a spark-shell transcript). Chunk-salted bucket self-join
+    * ([[SaltedSelfJoin]]): an LSH bucket capturing a large slice of the
+    * corpus would otherwise serialize its quadratic enumeration (the
+    * t08 skew class); lower-chunk lands left, so canonicalize by
+    * least/greatest before the distinct. */
+  private[graft] def lshCandidates(df: DataFrame, idCol: String,
+                                   vecCol: String, dims: Int, bits: Int,
+                                   tables: Int,
+                                   chunkSize: Int = 2048): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"),
+      explode(lshBuckets(col(vecCol), dims, bits, tables)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    SaltedSelfJoin.pairs(bucketed, Seq("tbl", "bucket"),
+        "id", chunkSize = chunkSize)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"))
+      .distinct()
   }
 }
