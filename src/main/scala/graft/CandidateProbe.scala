@@ -72,6 +72,14 @@ object CandidateProbe {
         maxHamming = SimHamming, blocks = SimBlocks))
       emit("t08", "verified", nv, wv)
     }
+    if (fams("t08raw")) {
+      // the enumeration the full query streams through the pushed-down
+      // Hamming filter — countable without the candidate distinct, so
+      // it scales to corpora where the distinct itself is the bottleneck
+      val (nr, wr) = timed(Dedup.simHashCollisions(
+        planted, "text", "doc_id", blocks = SimBlocks))
+      emit("t08raw", "collisions", nr, wr)
+    }
     if (fams("t13")) {
       val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
       val n = embs.count()

@@ -225,6 +225,24 @@ object Dedup {
   private[graft] def simHashCandidates(df: DataFrame, textCol: String,
                                        idCol: String, blocks: Int = 4,
                                        chunkSize: Int = 2048): DataFrame = {
+    val lo = col("left_id") <= col("right_id")
+    simHashCollisions(df, textCol, idCol, blocks, chunkSize)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"),
+        when(lo, col("left_simhash")).otherwise(col("right_simhash")).as("left_simhash"),
+        when(lo, col("right_simhash")).otherwise(col("left_simhash")).as("right_simhash"))
+      .distinct()
+  }
+
+  /** The RAW block-collision stream feeding [[simHashCandidates]] —
+    * pre-canonicalization, pre-distinct. Its row count is what the full
+    * t08 query actually STREAMS through the pushed-down Hamming filter
+    * (Catalyst pushes `hamming ≤ r` below the distinct, so the verify
+    * never materializes the candidate set); `private[graft]` so the
+    * scale probes can measure that stream directly. */
+  private[graft] def simHashCollisions(df: DataFrame, textCol: String,
+                                       idCol: String, blocks: Int = 4,
+                                       chunkSize: Int = 2048): DataFrame = {
     require(blocks >= 2 && blocks <= 64, "blocks must be in [2, 64]")
     require(chunkSize >= 2, "chunkSize must be >= 2")
     // block k covers bits [offsets(k), offsets(k+1)) of the signature
@@ -246,17 +264,12 @@ object Dedup {
     // CHUNK-SALTED self-join ([[SaltedSelfJoin]] — measured 1003 s →
     // 14 s at the 10× probe; see its scaladoc for the AQE-invisible
     // skew it removes). A pair surfaces with its lower-CHUNK member on
-    // the left, not necessarily the lower id, so canonicalize by
-    // least/greatest (hamming is symmetric); the distinct dedups
-    // same-chunk double-matches and multi-block hits alike.
-    val lo = col("left_id") <= col("right_id")
+    // the left, not necessarily the lower id; [[simHashCandidates]]
+    // canonicalizes by least/greatest (hamming is symmetric) and its
+    // distinct dedups same-chunk double-matches and multi-block hits
+    // alike.
     SaltedSelfJoin.pairs(exploded, Seq("blk", "bits"), "doc_id",
-        payload = Seq("simhash"), chunkSize = chunkSize)
-      .select(least(col("left_id"), col("right_id")).as("left_id"),
-        greatest(col("left_id"), col("right_id")).as("right_id"),
-        when(lo, col("left_simhash")).otherwise(col("right_simhash")).as("left_simhash"),
-        when(lo, col("right_simhash")).otherwise(col("left_simhash")).as("right_simhash"))
-      .distinct()
+      payload = Seq("simhash"), chunkSize = chunkSize)
   }
 
   /** n-gram Jaccard near-dup pairs via shared-shingle blocking: docs
