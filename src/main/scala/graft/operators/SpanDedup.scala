@@ -21,8 +21,20 @@ import graft.functions.TextFunctions
   * Scale shape (the suffix-array construction in the paper is
   * single-machine; this is the distributed approximation over fixed
   * windows):
-  *   - every sliding window is reduced to its md5 IN THE SCAN STAGE —
-  *     the shuffle carries (doc_id, 32-hex key), never window text;
+  *   - every sliding window is reduced to its xxhash64 IN THE SCAN
+  *     STAGE — the shuffle carries (doc_id, 8-byte long key), never
+  *     window text. Round 14 shipped md5 string keys here; the 32-hex
+  *     key was 4-5× the sort/shuffle bytes of a long and the
+  *     corpus-wide sorts of these keys are exactly what grew
+  *     1.35×/decade in the fourth-decade probe, so round 15 A/B'd the
+  *     8-byte key (numbers in PLANS.md) and adopted it. Collision
+  *     tolerance: two distinct windows colliding (≈ W²/2⁶⁵ per corpus;
+  *     ~3 % odds of a SINGLE collision at 10⁹ distinct windows) can
+  *     only raise a `tot` — marking at most those two windows
+  *     duplicated — which is the conservative direction for both the
+  *     profile and the scrub (an over-scrub of one window per ~30
+  *     corpora; the md5 alternative carries the same risk at 2⁻¹²⁸,
+  *     i.e. never, but pays the string key on every shuffled row);
   *   - occurrence counting is two hash aggregations with map-side
   *     partial combine: (doc, key) → count, then key → total;
   *   - the (doc, key) ⋈ key join moves only distinct-window rows, so a
@@ -55,12 +67,12 @@ object SpanDedup {
     require(window >= 2, s"window must be >= 2, got $window")
     val id = col(idCol)
 
-    // (doc_id, md5(window)) — key computed before the explode leaves the
+    // (doc_id, xxhash64(window)) — key computed before the explode leaves the
     // scan stage; ngramsRaw yields [] for docs shorter than the window.
     val wins = docs
       .select(id, explode(
         TextFunctions.ngramsRaw(lower(col(textCol)), window)).as("gram"))
-      .select(id, md5(col("gram")).as("k"))
+      .select(id, xxhash64(col("gram")).as("k"))
 
     val perDocKey = wins.groupBy(id, col("k")).agg(count(lit(1)).as("c"))
     val totals = perDocKey.groupBy(col("k")).agg(sum(col("c")).as("tot"))
@@ -103,7 +115,7 @@ object SpanDedup {
     * Scale shape: rewriting text is inherently O(corpus) — tokens move
     * through the reassembly shuffle exactly once, keyed by doc id (the
     * same per-doc payload a plain read moves). Everything else rides
-    * the [[duplicateSpans]] contract: md5 window keys, skinny
+    * the [[duplicateSpans]] contract: xxhash64 window keys, skinny
     * (doc, position) rows for the removal set, map-side combines.
     *
     * Output: (idCol, n_tokens, n_removed, cleaned_text), one row per
@@ -120,12 +132,12 @@ object SpanDedup {
       .filter(length(trim(col(textCol))) > 0)
       .select(id, TextFunctions.tokens(lower(col(textCol))).as("ws"))
 
-    // (doc, window start i [1-based], md5 key)
+    // (doc, window start i [1-based], xxhash64 key)
     val wins = words
       .select(id, posexplode(
         TextFunctions.ngramsRawFromTokens(col("ws"), window))
         .as(Seq("p0", "gram")))
-      .select(id, (col("p0") + 1).as("i"), md5(col("gram")).as("k"))
+      .select(id, (col("p0") + 1).as("i"), xxhash64(col("gram")).as("k"))
 
     // Same unbounded-⋈-unbounded posture as [[duplicateSpans]]: `tot` is
     // O(distinct windows), never broadcastable (see the comment there).
