@@ -44,15 +44,21 @@ object CandidateProbe {
       println(s"[candprobe] $fam $stage n=$n wall=${wall}s")
     }
 
+    // "<fam>cand" runs the blocking stage only — the verify arm's
+    // shuffle volume is candidates × per-doc payload (measured ~180 GB
+    // at the 1000× corpus), an aggregate-cluster-disk resource a single
+    // probe node may not have; the blocking stage stays measurable
     val planted = graft.queries.LlmQueries.plantedCorpus(spark, sfDir)
-    if (fams("t09")) {
+    if (fams("t09") || fams("t09cand")) {
       val (nc, wc) = timed(Dedup.shingleCandidates(planted, 3, 20))
       emit("t09", "candidates", nc, wc)
+    }
+    if (fams("t09")) {
       val (nv, wv) = timed(
         Dedup.jaccardPairs(planted, "text", "doc_id", threshold = 0.6))
       emit("t09", "verified", nv, wv)
     }
-    if (fams("t26")) {
+    if (fams("t26") || fams("t26cand")) {
       // the t26 corpus: docs ∪ 'pre <text> post' wrappers (id + 2e6)
       val docs = graft.core.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
@@ -61,8 +67,10 @@ object CandidateProbe {
         concat(lit("pre "), col("text"), lit(" post")).as("text")))
       val (nc, wc) = timed(Dedup.shingleCandidates(wrapped, 3, 20))
       emit("t26", "candidates", nc, wc)
-      val (nv, wv) = timed(Dedup.containmentPairs(wrapped, "text", "doc_id"))
-      emit("t26", "verified", nv, wv)
+      if (fams("t26")) {
+        val (nv, wv) = timed(Dedup.containmentPairs(wrapped, "text", "doc_id"))
+        emit("t26", "verified", nv, wv)
+      }
     }
     if (fams("t08")) {
       val (nc, wc) = timed(Dedup.simHashCandidates(
