@@ -2,10 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** 1-min system load average, or -1 where the platform won't say.
-    * Recorded before and after the timed run: past rounds' apparent
-    * per-query regressions (e.g. t16 3.42 s vs 0.87 s clean) were
-    * background load, and without the marker telling a real regression
-    * from a loaded machine needs a manual rerun. */
+    * Recorded before/after the run AND sampled around every query (max
+    * stamped into the record): past rounds' apparent per-query
+    * regressions (e.g. t16 3.42 s vs 0.87 s clean) were background
+    * load, and the r15 driver record (491 s vs 164 s clean) sampled
+    * loadavg only at the endpoints — BETWEEN the load bursts — so a
+    * poisoned record looked authoritative (r15 verdict item 1). */
   private def loadAvg: Double = {
     val l = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -19,16 +21,39 @@ object Bench {
     * loaded machine inflates wall seconds while this process's CPU
     * seconds hold steady (r8's t44 38.6 s and r9's t44 18.3 s were both
     * load phantoms diagnosable only by clean reruns). cpu_s > wall is
-    * normal — 32 executor threads each contribute. */
+    * normal — 32 executor threads each contribute. Caveat learned in
+    * r15: under HEAVY co-load even process CPU rises (GC + memory-bus
+    * contention burn CPU inside the JVM), hence the external-CPU
+    * tripwire below. */
   private def processCpuNanos: Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
 
+  /** Machine-wide busy CPU jiffies from /proc/stat (all fields except
+    * idle + iowait), or -1 off-Linux. The load-proofing primitive:
+    * external CPU = machine busy − this process's CPU. Unlike loadavg
+    * it has no 1-minute inertia and is not confounded by the bench's
+    * own local[32] load, so it detects a co-loaded machine DURING the
+    * exact seconds a query was timed. */
+  private def machineBusyJiffies: Long =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal guest guest_nice
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    } catch { case _: Throwable => -1L }
+
+  private val nProc = Runtime.getRuntime.availableProcessors()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val load0 = loadAvg
+    // a run is "tainted" when other processes consumed more than this
+    // fraction of total machine capacity while the query was timed
+    val extFrac = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXT_FRAC", "0.2").toDouble
     // the one engine session config — bench what users run
     val spark = graft.core.Sessions.local("graft-bench")
     // untimed warm-up: JIT + codegen + parquet footer caches, so the
@@ -44,55 +69,79 @@ object Bench {
     // a 4× t79 phantom — first-run JIT of the ADC codegen kernels under
     // load (6.67 s recorded vs 2.08 s isolated best) — that cost the
     // judge an hour of adjudication. Per the ProbeBench convention the
-    // record is now BEST-of-N wall (JIT/warm variance is harness
-    // artifact, not plan cost; the DuckDB baseline's process is warm by
-    // its 172nd query too) with the first-run walls kept alongside so a
-    // real first-run pathology (e.g. a cold-cache scan regression)
-    // still has a number.
+    // record is BEST-of-N wall (JIT/warm variance is harness artifact,
+    // not plan cost; the DuckDB baseline gets the same best-of-N
+    // treatment in tools/baseline_timing.py since r16, so the ratio is
+    // like-for-like) with the first-run walls kept alongside so a real
+    // first-run pathology (e.g. a cold-cache scan regression) still has
+    // a number.
     val repeat = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt
-    // (name, first wall, best wall, best cpu secs, error) — a failed
-    // query must NOT look like a fast one
+
+    /** One timed execution: (wall s, process-cpu s, external-cpu s,
+      * loadavg at end, error). External CPU < 0 means /proc/stat or the
+      * CPU bean is unavailable — the taint check is then skipped. */
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Double, Option[String]) = {
+      val j0 = machineBusyJiffies
+      val c0 = processCpuNanos
+      val t0 = System.nanoTime()
+      // full-evaluation sink: run the query's OWN physical plan and
+      // count its InternalRows. A bare `.count()` lets Catalyst column-
+      // prune the plan, so a pure-projection query's number was its
+      // SCAN, not its expressions — and since the DuckDB baseline
+      // replays full SQL, that blind spot flattered the ratio on the
+      // projection tail. toRdd executes the unmodified plan.
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = if (c0 < 0) -1.0
+                else math.round((processCpuNanos - c0) / 1e9 * 1000.0) / 1000.0
+      val ext = if (j0 < 0 || c0 < 0) -1.0
+                else math.max(0.0,
+                  (machineBusyJiffies - j0) / 100.0 - (processCpuNanos - c0) / 1e9)
+      (wall, cpu, ext, loadAvg, err)
+    }
+    def tainted(r: (Double, Double, Double, Double, Option[String])): Boolean =
+      r._3 >= 0 && r._3 > extFrac * r._1 * nProc
+
+    // (name, first wall, best wall, best cpu, best ext, max loadavg,
+    //  stillTainted, error) — a failed query must NOT look like a fast one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to repeat).map { _ =>
-        val c0 = processCpuNanos
-        val t0 = System.nanoTime()
-        // full-evaluation sink: run the query's OWN physical plan and
-        // count its InternalRows. A bare `.count()` lets Catalyst column-
-        // prune the plan, so a pure-projection query's number was its
-        // SCAN, not its expressions (measured: t02 at 100× read 0.19 s
-        // under count() while one real scoring pass costs ~15 s) — and
-        // since the DuckDB baseline replays full SQL, that blind spot
-        // flattered the engine-vs-baseline ratio on the projection tail.
-        // toRdd executes the unmodified plan: every projected column is
-        // materialized into the output UnsafeRow before the row is
-        // counted. Aggregating/joining queries are unaffected (their
-        // plans were fully evaluated either way).
-        val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
-                  catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val cpu = if (c0 < 0) -1.0
-                  else math.round((processCpuNanos - c0) / 1e9 * 1000.0) / 1000.0
-        (wall, cpu, err)
-      }
-      val err = runs.flatMap(_._3).headOption
-      (name, runs.head._1, runs.map(_._1).min, runs.map(_._2).min, err)
+      var runs = (1 to repeat).map(_ => runOnce(fn))
+      // load-proofing: if even the best run was co-loaded, rerun once —
+      // one extra shot usually lands after a transient burst; if taint
+      // persists it is stamped into the record instead of silently
+      // poisoning the round-over-round comparison
+      if (runs.forall(r => r._5.nonEmpty || tainted(r)))
+        runs = runs :+ runOnce(fn)
+      val err = runs.flatMap(_._5).headOption
+      val best = runs.minBy(_._1)
+      (name, runs.head._1, best._1, runs.map(_._2).min, best._3,
+        runs.map(_._4).max, tainted(best), err)
     }
     def f3(d: Double) = math.round(d * 1000.0) / 1000.0
     val qs = results.map {
-      case (k, _, best, _, None) => s"\"$k\":${f3(best)}"
-      case (k, _, _, _, Some(e)) => s"""\"$k\":\"err:$e\""""
+      case (k, _, best, _, _, _, _, None) => s"\"$k\":${f3(best)}"
+      case (k, _, _, _, _, _, _, Some(e)) => s"""\"$k\":\"err:$e\""""
     }.mkString("{", ",", "}")
     val firsts = results.map {
-      case (k, first, _, _, None) => s"\"$k\":${f3(first)}"
-      case (k, _, _, _, Some(e)) => s"""\"$k\":\"err:$e\""""
+      case (k, first, _, _, _, _, _, None) => s"\"$k\":${f3(first)}"
+      case (k, _, _, _, _, _, _, Some(e)) => s"""\"$k\":\"err:$e\""""
     }.mkString("{", ",", "}")
-    val cpus = results.map { case (k, _, _, c, _) => s"\"$k\":$c" }
+    val cpus = results.map { case (k, _, _, c, _, _, _, _) => s"\"$k\":$c" }
       .mkString("{", ",", "}")
-    val ok = results.filter(_._5.isEmpty)
+    val ok = results.filter(_._8.isEmpty)
     val total = ok.map(_._3).sum
     val firstTotal = f3(ok.map(_._2).sum)
     val totalCpu = math.round(ok.map(_._4).filter(_ >= 0).sum * 1000.0) / 1000.0
-    val nErr = results.count(_._5.nonEmpty)
+    val totalExt = math.round(ok.map(_._5).filter(_ >= 0).sum * 1000.0) / 1000.0
+    val loadMax = results.map(_._6).max
+    val taintedNames = results.filter(_._7).map(_._1)
+    val nErr = results.count(_._8.nonEmpty)
+    if (taintedNames.nonEmpty)
+      System.err.println(s"[bench] LOAD-TAINTED RECORD: external processes " +
+        s"consumed >${(extFrac * 100).toInt}% of machine capacity during the " +
+        s"best run of ${taintedNames.mkString(", ")} — rerun on an idle machine")
     // field order is load-bearing: totals and errors FIRST, then cpu_s,
     // then the wall-time queries map LAST — log tailing truncates the
     // line's tail, and a tail-truncated line that still shows cpu_s
@@ -100,7 +149,12 @@ object Bench {
     // regressions (cpu_s sums 32 executor threads; r11's driver tail
     // was misread exactly this way). `value`/`queries` are the best-of
     // record; `first_total`/`queries_first` the single-pass walls.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","record":"best_of_$repeat","first_total":$firstTotal,"cpu_total":$totalCpu,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg,"cpu_s":$cpus,"queries_first":$firsts,"queries":$qs}"""
+    // `loadavg_max` is the max 1-min load sampled after EVERY query;
+    // `ext_cpu_total` is CPU seconds burned by OTHER processes during
+    // the timed best runs; `tainted` lists queries whose best run had
+    // external load above the threshold even after an auto-rerun — a
+    // record with a non-empty tainted list is NOT comparable.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","record":"best_of_$repeat","first_total":$firstTotal,"cpu_total":$totalCpu,"ext_cpu_total":$totalExt,"errors":$nErr,"sf":"$sfDir","loadavg_start":$load0,"loadavg_end":$loadAvg,"loadavg_max":$loadMax,"tainted":[${taintedNames.map(n => s"\"$n\"").mkString(",")}],"cpu_s":$cpus,"queries_first":$firsts,"queries":$qs}"""
     println(line)
     // also persist the full metric line: the console line can get
     // truncated by log tailing, losing the per-query breakdown that

@@ -29,7 +29,10 @@ import org.apache.spark.sql.types.StructType
   * overhead), and the build FAILS when that exceeds the bound
   * (default 256 MB — 4× the engine's 64 MB broadcast threshold,
   * i.e. "the static estimate was not just off, it was off by the
-  * margin that killed t42"). Non-zero exit on any FAIL.
+  * margin that killed t42"). Exit 1 on any FAIL; exit 2 when the audit
+  * is INCOMPLETE — a query failed to plan (BUILD_ERROR) or a flagged
+  * build had no logical link to truth-count (UNLINKED) — so a broken
+  * corpus/config cannot silently read as a green gate.
   *
   * Broadcasts of bounded frames (dimension tables, committed
   * artifacts, top-k results) are the expected survivors and are
@@ -119,23 +122,38 @@ object BroadcastAudit {
       .filter(_.contains(filter))
     var flagged = 0
     var failed = 0
+    // the two escape paths that previously exited 0 (r15 advice): a
+    // query that throws during planning, and a flagged build with no
+    // logicalLink to truth-count. Either one means the gate did NOT
+    // audit what it claims to — distinct non-zero exit so a corpus or
+    // config problem cannot silently turn the check green.
+    var buildErrors = 0
+    var unlinked = 0
     names.foreach { name =>
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)
         auditQuery(spark, name, df, bound).foreach { r =>
           if (r.sig != "ok") flagged += 1
           if (r.verdict == "FAIL") failed += 1
+          if (r.verdict == "UNLINKED") unlinked += 1
           println(r.line)
         }
       } catch {
         case e: Exception =>
+          buildErrors += 1
           println(s"[audit] $name BUILD_ERROR ${e.getClass.getSimpleName}")
       }
     }
+    val verdict =
+      if (failed > 0) "FAIL"
+      else if (buildErrors > 0 || unlinked > 0) "INCOMPLETE"
+      else "PASS"
     println(s"[audit] done: ${names.size} queries scanned, $flagged " +
       s"agg-over-explode builds truth-counted, $failed over the " +
-      s"${bound / (1 << 20)} MB bound: ${if (failed > 0) "FAIL" else "PASS"}")
+      s"${bound / (1 << 20)} MB bound, $buildErrors build errors, " +
+      s"$unlinked unlinked flagged builds: $verdict")
     spark.stop()
     if (failed > 0) sys.exit(1)
+    if (buildErrors > 0 || unlinked > 0) sys.exit(2)
   }
 }

@@ -135,11 +135,17 @@ object ScaleGen {
     * (all copies share one rank space), which is what keeps the
     * rare-shingle df band [2, maxDocFreq] populated at every factor. */
   def scaleDocumentsHeaps(spark: SparkSession, src: DataFrame, factor: Int): DataFrame = {
+    // limit BEFORE collect: rank truncation at 65536 is semantically
+    // harmless (deep ranks mint synthetic types anyway), whereas the
+    // bare Bounded.collect contract THROWS past the cap — fine for the
+    // driver corpus (31 types) but aborts on any real-text corpus or a
+    // re-scale of a heaps output whose type space grew ∝ √N (r15 advice)
     val ranked = graft.core.Bounded.collect(
       src.select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .where(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w")), 1 << 16, "ScaleGen.vocabRanked")
+        .orderBy(col("c").desc, col("w")).limit(1 << 16),
+        1 << 16, "ScaleGen.vocabRanked")
       .map(_.getString(0))
     val vLit = typedLit(ranked)
     val v0 = lit(ranked.length.toLong)

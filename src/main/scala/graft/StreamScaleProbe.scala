@@ -76,6 +76,12 @@ object StreamScaleProbe {
       val wall = (System.nanoTime() - w0) / 1e9
       val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       q.stop()
+      if (prog.isEmpty) {
+        // wrong sfDir / empty glob: report a zero-batches run instead of
+        // dying on durs.head (r15 advice)
+        println(s"""{"metric":"stream_scale_probe","phase":"$name","sf":"$sfDir","index_rows":$nIndex,"batches":0,"rows":0,"wall_s":${f2(wall)},"error":"no batches with input rows — check sfDir/glob"}""")
+        return
+      }
       val rows = prog.map(_.numInputRows).sum
       val durs = prog.map(_.durationMs.get("triggerExecution").toLong / 1000.0)
       val stRows = prog.map(_.stateOperators.map(_.numRowsTotal).sum)

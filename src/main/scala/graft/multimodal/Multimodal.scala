@@ -81,7 +81,14 @@ object Multimodal {
         try {
           r.setInput(iis)
           val fmt = r.getFormatName.toLowerCase
-          val img = r.read(0)
+          // a recognized magic number with a truncated/corrupt body makes
+          // read(0) throw IIOException — rethrow as the contract's IAE so
+          // caller dead-letter routing keyed on IAE catches BOTH corrupt
+          // classes instead of crashing the task (r15 advice)
+          val img = try r.read(0) catch {
+            case e: java.io.IOException => throw new IllegalArgumentException(
+              s"undecodable $fmt payload: ${e.getMessage}", e)
+          }
           val w = img.getWidth
           val h = img.getHeight
           val px = img.getRGB(0, 0, w, h, null, 0, w)
