@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * Exists for the round-14 verdict's top item: under the FIXED
   * ScaleGen resample the shingle type space saturates and the t09/t26
   * df∈[2,20] blocking passes zero candidates at 100×, so the decade
-  * rows measured only the blocking aggregate; under heaps-mode corpora
-  * this probe shows the verify arm doing real, near-linear work at
-  * every factor.
+  * rows measured only the blocking aggregate. Under heaps-mode corpora
+  * the verify arm does real work at every factor — measured round 16,
+  * candidate/verified counts per decade in PLANS.md round 16.
   *
   * Usage: runMain graft.CandidateProbe [family ...]   (default: all)
   *   SPARK_GRAFT_SF_DIR  corpus dir (default /root/testdata/sf0.1)

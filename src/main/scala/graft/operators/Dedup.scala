@@ -52,11 +52,21 @@ object Dedup {
     // band can never reach the threshold — they are dropped BEFORE the
     // (heavy) word-array join using a skinny (id, n) join only. Exact
     // semantics preserved: only certainly-below-threshold pairs skipped.
+    // merge hints on every candidates-side join: `candidates` is a
+    // distinct over exploded pairs — the t42 signature whose static size
+    // estimate collapses through the aggregate while its true
+    // cardinality is O(candidate pairs). On the 100× heaps-density
+    // corpus the r16 BroadcastAudit truth-counted the t09 frame at
+    // 39.6 M rows (1.2 GB deserialized) under a 25 MB estimate — a
+    // statically-planned broadcast that OOMs executors at scale. The
+    // doc-side frames (ln/rn/lw/rw) are O(corpus) too; sort-merge is
+    // the spill-safe shape for every one of these joins at every scale.
     val sized = minJaccard match {
       case Some(t) if t > 0 =>
         val ln = ws.select(col("doc_id").as("left_id"), col("n").as("__ln"))
         val rn = ws.select(col("doc_id").as("right_id"), col("n").as("__rn"))
-        candidates.join(ln, Seq("left_id")).join(rn, Seq("right_id"))
+        candidates.join(ln.hint("merge"), Seq("left_id"))
+          .join(rn.hint("merge"), Seq("right_id"))
           .filter(least(col("__ln"), col("__rn")).cast("double")
             >= greatest(col("__ln"), col("__rn")) * t)
           .drop("__ln", "__rn")
@@ -67,7 +77,8 @@ object Dedup {
       col("words").as("__lw"), col("n").as("__ln"))
     val rw = ws.select(col("doc_id").as("right_id"),
       col("words").as("__rw"), col("n").as("__rn"))
-    sized.join(lw, Seq("left_id")).join(rw, Seq("right_id"))
+    sized.join(lw.hint("merge"), Seq("left_id"))
+      .join(rw.hint("merge"), Seq("right_id"))
       .withColumn("jaccard",
         round(call_function("graft_jaccard_sorted",
           col("__lw"), col("__rw")), 4))
@@ -314,15 +325,21 @@ object Dedup {
       .repartition(col("doc_id"))
     // provable length prefilter (the verifyJaccard idiom): J <=
     // min(|A|,|B|)/max(|A|,|B|)
+    // merge-hinted for the same reason as [[verifyJaccard]]: the
+    // candidates frame's static estimate hides O(pairs) truth (r16
+    // audit on the heaps 100× corpus), and the ss-side frames are
+    // O(corpus) — neither is ever a safe broadcast build.
     val ln = ss.select(col("doc_id").as("left_id"), col("n").as("__ln"))
     val rn = ss.select(col("doc_id").as("right_id"), col("n").as("__rn"))
-    val sized = candidates.join(ln, Seq("left_id")).join(rn, Seq("right_id"))
+    val sized = candidates.join(ln.hint("merge"), Seq("left_id"))
+      .join(rn.hint("merge"), Seq("right_id"))
       .filter(least(col("__ln"), col("__rn")).cast("double")
         >= greatest(col("__ln"), col("__rn")) * threshold)
       .drop("__ln", "__rn")
     val lw = ss.select(col("doc_id").as("left_id"), col("sh").as("__lw"))
     val rw = ss.select(col("doc_id").as("right_id"), col("sh").as("__rw"))
-    sized.join(lw, Seq("left_id")).join(rw, Seq("right_id"))
+    sized.join(lw.hint("merge"), Seq("left_id"))
+      .join(rw.hint("merge"), Seq("right_id"))
       .withColumn("jaccard",
         round(call_function("graft_jaccard_sorted",
           col("__lw"), col("__rw")), 4))
@@ -365,8 +382,12 @@ object Dedup {
     val rt = docs.select(col("doc_id").as("right_id"), col("text").as("__rt"))
     // candidate pairs are left < right by id; containment is asymmetric,
     // so verify both orientations (the joined subtree is shared — tiny
-    // candidate set, text joined once per side)
-    val joined = candidates.join(lt, Seq("left_id")).join(rt, Seq("right_id"))
+    // candidate set, text joined once per side). Merge-hinted: the r16
+    // audit truth-counted this candidates frame at 40 M rows (1.2 GB)
+    // on the heaps 100× corpus under a 25 MB static estimate, and the
+    // text sides are O(corpus) — no side is ever a safe broadcast.
+    val joined = candidates.join(lt.hint("merge"), Seq("left_id"))
+      .join(rt.hint("merge"), Seq("right_id"))
     val lInR = joined
       .filter(length(col("__lt")) <= length(col("__rt")) &&
         col("__rt").contains(col("__lt")))

@@ -51,9 +51,17 @@ object LmScore {
     val bi = docBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val vocab = uni.agg(count(lit(1)).as("v"))
 
+    // shuffle_hash hints on the MODEL sides: the r16 BroadcastAudit
+    // truth-counted the first join's output (the scored bigram stream,
+    // O(corpus tokens) — 26.6 M rows / 1.3 GB at the heaps 100× corpus)
+    // being statically broadcast as the second join's build under a
+    // 23 MB estimate. The scale-correct shape is stream-probe: hash the
+    // vocabulary-sized count tables per partition (spillable in Spark's
+    // shuffled hash join) and stream the bigram side through unsorted —
+    // the stream is never a build side and never pays a sort.
     val scored = docBg
-      .join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+      .join(bi.hint("shuffle_hash"), Seq("w1", "w2"))
+      .join(uni.hint("shuffle_hash"), Seq("w1"))
       .join(broadcast(vocab))
       .select(col("doc_id"),
         (-log((col("c12") + 1.0) / (col("c1") + col("v")))).as("s"))

@@ -73,8 +73,13 @@ object SaltedSelfJoin {
         payload.map(p => col(p).as(s"left_$p"))
       val rsel = keyCols ++ Seq(col(idCol).as("right_id")) ++
         payload.map(p => col(p).as(s"right_$p"))
+      // merge-hinted: both sides are the same O(corpus) exploded frame;
+      // its static size estimate shrinks through the explode chain (the
+      // t42 signature) and a statically-planned broadcast of it OOMs at
+      // scale (r16 audit: the t08 side truth-counted at 51 M rows /
+      // 2.5 GB on the heaps 100× corpus under a 52 MB estimate)
       return bucketed.select(lsel: _*)
-        .join(bucketed.select(rsel: _*), keys)
+        .join(bucketed.select(rsel: _*).hint("merge"), keys)
         .filter(col("left_id") =!= col("right_id"))
     }
     val sized = bucketed.join(counts, keys)
@@ -93,8 +98,12 @@ object SaltedSelfJoin {
       payload.map(p => col(p).as(s"right_$p"))
     val parts = bucketed.sparkSession.sessionState.conf.numShufflePartitions
     val saltKeys = keys ++ Seq("__i", "__j")
+    // merge hint for the same reason as the unsalted path above — and
+    // SMJ consumes the pinned repartitions' hash partitioning directly,
+    // so the hint adds sorts but no exchanges
     sized.select(lsel: _*).repartition(parts, saltKeys.map(col): _*)
-      .join(sized.select(rsel: _*).repartition(parts, saltKeys.map(col): _*),
+      .join(sized.select(rsel: _*).repartition(parts, saltKeys.map(col): _*)
+        .hint("merge"),
         saltKeys)
       .filter(col("left_id") =!= col("right_id"))
       .drop("__i", "__j")
