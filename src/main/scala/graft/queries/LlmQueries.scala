@@ -1901,7 +1901,9 @@ object LlmQueries {
     // Duplicate-SPAN profile (operators/SpanDedup): fraction of each
     // document's 10-token sliding windows that occur ≥2× corpus-wide —
     // the Lee et al. 2022 exact-substring dedup signal that document-
-    // level dedup (t06-t09) can't see. Windows shuffle as md5 keys only.
+    // level dedup (t06-t09) can't see. The engine shuffles windows as
+    // 8-byte xxhash64 keys; the oracle's md5 keys are equality-only, so
+    // the key representations agree on every count.
     sql("t42_duplicate_spans")(
       """WITH wins AS (
         |  SELECT doc_id,
