@@ -98,6 +98,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_dup_mass"),
+      new ExpressionInfo(classOf[GraftDupMass].getName, "graft_dup_mass"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dup_mass expects (text, n)")
+        GraftDupMass(children.head, intArg(children(1), "graft_dup_mass", 1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_profile"),
+      new ExpressionInfo(classOf[GraftTokenProfile].getName, "graft_token_profile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_token_profile expects (text)")
+        GraftTokenProfile(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

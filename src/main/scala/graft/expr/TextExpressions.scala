@@ -377,3 +377,153 @@ case class GraftRepRatio(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftRepRatio =
     copy(child = newChild)
 }
+
+/** One-pass duplicate-n-gram mass kernel shared by [[GraftDupMass]] and
+  * its parity spec: the fraction of a document's raw n-gram OCCURRENCES
+  * that belong to an n-gram repeated (count ≥ 2) within the document —
+  * the Gopher "fraction of text in duplicate n-grams" family, the
+  * second repetition signal next to [[RepRatio]]'s max-gram share.
+  * Value-identical to the relational form it replaces —
+  * `explode(ngramsRaw(text, n)) → groupBy(doc_id, gram).count() →
+  * groupBy(doc_id).agg(sum(c where c ≥ 2) / sum(c))` — but computed per
+  * document at the SCAN, so the (doc_id, gram-text) occurrence rows
+  * never exist and nothing shuffles (the relational plan's exchange
+  * carries one ~5-token string key per n-gram occurrence — ~5× the
+  * corpus bytes for the t32 5-gram signal). Same tokenization contract
+  * as [[ShingleSet]]/[[RepRatio]]: `UTF8String.trim`, java regex `\s+`
+  * split with limit −1. Duplicate mass accumulates one-pass: a gram's
+  * count reaching 2 contributes both occurrences, each later hit one
+  * more.
+  *
+  * `< n` tokens → 0.0 (the relational form's left-join/coalesce path
+  * for documents that produce no n-grams). */
+object DupMass {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String, n: Int): Double = {
+    val toks = ws.split(text.trim().toString, -1)
+    val total = toks.length - n + 1
+    if (total <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder
+    var dup = 0
+    var i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c == 2) dup += 2 else if (c > 2) dup += 1
+      i += 1
+    }
+    dup.toDouble / total
+  }
+}
+
+/** `graft_dup_mass(text, n)` → fraction of n-gram occurrences in
+  * within-doc duplicated n-grams (0.0 below n tokens; null text →
+  * null). See [[DupMass]] for the shuffle it deletes. Callers keep
+  * rounding (`round(..., 4)`) in the query so the value path matches
+  * the SQL oracle's `round(sum(...) / sum(c), 4)` bit for bit. */
+case class GraftDupMass(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "graft_dup_mass: n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_dup_mass requires string input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dup_mass"
+
+  override def nullSafeEval(input: Any): Any =
+    DupMass.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.DupMass.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftDupMass =
+    copy(child = newChild)
+}
+
+/** One-pass per-document token-distribution profile shared by
+  * [[GraftTokenProfile]] and its parity spec: Shannon entropy of the
+  * lowercased token distribution plus the type and token counts — the
+  * t39 vocabulary-richness signals. Value-identical to the relational
+  * form it replaces — `explode(tokens(lower(text))) →
+  * groupBy(doc_id, t).count() → window sum → groupBy(doc_id)` (three
+  * exchanges of token-text keys) — but computed per document at the
+  * SCAN. Arithmetic matches the query plan it replaces term for term:
+  * p = c / n in double, log2 p = Math.log(p) / Math.log(2.0) (Spark's
+  * `log(2.0, p)`), entropy = −Σ p·log2 p with rounding left to the
+  * caller (`round(..., 4) + 0.0`, the oracle's −0.0 normalizer). Per-
+  * term double summation order differs from the hash-aggregate's group
+  * order exactly as the aggregate's own order differs from DuckDB's —
+  * absorbed by the 4 dp rounding on both sides. Lowercasing uses
+  * `UTF8String.toLowerCase`, the same kernel Spark's `lower` plans.
+  *
+  * Whitespace-only / empty text → (0.0, 0, 0): the relational form
+  * filters `length(trim(text)) > 0` and left-join/coalesces the
+  * missing rows to exactly these values. */
+object TokenProfile {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val trimmed = text.toLowerCase.trim()
+    if (trimmed.numBytes() == 0) {
+      return org.apache.spark.sql.catalyst.InternalRow(0.0, 0L, 0L)
+    }
+    val toks = ws.split(trimmed.toString, -1)
+    val n = toks.length
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      counts.merge(toks(i), 1, Integer.sum)
+      i += 1
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    val ln2 = Math.log(2.0)
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      sum += p * (Math.log(p) / ln2)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(-sum, counts.size().toLong, n.toLong)
+  }
+}
+
+/** `graft_token_profile(text)` → struct(entropy double, n_types bigint,
+  * n_tokens bigint) of the lowercased whitespace-token distribution
+  * (null text → null struct). See [[TokenProfile]] for the shuffles it
+  * deletes; callers keep the oracle's `round(entropy, 4) + 0.0`. */
+case class GraftTokenProfile(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_token_profile requires string input, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("entropy", DoubleType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+  override def prettyName: String = "graft_token_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenProfile.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expr.TokenProfile.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftTokenProfile =
+    copy(child = newChild)
+}

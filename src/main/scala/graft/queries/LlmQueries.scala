@@ -1561,25 +1561,20 @@ object LlmQueries {
         |LEFT JOIN dup5 USING (doc_id)
         |LEFT JOIN topw USING (doc_id)
         |ORDER BY d.doc_id""") { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val g5 = docs.select(col("doc_id"),
-        explode(TextFunctions.ngramsRaw(col("text"), 5)).as("g"))
-      val dup5 = g5.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double")
-          / sum(col("c")), 4).as("dup5_frac"))
-      val topw = docs.select(col("doc_id"),
-          explode(TextFunctions.tokens(col("text"))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(round(max(col("c")).cast("double") / sum(col("c")), 4)
-          .as("top_word_frac"))
-      docs.select(col("doc_id"))
-        .join(dup5, Seq("doc_id"), "left")
-        .join(topw, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"),
-          coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"))
+      // both signals are PER-DOCUMENT functions of the token stream, so
+      // they live at the scan: graft_dup_mass / graft_rep_ratio(·, 1)
+      // are one JIT'd call per document over the pinned tokenization
+      // contract, replacing two explodes (one row per 5-gram occurrence
+      // — ~5× the corpus bytes in gram-string shuffle keys), four
+      // aggregations and two joins with a shuffle-free projection.
+      // round(·, 4) stays in the query so the value path matches the
+      // oracle's round(sum/sum, 4) bit for bit; null text → null kernel
+      // → coalesce 0.0, the oracle's left-join path.
+      Tables.documents(s, d).select(col("doc_id"),
+          coalesce(round(call_function("graft_dup_mass",
+            col("text"), lit(5)), 4), lit(0.0)).as("dup5_frac"),
+          coalesce(round(call_function("graft_rep_ratio",
+            col("text"), lit(1)), 4), lit(0.0)).as("top_word_frac"))
         .orderBy(col("doc_id"))
     },
 
@@ -1878,23 +1873,21 @@ object LlmQueries {
         |  coalesce(e.n_types, 0) AS n_types, coalesce(e.n_tokens, 0) AS n_tokens
         |FROM documents d LEFT JOIN ent e USING (doc_id)
         |ORDER BY d.doc_id""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val tf = docs.filter(length(trim(col("text"))) > 0)
+      // the whole profile is a PER-DOCUMENT function of the lowercased
+      // token distribution: graft_token_profile computes entropy /
+      // n_types / n_tokens in one scan-stage call per document,
+      // replacing an explode (one row per token occurrence in
+      // token-text shuffle keys), two aggregations, a window and a join
+      // with a shuffle-free projection. The oracle's round(·, 4) + 0.0
+      // (−0.0 normalizer) stays in the query; empty-after-trim text →
+      // (0.0, 0, 0) in the kernel and null text → null struct →
+      // coalesce, both exactly the relational filter + left-join path.
+      Tables.documents(s, d)
+        .withColumn("__p", call_function("graft_token_profile", col("text")))
         .select(col("doc_id"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("t"))
-        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
-      val p = col("c") / col("n").cast("double")
-      val ent = tf.withColumn("n", n)
-        .groupBy(col("doc_id"), col("n"))
-        .agg((round(-sum(p * log(2.0, p)), 4) + 0.0).as("entropy"),
-          count(lit(1)).as("n_types"))
-      docs.select(col("doc_id")).join(ent, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("entropy"), lit(0.0)).as("entropy"),
-          coalesce(col("n_types"), lit(0L)).as("n_types"),
-          coalesce(col("n").cast("long"), lit(0L)).as("n_tokens"))
+          coalesce(round(col("__p.entropy"), 4) + 0.0, lit(0.0)).as("entropy"),
+          coalesce(col("__p.n_types"), lit(0L)).as("n_types"),
+          coalesce(col("__p.n_tokens"), lit(0L)).as("n_tokens"))
         .orderBy(col("doc_id"))
     },
 

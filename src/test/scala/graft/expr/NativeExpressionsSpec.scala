@@ -380,15 +380,89 @@ class NativeExpressionsSpec extends SparkSpec {
       "SELECT graft_rep_ratio(CAST(NULL AS STRING), 2)").head.isNullAt(0))
   }
 
+  test("graft_dup_mass equals the explode/groupBy relational form on real documents") {
+    // the t32 plan the kernel replaced: one row per 5-gram OCCURRENCE
+    // through an exchange, counted per (doc, gram), dup-mass/sum per doc
+    val composed = documents
+      .select(col("doc_id"),
+        explode(TextFunctions.ngramsRaw(col("text"), 5)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((sum(when(col("c") >= 2, col("c")).otherwise(0L)).cast("double")
+        / sum(col("c"))).as("c_frac"))
+    val mismatches = documents
+      .select(col("doc_id"),
+        call_function("graft_dup_mass", col("text"), lit(5)).as("n_frac"))
+      .join(composed, Seq("doc_id"), "left")
+      .filter(coalesce(col("c_frac"), lit(0.0)) =!= col("n_frac"))
+      .count()
+    assert(mismatches == 0)
+    // edges: < n tokens -> 0.0 (empty, blank, short); a 5-token doc has
+    // exactly ONE 5-gram, so d5 is 0.0 even under full token repetition
+    // while the same docs' bigrams are all duplicated; null -> null
+    val edge = Seq("", "   ", "a b c d", "a a a a a", "a b a b a").toDF("t")
+      .select(call_function("graft_dup_mass", col("t"), lit(5)).as("d5"),
+        call_function("graft_dup_mass", col("t"), lit(2)).as("d2"))
+      .collect()
+    assert(edge.map(_.getDouble(0)).toSeq === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+    // "a b a b a" bigrams: [a b, b a, a b, b a] -> all duplicated -> 1.0
+    // "a a a a a" bigrams: [a a]x4 -> 1.0; "a b c d": all unique -> 0.0
+    assert(edge.map(_.getDouble(1)).toSeq === Seq(0.0, 0.0, 0.0, 1.0, 1.0))
+    assert(spark.sql(
+      "SELECT graft_dup_mass(CAST(NULL AS STRING), 5)").head.isNullAt(0))
+  }
+
+  test("graft_token_profile equals the explode/window relational form on real documents") {
+    import org.apache.spark.sql.expressions.Window
+    // the t39 plan the kernel replaced: explode tokens, count per
+    // (doc, token), window-sum per doc, entropy aggregate, left join
+    val tf = documents.filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).over(Window.partitionBy(col("doc_id")))
+    val p = col("c") / col("n").cast("double")
+    val composed = tf.withColumn("n", n)
+      .groupBy(col("doc_id"), col("n"))
+      .agg((round(-sum(p * log(2.0, p)), 4) + 0.0).as("entropy"),
+        count(lit(1)).as("n_types"))
+    val mismatches = documents
+      .withColumn("__p", call_function("graft_token_profile", col("text")))
+      .select(col("doc_id"),
+        (round(col("__p.entropy"), 4) + 0.0).as("ne"),
+        col("__p.n_types").as("nt"), col("__p.n_tokens").as("nn"))
+      .join(composed, Seq("doc_id"), "left")
+      .filter(coalesce(col("entropy"), lit(0.0)) =!= col("ne") ||
+        coalesce(col("n_types"), lit(0L)) =!= col("nt") ||
+        coalesce(col("n").cast("long"), lit(0L)) =!= col("nn"))
+      .count()
+    assert(mismatches == 0)
+    // edges: empty/whitespace-only -> (0.0, 0, 0); uniform two-token
+    // doc -> entropy 1.0; case folding merges types; null -> null struct
+    val edge = Seq("", "   ", "x y", "The the THE", "a a b b").toDF("t")
+      .select(call_function("graft_token_profile", col("t")).as("p"))
+      .select(col("p.entropy"), col("p.n_types"), col("p.n_tokens"))
+      .collect()
+    assert(edge.map(_.getDouble(0)).toSeq === Seq(0.0, 0.0, 1.0, -0.0, 1.0))
+    assert(edge.map(_.getLong(1)).toSeq === Seq(0L, 0L, 2L, 1L, 2L))
+    assert(edge.map(_.getLong(2)).toSeq === Seq(0L, 0L, 2L, 3L, 4L))
+    assert(spark.sql(
+      "SELECT graft_token_profile(CAST(NULL AS STRING))").head.isNullAt(0))
+  }
+
   test("quality kernels participate in whole-stage codegen") {
     val df = documents.limit(20).select(
       TextFunctions.symbolRatio(col("text")).as("s"),
       TextFunctions.stopwordRatio(col("text")).as("r"),
-      call_function("graft_rep_ratio", col("text"), lit(2)).as("rr"))
+      call_function("graft_rep_ratio", col("text"), lit(2)).as("rr"),
+      call_function("graft_dup_mass", col("text"), lit(5)).as("dm"),
+      call_function("graft_token_profile", col("text")).as("tp"))
     df.collect()
     val code = df.queryExecution.debug.codegenToSeq()
     assert(code.exists(_._2.contains("graft.expr.QualityKernel.cleanLen(")))
     assert(code.exists(_._2.contains("graft.expr.QualityKernel.stopRatio(")))
     assert(code.exists(_._2.contains("graft.expr.RepRatio.compute(")))
+    assert(code.exists(_._2.contains("graft.expr.DupMass.compute(")))
+    assert(code.exists(_._2.contains("graft.expr.TokenProfile.compute(")))
   }
 }
