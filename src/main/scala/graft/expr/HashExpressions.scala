@@ -181,15 +181,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Exact Jaccard similarity of two SORTED distinct string arrays via a
+/** Exact Jaccard similarity of two SORTED distinct arrays via a
   * two-pointer merge: |A∩B| / (|A|+|B|−|A∩B|) in one pass, no per-row
   * hash-set allocation (Spark's `array_intersect` builds a hash set for
   * every invocation — the dominant cost when verifying millions of
   * candidate pairs against ~100-word documents). Inputs MUST be sorted
   * ascending with distinct elements (`sort_array(array_distinct(...))`,
-  * done once per document and amortized over all its candidate pairs);
-  * the comparison order is UTF8String binary order, identical to
-  * `sort_array`'s. Both arrays empty → 0.0. NULL input or element → NULL.
+  * done once per document and amortized over all its candidate pairs).
+  * Two element types, both sides matching:
+  *   - `array<string>`: UTF8String binary order, identical to
+  *     `sort_array`'s;
+  *   - `array<bigint>`: signed long order — the HASHED-set form the
+  *     near-dup verify arms shuffle (xxhash64 of each element, 8 bytes
+  *     per set member instead of the member text; Jaccard is a set
+  *     measure, so the value is IDENTICAL under any injective mapping —
+  *     a 64-bit collision inside one pair's union, probability
+  *     ≲ m²·2⁻⁶⁵ for m-element sets, is the only deviation, the same
+  *     accepted class as the xxhash64 span keys in SpanDedup).
+  * Both arrays empty → 0.0. NULL input or element → NULL.
   *
   * Registered as SQL `graft_jaccard_sorted(a, b)`. */
 case class JaccardSorted(left: Expression, right: Expression)
@@ -199,9 +208,15 @@ case class JaccardSorted(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_jaccard_sorted requires array<string> inputs, got ${l.sql}, ${r.sql}")
+        "graft_jaccard_sorted requires array<string> or array<bigint> " +
+          s"inputs on both sides, got ${l.sql}, ${r.sql}")
     }
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -212,10 +227,13 @@ case class JaccardSorted(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements()
     val nb = b.numElements()
+    val long = isLong
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
       if (a.isNullAt(i) || b.isNullAt(j)) return null
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val c =
+        if (long) java.lang.Long.compare(a.getLong(i), b.getLong(j))
+        else a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { inter += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
@@ -233,13 +251,16 @@ case class JaccardSorted(left: Expression, right: Expression)
       val inter = ctx.freshName("inter")
       val c = ctx.freshName("c")
       val union = ctx.freshName("union")
+      val cmp =
+        if (isLong) s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |final int $na = $a.numElements();
          |final int $nb = $b.numElements();
          |int $i = 0, $j = 0, $inter = 0;
          |while ($i < $na && $j < $nb) {
          |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  final int $c = $cmp;
          |  if ($c == 0) { $inter++; $i++; $j++; }
          |  else if ($c < 0) $i++;
          |  else $j++;

@@ -38,12 +38,21 @@ object Dedup {
     // consuming join branches (left/right size-prefilter, left/right
     // word join) — and since the join keys are renames of doc_id, the
     // ws side arrives pre-partitioned and is never re-shuffled. Word
-    // sets are SORTED here, once per document, so the per-pair exact
-    // Jaccard below is a native two-pointer merge instead of an
-    // array_intersect hash set per candidate pair (the verify stage's
-    // dominant cost at millions of candidates).
+    // sets are HASHED (xxhash64 per word — 8 bytes per set member
+    // instead of the word text, so the corpus-sized exchange and the
+    // two candidate-frame exchanges that carry word arrays shrink by
+    // the mean word length) and SORTED here, once per document, so the
+    // per-pair exact Jaccard below is a native two-pointer LONG merge
+    // instead of an array_intersect hash set per candidate pair (the
+    // verify stage's dominant cost at millions of candidates). Jaccard
+    // is a set measure, so the value is identical under the hash unless
+    // two DISTINCT words of one pair's union collide in 64 bits
+    // (≲ m²·2⁻⁶⁵ per pair — the accepted xxhash64-span-key class; the
+    // outer array_distinct keeps the kernel's sorted-distinct
+    // precondition even then).
     val ws = docs.select(col("doc_id"),
-      sort_array(TextFunctions.wordSet(col("text"))).as("words"))
+      sort_array(array_distinct(transform(
+        TextFunctions.wordSet(col("text")), w => xxhash64(w)))).as("words"))
       .select(col("doc_id"), col("words"), size(col("words")).as("n"))
       .repartition(col("doc_id"))
 
@@ -318,9 +327,17 @@ object Dedup {
                           maxDocFreq: Int = 20): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val candidates = shingleCandidates(docs, shingleSize, maxDocFreq)
+    // shingle sets are HASHED before the shuffle (xxhash64 per shingle:
+    // 8 bytes per set member instead of a shingleSize-word string — the
+    // largest per-doc payload in the engine, ~3× the corpus bytes as
+    // strings). Set Jaccard is hash-invariant modulo 64-bit collisions
+    // inside one pair's union (≲ m²·2⁻⁶⁵ — the xxhash64-span-key
+    // class); the outer array_distinct keeps the kernel's
+    // sorted-distinct precondition even then.
     val ss = docs.select(col("doc_id"),
-        sort_array(array_distinct(
-          TextFunctions.shingles(col("text"), shingleSize))).as("sh"))
+        sort_array(array_distinct(transform(
+          TextFunctions.shingles(col("text"), shingleSize),
+          sh => xxhash64(sh)))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("doc_id"))
     // provable length prefilter (the verifyJaccard idiom): J <=
@@ -350,8 +367,17 @@ object Dedup {
 
   private[graft] def shingleCandidates(docs: DataFrame, shingleSize: Int,
                                        maxDocFreq: Int): DataFrame =
+    // blocks on xxhash64(shingle), not the shingle text: the blocking
+    // exchange carries an 8-byte key per shingle occurrence instead of
+    // a shingleSize-word string (~3× the corpus bytes). A 64-bit
+    // collision between two shingle TYPES merges their doc lists —
+    // extra candidate pairs are culled by the exact verify that follows
+    // every blocking stage; the only semantic edge is a merged list
+    // crossing the [2, maxDocFreq] df band (≲ types²·2⁻⁶⁵ — the
+    // accepted xxhash64-span-key class).
     docs.select(col("doc_id"),
-        explode(TextFunctions.shingles(col("text"), shingleSize)).as("shingle"))
+        explode(TextFunctions.shingles(col("text"), shingleSize)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))

@@ -185,6 +185,41 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(edge.isNullAt(3))
   }
 
+  test("graft_jaccard_sorted over hashed long sets equals the string-set value on real documents") {
+    // the shuffle-payload form the near-dup verify arms use: Jaccard is
+    // a set measure, so xxhash64-ing every member leaves the value
+    // unchanged (collisionless on this corpus)
+    def strings(c: org.apache.spark.sql.Column) =
+      sort_array(TextFunctions.wordSet(c))
+    def hashed(c: org.apache.spark.sql.Column) =
+      sort_array(array_distinct(transform(TextFunctions.wordSet(c),
+        w => xxhash64(w))))
+    val a = documents.select(col("doc_id"), strings(col("text")).as("sa"),
+      hashed(col("text")).as("ha"))
+    val b = documents.select((col("doc_id") - 1).as("doc_id"),
+      strings(col("text")).as("sb"), hashed(col("text")).as("hb"))
+    val mismatches = a.join(b, Seq("doc_id")).select(
+        call_function("graft_jaccard_sorted", col("sa"), col("sb")).as("s"),
+        call_function("graft_jaccard_sorted", col("ha"), col("hb")).as("h"))
+      .filter(col("s") =!= col("h"))
+      .count()
+    assert(mismatches == 0)
+    // long-array edges mirror the string ones; mixed types are rejected
+    val edge = spark.sql(
+      """SELECT graft_jaccard_sorted(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)),
+        |       graft_jaccard_sorted(array(1L, 2L), array(3L, 4L)),
+        |       graft_jaccard_sorted(array(1L, 2L, 3L), array(1L, 2L, 3L)),
+        |       graft_jaccard_sorted(CAST(NULL AS ARRAY<BIGINT>), array(1L))""".stripMargin).head()
+    assert(edge.getDouble(0) == 0.0)
+    assert(edge.getDouble(1) == 0.0)
+    assert(edge.getDouble(2) == 1.0)
+    assert(edge.isNullAt(3))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_jaccard_sorted(array(1L), array('a'))").collect()
+    }
+    assert(err.getMessage.contains("graft_jaccard_sorted"))
+  }
+
   test("graft_match_frac equals the composed zip_with fraction on real signatures") {
     val sigs = documents.select(
       Dedup.minHashSignature(col("text"), 32).as("a"),

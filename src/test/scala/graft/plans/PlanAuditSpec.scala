@@ -179,16 +179,36 @@ class PlanAuditSpec extends SparkSpec {
       "document text must not be a shuffle key")
   }
 
-  test("t32/t35 per-doc signals: text never a shuffle key, aggs are partial") {
-    for (name <- Seq("t32_gopher_repetition", "t35_hash_classifier")) {
-      val plan = executedPlan(namedQuery(name))
-      assert(shuffleKeys(plan).forall(k => !k.contains("text")),
-        s"$name: document text must not be a shuffle key")
-      assert(!plan.contains("CartesianProduct"), name)
-      // token/gram counts combine map-side before the exchange
-      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
-        s"$name: expected map-side partial aggregation")
-    }
+  test("t32 per-doc repetition signals: pure scan-stage projection, zero hash shuffles") {
+    // both signals moved into scan kernels (graft_dup_mass /
+    // graft_rep_ratio): the plan must be a projection over the file
+    // scan with no aggregation and no hash exchange — only the output
+    // range sort remains
+    val plan = executedPlan(namedQuery("t32_gopher_repetition"))
+    assert(shuffleKeys(plan).isEmpty,
+      s"t32 must not hash-shuffle: ${shuffleKeys(plan)}")
+    assert(plan.contains("graft_dup_mass") && plan.contains("graft_rep_ratio"),
+      "t32 must evaluate the native repetition kernels at the scan")
+    assert(!plan.contains("HashAggregate"), "t32 must not aggregate")
+  }
+
+  test("t39 token profile: pure scan-stage projection, zero hash shuffles") {
+    val plan = executedPlan(namedQuery("t39_word_entropy"))
+    assert(shuffleKeys(plan).isEmpty,
+      s"t39 must not hash-shuffle: ${shuffleKeys(plan)}")
+    assert(plan.contains("graft_token_profile"),
+      "t39 must evaluate the native profile kernel at the scan")
+    assert(!plan.contains("HashAggregate"), "t39 must not aggregate")
+  }
+
+  test("t35 per-doc signals: text never a shuffle key, aggs are partial") {
+    val plan = executedPlan(namedQuery("t35_hash_classifier"))
+    assert(shuffleKeys(plan).forall(k => !k.contains("text")),
+      "t35: document text must not be a shuffle key")
+    assert(!plan.contains("CartesianProduct"), "t35")
+    // token weights combine map-side before the exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "t35: expected map-side partial aggregation")
   }
 
   test("t36 bloom decontamination: sketch probe in-plan, text off shuffle keys") {
