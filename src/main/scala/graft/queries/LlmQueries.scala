@@ -26,6 +26,16 @@ object LlmQueries {
     * spill not drop); a production pipeline materializes its survivors
     * explicitly and releases them, as `CurationPipeline` documents. */
   private def shared(df: org.apache.spark.sql.DataFrame) =
+    // MEMORY_AND_DISK deliberately, including at big-corpus scale: a
+    // DISK_ONLY gate for over-estimate corpora was A/B'd in round 16
+    // (PLANS, "storage-level A/B") and LOST on the full 100× suite —
+    // 1 966 s gated vs 1 732 s memory — because the iterative
+    // consumers (t13 LSH tables, t28 k-means, t71 index build) re-read
+    // the corpus many times and pay disk each pass, while the unified
+    // memory manager already demotes these evictable blocks under the
+    // verify arms' sort pressure. Isolated warm probes said the
+    // opposite (t78 174 → 125 s), which is exactly why the decision
+    // rode the suite-level total, not the probe.
     df.localCheckpoint(eager = false)
 
   /** [[shared]] memoized per (session, source dir): the planted corpora
