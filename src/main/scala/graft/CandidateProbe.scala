@@ -80,6 +80,40 @@ object CandidateProbe {
         maxHamming = SimHamming, blocks = SimBlocks))
       emit("t08", "verified", nv, wv)
     }
+    if (fams("t08plan")) {
+      // the round-17 scale mode: corpus-sized multi-block keys + the
+      // occupancy cap ([[Dedup.simHashPlan]]). Measures the gated raw
+      // stream, the distinct candidate set, the verified answer, and —
+      // when "t08exactv" also runs — recall vs the exact hamming ball.
+      val n = planted.count()
+      val planned = Dedup.simHashPlan(n, SimHamming)
+      // frontier sweep overrides (probe-only): GRAFT_T08_BLOCKS /
+      // _KEYBLOCKS / _CAP (0 = no cap) replace the plan's choices
+      val b = sys.env.get("GRAFT_T08_BLOCKS").map(_.toInt).getOrElse(planned._1)
+      val k = sys.env.get("GRAFT_T08_KEYBLOCKS").map(_.toInt).getOrElse(planned._2)
+      val cap = sys.env.get("GRAFT_T08_CAP")
+        .map(_.toInt).map(c => if (c == 0) None else Some(c)).getOrElse(planned._3)
+      println(s"[candprobe] t08plan n=$n blocks=$b keyBlocks=$k cap=$cap")
+      fields += s""""t08plan_blocks":$b,"t08plan_keyblocks":$k,"t08plan_cap":${cap.getOrElse(0)}"""
+      val (nr, wr) = timed(Dedup.simHashCollisions(planted, "text", "doc_id",
+        blocks = b, keyBlocks = k, maxBucket = cap))
+      emit("t08plan", "collisions", nr, wr)
+      val (nc, wc) = timed(Dedup.simHashCandidates(planted, "text", "doc_id",
+        blocks = b, keyBlocks = k, maxBucket = cap))
+      emit("t08plan", "candidates", nc, wc)
+      val (nv, wv) = timed(Dedup.simHashPairs(planted, "text", "doc_id",
+        maxHamming = SimHamming, blocks = b, keyBlocks = k, maxBucket = cap))
+      emit("t08plan", "verified", nv, wv)
+    }
+    if (fams("t08exactv")) {
+      // the exact hamming-ball answer under the guarantee scheme — the
+      // recall denominator for t08plan, countable even where the
+      // candidate distinct is not (the hamming filter is pushed below
+      // the distinct, so only true pairs reach it)
+      val (nv, wv) = timed(Dedup.simHashPairs(planted, "text", "doc_id",
+        maxHamming = SimHamming, blocks = SimBlocks))
+      emit("t08exact", "verified", nv, wv)
+    }
     if (fams("t08raw")) {
       // the enumeration the full query streams through the pushed-down
       // Hamming filter — countable without the candidate distinct, so

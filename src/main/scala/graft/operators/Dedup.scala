@@ -24,13 +24,16 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact token-set Jaccard verification for candidate id-pairs:
-    * tokenize each document ONCE into its distinct word set, join the
-    * (id, words, |words|) side tables by id, and compute
-    * |A∩B| / (|A|+|B|−|A∩B|) — one array_intersect per pair instead of
-    * two regex re-tokenizations plus intersect+union (identical values:
-    * the inputs are distinct arrays, so |A∪B| = |A|+|B|−|A∩B|).
-    * Appends a `jaccard` column rounded to 4 dp. */
+  /** Token-set Jaccard verification for candidate id-pairs: tokenize
+    * each document ONCE into its distinct word set, HASH each member to
+    * 64 bits (xxhash64 — see the body comment for why), join the
+    * (id, hashed-sorted words, |words|) side tables by id, and compute
+    * |A∩B| / (|A|+|B|−|A∩B|) with a native two-pointer merge over the
+    * sorted long arrays (identical values: the inputs are distinct
+    * arrays, so |A∪B| = |A|+|B|−|A∩B|). Exact modulo 64-bit hash
+    * collisions between two DISTINCT words inside one pair's union
+    * (≲ m²·2⁻⁶⁵ per pair — the accepted xxhash64-span-key collision
+    * class). Appends a `jaccard` column rounded to 4 dp. */
   private def verifyJaccard(candidates: DataFrame, docs: DataFrame,
       minJaccard: Option[Double] = None): DataFrame = {
     // tokenized ONCE: the repartition materializes an exchange of the
@@ -218,21 +221,84 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs within Hamming radius, via multi-block
-    * partitioning (Manku et al.'s permuted-table scheme, simplified to
-    * contiguous blocks): split the 64-bit signature into `blocks` nearly
-    * equal bit-blocks, explode each doc to one row per block, and join on
-    * (block index, block bits). By pigeonhole, any pair within Hamming
-    * distance < `blocks` shares at least one identical block, so recall is
-    * COMPLETE for maxHamming ≤ blocks − 1 (pass blocks = maxHamming + 1
-    * for a guarantee). Only (doc_id, simhash) rides the explode — 16
-    * bytes/doc/block. */
+    * partitioning (Manku et al., WWW'07 — the permuted-table scheme,
+    * realized as block COMBINATIONS instead of permutations): split the
+    * 64-bit signature into `blocks` nearly equal bit-blocks, and join
+    * each doc once per `keyBlocks`-subset of blocks on (table id,
+    * concatenated subset bits). By pigeonhole, a pair within Hamming
+    * distance ≤ blocks − keyBlocks has all its differing bits inside at
+    * most blocks − keyBlocks blocks, so SOME keyBlocks-subset of the
+    * remaining blocks matches exactly → recall is COMPLETE for
+    * maxHamming ≤ blocks − keyBlocks (the keyBlocks = 1 default is the
+    * classic one-block-per-table scheme).
+    *
+    * Why keyBlocks matters at scale (measured, round 17): on a
+    * distribution-correlated corpus the signature bits agree ~79% per
+    * bit across RANDOM pairs, so a 9-bit single-block key collides a
+    * constant fraction of all pairs — the r16 probes measured a
+    * SATURATED 99.7 B-row collision stream at the 100× heaps decade
+    * (quadratic-tracking, 76×/decade). Wider concatenated keys cut the
+    * per-table collision rate exponentially in the key width while the
+    * table count C(blocks, keyBlocks) grows polynomially, and — the
+    * operational point — they spread the corpus over 2^(keyBlocks·w)
+    * buckets instead of 2^w, which is what makes `maxBucket` a usable
+    * guard instead of a recall massacre.
+    *
+    * `maxBucket`: optional per-(table, key) occupancy cap — buckets
+    * holding more members than the cap are dropped BEFORE pair
+    * enumeration (the stop-shingle / `maxDocFreq` pattern). This is the
+    * saturation guard for correlated corpora, where complete-recall
+    * blocking is provably ~Θ(n²) (any covering of radius maxHamming
+    * pays ≥ t·q^w per random pair, and q per bit is a corpus property —
+    * see PLANS.md round 17). Recall contract under a cap: a true pair
+    * within radius is lost only if EVERY table where it matches is
+    * saturated; a pair at distance d matches ~C(blocks − d', keyBlocks)
+    * tables (d' = blocks hit by its d differing bits), so near pairs
+    * (small d) hold many independent tickets and the measured recall
+    * loss concentrates on the far edge of the radius. None = exact.
+    *
+    * Only (doc_id, simhash) rides the explode — 16 bytes/doc/table. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 8, blocks: Int = 4,
-                   chunkSize: Int = 2048): DataFrame =
-    simHashCandidates(df, textCol, idCol, blocks, chunkSize)
+                   chunkSize: Int = 2048, keyBlocks: Int = 1,
+                   maxBucket: Option[Int] = None): DataFrame =
+    simHashCandidates(df, textCol, idCol, blocks, chunkSize, keyBlocks, maxBucket)
       .withColumn("hamming", hamming(col("left_simhash"), col("right_simhash")))
       .filter(col("hamming") <= maxHamming)
       .select(col("left_id"), col("right_id"), col("hamming"))
+
+  /** Corpus-sized blocking plan for [[simHashPairs]] (the
+    * [[IvfIndex.autoK]] pattern): widest keyBlocks whose table count
+    * stays under `maxTables`, preferring the smallest keyBlocks whose
+    * key width covers log2(n) — i.e. buckets ≳ distinct signatures, so
+    * uniform occupancy stays O(1) and `maxBucket` only fires on the
+    * corpus's genuine density hot-spots. Returns (blocks, keyBlocks,
+    * maxBucket); maxBucket = None below `capAbove` docs, where even a
+    * fully saturated stream is cheaper than a recall caveat.
+    *
+    * The pigeonhole guarantee holds at every size this returns:
+    * blocks = maxHamming + keyBlocks. */
+  def simHashPlan(n: Long, maxHamming: Int, maxTables: Int = 256,
+                  targetBucketSize: Int = 4096,
+                  capAbove: Long = 262144): (Int, Int, Option[Int]) = {
+    require(n >= 0 && maxHamming >= 0 && maxTables >= 1)
+    val log2n = math.max(1.0, math.log(math.max(n, 2).toDouble) / math.log(2.0))
+    def tables(k: Int): Long = {
+      var t = 1L
+      for (i <- 1 to k) t = t * (maxHamming + i) / i // C(maxHamming+k, k)
+      t
+    }
+    // smallest k whose key width 64k/(maxHamming+k) reaches log2(n),
+    // clamped to the largest k the table budget admits (and to keys
+    // that still fit the 64-bit signature: blocks ≤ 64)
+    val kBudget = Iterator.from(1).takeWhile(k =>
+      tables(k) <= maxTables && maxHamming + k <= 64).toSeq.lastOption.getOrElse(1)
+    val kWanted = Iterator.from(1).find(k =>
+      64.0 * k / (maxHamming + k) >= log2n || k >= kBudget).getOrElse(1)
+    val k = math.min(kWanted, kBudget)
+    val cap = if (n > capAbove) Some(targetBucketSize) else None
+    (maxHamming + k, k, cap)
+  }
 
   /** The t08 CANDIDATE stage on its own — distinct canonical block-
     * collision pairs with both signatures, before the Hamming verify.
@@ -244,9 +310,11 @@ object Dedup {
     * signatures, which are themselves functions of the ids). */
   private[graft] def simHashCandidates(df: DataFrame, textCol: String,
                                        idCol: String, blocks: Int = 4,
-                                       chunkSize: Int = 2048): DataFrame = {
+                                       chunkSize: Int = 2048,
+                                       keyBlocks: Int = 1,
+                                       maxBucket: Option[Int] = None): DataFrame = {
     val lo = col("left_id") <= col("right_id")
-    simHashCollisions(df, textCol, idCol, blocks, chunkSize)
+    simHashCollisions(df, textCol, idCol, blocks, chunkSize, keyBlocks, maxBucket)
       .select(least(col("left_id"), col("right_id")).as("left_id"),
         greatest(col("left_id"), col("right_id")).as("right_id"),
         when(lo, col("left_simhash")).otherwise(col("right_simhash")).as("left_simhash"),
@@ -262,34 +330,65 @@ object Dedup {
     * scale probes can measure that stream directly. */
   private[graft] def simHashCollisions(df: DataFrame, textCol: String,
                                        idCol: String, blocks: Int = 4,
-                                       chunkSize: Int = 2048): DataFrame = {
+                                       chunkSize: Int = 2048,
+                                       keyBlocks: Int = 1,
+                                       maxBucket: Option[Int] = None): DataFrame = {
     require(blocks >= 2 && blocks <= 64, "blocks must be in [2, 64]")
+    require(keyBlocks >= 1 && keyBlocks <= blocks,
+      "keyBlocks must be in [1, blocks]")
     require(chunkSize >= 2, "chunkSize must be >= 2")
+    maxBucket.foreach(c => require(c >= 2, "maxBucket must be >= 2"))
     // block k covers bits [offsets(k), offsets(k+1)) of the signature
     val base = 64 / blocks
     val rem = 64 % blocks
     val widths = (0 until blocks).map(k => if (k < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
+    // one table per keyBlocks-subset of blocks; its key is the
+    // concatenation of the subset's bit ranges (total ≤ 64 bits, so one
+    // long). Enumerated at PLAN time — C(blocks, keyBlocks) literal
+    // structs, not a data-dependent explode.
+    val combos = (0 until blocks).combinations(keyBlocks).toIndexedSeq
+    def comboBits(c: Seq[Int]): Column =
+      c.foldLeft(lit(0L): Column) { (acc, k) =>
+        shiftleft(acc, widths(k)).bitwiseOR(
+          shiftright(col("simhash"), offsets(k))
+            .bitwiseAND(lit((1L << widths(k)) - 1)))
+      }
     // exchange of the 16-byte (doc_id, simhash) rows so ReuseExchange
     // computes signatures once for both self-join sides (see minHashPairs)
     val sigs = simHash(df, textCol, idCol).repartition(col("doc_id"))
     val exploded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until blocks).map { k =>
-        struct(lit(k).as("blk"),
-          shiftright(col("simhash"), offsets(k))
-            .bitwiseAND(lit((1L << widths(k)) - 1)).as("bits"))
+      explode(array(combos.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("blk"), comboBits(c).as("bits"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+    // occupancy guard: drop saturated (table, key) buckets before any
+    // pair is enumerated — one count-aggregate over the thin exploded
+    // frame plus a semi-join back (merge-hinted: both sides are
+    // O(corpus × tables) frames whose static estimates collapse through
+    // the explode, the t42 broadcast-OOM signature). Recall semantics
+    // in [[simHashPairs]]'s scaladoc.
+    val gated = maxBucket match {
+      case Some(cap) =>
+        val small = exploded.groupBy(col("blk"), col("bits"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap)
+          .select(col("blk"), col("bits"))
+        exploded.join(small.hint("merge"), Seq("blk", "bits"), "left_semi")
+      case None => exploded
+    }
     // CHUNK-SALTED self-join ([[SaltedSelfJoin]] — measured 1003 s →
     // 14 s at the 10× probe; see its scaladoc for the AQE-invisible
     // skew it removes). A pair surfaces with its lower-CHUNK member on
     // the left, not necessarily the lower id; [[simHashCandidates]]
     // canonicalizes by least/greatest (hamming is symmetric) and its
     // distinct dedups same-chunk double-matches and multi-block hits
-    // alike.
-    SaltedSelfJoin.pairs(exploded, Seq("blk", "bits"), "doc_id",
-      payload = Seq("simhash"), chunkSize = chunkSize)
+    // alike. Under a cap the max surviving bucket is ≤ maxBucket by
+    // construction, so the salt probe can be skipped via the hint.
+    SaltedSelfJoin.pairs(gated, Seq("blk", "bits"), "doc_id",
+      payload = Seq("simhash"), chunkSize = chunkSize,
+      maxBucketHint = maxBucket.map(_.toLong))
   }
 
   /** n-gram Jaccard near-dup pairs via shared-shingle blocking: docs
@@ -373,8 +472,15 @@ object Dedup {
     // collision between two shingle TYPES merges their doc lists —
     // extra candidate pairs are culled by the exact verify that follows
     // every blocking stage; the only semantic edge is a merged list
-    // crossing the [2, maxDocFreq] df band (≲ types²·2⁻⁶⁵ — the
-    // accepted xxhash64-span-key class).
+    // crossing the [2, maxDocFreq] df band — and the UPWARD crossing is
+    // the one the verify cannot recover: a rare shingle whose merged
+    // list exceeds maxDocFreq is dropped, a silent false negative
+    // (recall loss), unlike the downward direction's extra candidates.
+    // Expected type collisions ≈ types²·2⁻⁶⁵, so the bound is a scale
+    // contract: ≲ 1 spurious merge per ~6·10⁹ shingle types, i.e.
+    // negligible through the heaps decades but material if a corpus
+    // approaches ~10¹² types — widen the blocking key there (e.g.
+    // two-seed 128-bit hash) before trusting recall.
     docs.select(col("doc_id"),
         explode(TextFunctions.shingles(col("text"), shingleSize)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))

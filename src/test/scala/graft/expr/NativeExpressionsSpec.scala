@@ -201,7 +201,7 @@ class NativeExpressionsSpec extends SparkSpec {
     val mismatches = a.join(b, Seq("doc_id")).select(
         call_function("graft_jaccard_sorted", col("sa"), col("sb")).as("s"),
         call_function("graft_jaccard_sorted", col("ha"), col("hb")).as("h"))
-      .filter(col("s") =!= col("h"))
+      .filter(not(col("s") <=> col("h")) || col("s").isNull || col("h").isNull)
       .count()
     assert(mismatches == 0)
     // long-array edges mirror the string ones; mixed types are rejected

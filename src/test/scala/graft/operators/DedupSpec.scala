@@ -140,6 +140,48 @@ class DedupSpec extends SparkSpec {
       .select("left_id", "right_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted == expected, "chunk-salted join changed the pair set")
+    // multi-block combination keys (keyBlocks > 1): blocks − keyBlocks
+    // = maxH preserves the pigeonhole guarantee, so the answer is
+    // IDENTICAL to the classic scheme — wider 2-block keys, C(8,2)=28
+    // tables instead of 7
+    val wide = Dedup.simHashPairs(corpus, "text", "doc_id", maxH,
+        blocks = maxH + 2, keyBlocks = 2)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == expected, "keyBlocks=2 scheme changed the pair set")
+    // occupancy cap: output is a SUBSET (candidates only ever drop),
+    // and a cap no bucket reaches leaves the answer exact
+    val capped = Dedup.simHashPairs(corpus, "text", "doc_id", maxH,
+        blocks = maxH + 2, keyBlocks = 2, maxBucket = Some(3))
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(expected), "cap introduced false candidates")
+    val bigCap = Dedup.simHashPairs(corpus, "text", "doc_id", maxH,
+        blocks = maxH + 2, keyBlocks = 2, maxBucket = Some(1000000))
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bigCap == expected, "un-binding cap changed the pair set")
+  }
+
+  test("simHashPlan sizes keys to the corpus and keeps the guarantee") {
+    // tiny corpus: single-block keys already cover log2(n), no cap
+    val (b0, k0, c0) = Dedup.simHashPlan(500L, 6)
+    assert(b0 == 7 && k0 == 1 && c0.isEmpty)
+    // oracle-scale corpus: 2-block 16-bit keys, still capless (exact)
+    val (b1, k1, c1) = Dedup.simHashPlan(10000L, 6)
+    assert(b1 == 8 && k1 == 2 && c1.isEmpty)
+    // heaps 100× scale (1 M docs, log2 = 20): key width must cover
+    // log2(n) → 3-block ~21-bit keys, C(9,3)=84 tables, cap engaged
+    val (b2, k2, c2) = Dedup.simHashPlan(1000000L, 6)
+    assert(k2 == 3 && b2 == 9 && c2.nonEmpty)
+    assert(64.0 * k2 / b2 >= 20.0)
+    // guarantee invariant at every size: blocks − keyBlocks = radius
+    for (n <- Seq(100L, 100000L, 10000000L, 10000000000L)) {
+      val (b, k, _) = Dedup.simHashPlan(n, 6)
+      assert(b - k == 6)
+      var t = 1L; for (i <- 1 to k) t = t * (6 + i) / i
+      assert(t <= 256, s"table budget exceeded at n=$n: $t")
+    }
   }
 
   test("jaccardPairs finds planted near-duplicates above threshold") {
