@@ -66,9 +66,11 @@ object Bench {
     * see. A child JVM makes the record honest BY CONSTRUCTION: its
     * heap, JIT, and block manager start empty no matter who calls.
     * The child inherits cwd + env (plus the marker), gets the same
-    * module opens / heap ceiling the probe runner uses, and its
-    * classpath is derived from where THIS class and Spark were loaded —
-    * so the spawn works from sbt, runmain.sh, or a fat driver alike.
+    * module opens / heap ceiling the probe runner uses, and reuses the
+    * parent's own `java.class.path` verbatim — so the spawn works from
+    * sbt's forked runner (which stages each jar into its own hashed
+    * bg-jobs dir, defeating any directory glob), runmain.sh, or a fat
+    * driver alike.
     * Returns None if the child cannot be built (the caller then runs
     * inline — a degraded record beats no record). */
   private def reexecFresh(): Option[Int] =
@@ -174,7 +176,17 @@ object Bench {
     // (name, first wall, best wall, best cpu, best ext, max loadavg,
     //  stillTainted, best gc, error) — a failed query must NOT look
     // like a fast one
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset filter (comma-separated name prefixes) — probe /
+    // taint-exercise surface, NOT the record surface: a subset record
+    // carries its filter in the `sf` line implicitly via query count
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter {
+        case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var runs = (1 to repeat).map(_ => runOnce(fn))
       // load-proofing: if even the best run was co-loaded, rerun once —
       // one extra shot usually lands after a transient burst; if taint

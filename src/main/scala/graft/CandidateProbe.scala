@@ -95,15 +95,70 @@ object CandidateProbe {
         .map(_.toInt).map(c => if (c == 0) None else Some(c)).getOrElse(planned._3)
       println(s"[candprobe] t08plan n=$n blocks=$b keyBlocks=$k cap=$cap")
       fields += s""""t08plan_blocks":$b,"t08plan_keyblocks":$k,"t08plan_cap":${cap.getOrElse(0)}"""
-      val (nr, wr) = timed(Dedup.simHashCollisions(planted, "text", "doc_id",
-        blocks = b, keyBlocks = k, maxBucket = cap))
-      emit("t08plan", "collisions", nr, wr)
-      val (nc, wc) = timed(Dedup.simHashCandidates(planted, "text", "doc_id",
-        blocks = b, keyBlocks = k, maxBucket = cap))
-      emit("t08plan", "candidates", nc, wc)
-      val (nv, wv) = timed(Dedup.simHashPairs(planted, "text", "doc_id",
-        maxHamming = SimHamming, blocks = b, keyBlocks = k, maxBucket = cap))
-      emit("t08plan", "verified", nv, wv)
+      // stage gates: the candidate DISTINCT materializes the full
+      // candidate set (32 B/row spill) — beyond ~1 B candidates that
+      // exceeds a single probe box's disk, so it is opt-out via env
+      // (the verified stage is safe at any cap: Catalyst pushes the
+      // Hamming filter below the distinct, so only answer-pair rows
+      // reach the exchange)
+      if (!sys.env.contains("GRAFT_T08_SKIP_COLLISIONS")) {
+        val (nr, wr) = timed(Dedup.simHashCollisions(planted, "text", "doc_id",
+          blocks = b, keyBlocks = k, maxBucket = cap))
+        emit("t08plan", "collisions", nr, wr)
+      }
+      if (!sys.env.contains("GRAFT_T08_SKIP_CANDIDATES")) {
+        val (nc, wc) = timed(Dedup.simHashCandidates(planted, "text", "doc_id",
+          blocks = b, keyBlocks = k, maxBucket = cap))
+        emit("t08plan", "candidates", nc, wc)
+      }
+      if (!sys.env.contains("GRAFT_T08_SKIP_VERIFIED")) {
+        val (nv, wv) = timed(Dedup.simHashPairs(planted, "text", "doc_id",
+          maxHamming = SimHamming, blocks = b, keyBlocks = k, maxBucket = cap))
+        emit("t08plan", "verified", nv, wv)
+      }
+      if (fams("t08dist")) {
+        // recall structure under the cap: verified pairs by Hamming
+        // distance (the cap should lose far-radius pairs first) and
+        // PLANTED-pair recall — the dedup-relevant number (each base
+        // doc's ' graftdup' copy sits at tiny distance; losing edges
+        // inside an already-connected dense cluster does not change
+        // cluster membership, losing a doc's ONLY edge does)
+        val v = Dedup.simHashPairs(planted, "text", "doc_id",
+          maxHamming = SimHamming, blocks = b, keyBlocks = k, maxBucket = cap)
+        val byd = v.groupBy(col("hamming")).agg(count(lit(1)).as("c"))
+          .orderBy(col("hamming")).collect()
+          .map(r => s""""${r.get(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+        val plantedHits = v.filter(col("right_id") === col("left_id") + 1000000L)
+          .count()
+        println(s"[candprobe] t08plan by_hamming=$byd planted_hits=$plantedHits")
+        fields += s""""t08plan_by_hamming":$byd,"t08plan_planted_hits":$plantedHits"""
+      }
+    }
+    if (fams("t08hist")) {
+      // bucket-occupancy histogram under the planned blocking — the
+      // data that picks maxBucket: for each log2 size class, how many
+      // buckets and how much pair mass (sum m(m-1)/2). The cumulative
+      // pair mass BELOW a cap is the collision stream that cap admits;
+      // the bucket count ABOVE it bounds what the cap drops.
+      val n = planted.count()
+      val planned = Dedup.simHashPlan(n, SimHamming)
+      val b = sys.env.get("GRAFT_T08_BLOCKS").map(_.toInt).getOrElse(planned._1)
+      val k = sys.env.get("GRAFT_T08_KEYBLOCKS").map(_.toInt).getOrElse(planned._2)
+      println(s"[candprobe] t08hist n=$n blocks=$b keyBlocks=$k")
+      val rows = Dedup.simHashCollisionBuckets(planted, "text", "doc_id", b, k)
+        .groupBy(col("sizeClass")).agg(
+          count(lit(1)).as("buckets"),
+          sum(col("m")).as("members"),
+          sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+        .orderBy(col("sizeClass")).collect()
+      rows.foreach { r =>
+        println(s"[candprobe] t08hist size<=2^${r.getInt(0)} " +
+          s"buckets=${r.getLong(1)} members=${r.getLong(2)} pairs=${r.get(3)}")
+      }
+      val hist = rows.map(r =>
+        s"""{"log2":${r.getInt(0)},"buckets":${r.getLong(1)},"pairs":${r.get(3)}}""")
+        .mkString("[", ",", "]")
+      fields += s""""t08hist":$hist"""
     }
     if (fams("t08exactv")) {
       // the exact hamming-ball answer under the guarantee scheme — the
@@ -113,6 +168,17 @@ object CandidateProbe {
       val (nv, wv) = timed(Dedup.simHashPairs(planted, "text", "doc_id",
         maxHamming = SimHamming, blocks = SimBlocks))
       emit("t08exact", "verified", nv, wv)
+      if (fams("t08dist")) {
+        val v = Dedup.simHashPairs(planted, "text", "doc_id",
+          maxHamming = SimHamming, blocks = SimBlocks)
+        val byd = v.groupBy(col("hamming")).agg(count(lit(1)).as("c"))
+          .orderBy(col("hamming")).collect()
+          .map(r => s""""${r.get(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+        val plantedHits = v.filter(col("right_id") === col("left_id") + 1000000L)
+          .count()
+        println(s"[candprobe] t08exact by_hamming=$byd planted_hits=$plantedHits")
+        fields += s""""t08exact_by_hamming":$byd,"t08exact_planted_hits":$plantedHits"""
+      }
     }
     if (fams("t08raw")) {
       // the enumeration the full query streams through the pushed-down
@@ -121,6 +187,50 @@ object CandidateProbe {
       val (nr, wr) = timed(Dedup.simHashCollisions(
         planted, "text", "doc_id", blocks = SimBlocks))
       emit("t08raw", "collisions", nr, wr)
+    }
+    if (fams("t13recall")) {
+      // t78-style recall audit for the embedding LSH family (round-17
+      // verdict item 4): sampled ground truth (every >= threshold
+      // neighbor of ~1k sampled vectors, by brute-force cosine against
+      // the whole corpus — broadcast of the tiny sample side, one
+      // corpus scan per audit) vs the candidate sets three lshPlan
+      // operating points generate. Recall here is CANDIDATE recall —
+      // the verify stage is exact, so a truth pair missing from the
+      // candidates is the only loss mode the sketch has.
+      val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
+      val n = embs.count()
+      val sampleK = math.max(1L, n / 1000L)
+      def inSample(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(sampleK)) === 0
+      val sVecs = embs.filter(inSample(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = embs.crossJoin(broadcast(sVecs))
+        .filter(col("vec_id") =!= col("qid"))
+        .filter(Similarity.cosine(col("embedding"), col("qvec"))
+          >= NearDupThreshold)
+        .select(least(col("qid"), col("vec_id")).as("left_id"),
+          greatest(col("qid"), col("vec_id")).as("right_id"))
+        .distinct().localCheckpoint(eager = true)
+      val (tCount, tWall) = timed(truth)
+      println(s"[candprobe] t13recall n=$n sampleK=$sampleK truth=$tCount " +
+        s"wall=${tWall}s")
+      fields += s""""t13recall_truth":$tCount"""
+      for (tbs <- Seq(32L, 64L, 128L, 256L)) {
+        val (bits, tables) = Similarity.lshPlan(n, NearDupThreshold,
+          NearDupTargetRecall, tbs)
+        val cands = Similarity.lshCandidates(
+          embs, "vec_id", "embedding", Dims, bits, tables)
+        val (nc, wc) = timed(cands)
+        val hits = truth.join(
+          cands.filter(inSample(col("left_id")) || inSample(col("right_id"))),
+          Seq("left_id", "right_id"), "left_semi").count()
+        val recall = if (tCount == 0) 1.0
+          else math.round(hits.toDouble / tCount * 10000.0) / 10000.0
+        println(s"[candprobe] t13recall tbs=$tbs bits=$bits tables=$tables " +
+          s"candidates=$nc wall=${wc}s hits=$hits recall=$recall")
+        fields += s""""t13recall_tbs$tbs":{"bits":$bits,"tables":$tables,""" +
+          s""""candidates":$nc,"candidates_s":$wc,"hits":$hits,"recall":$recall}"""
+      }
     }
     if (fams("t13")) {
       val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)

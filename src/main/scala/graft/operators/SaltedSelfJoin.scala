@@ -82,7 +82,14 @@ object SaltedSelfJoin {
         .join(bucketed.select(rsel: _*).hint("merge"), keys)
         .filter(col("left_id") =!= col("right_id"))
     }
-    val sized = bucketed.join(counts, keys)
+    // merge-hinted (r17): `counts` is an aggregate whose static size
+    // estimate collapses while its true cardinality is the BUCKET
+    // count — tiny under single-block keys (3.6 k at t08 classic) but
+    // 11.8 M rows under multi-block keys at the 100× heaps decade,
+    // where the statically-planned broadcast OOMed an 8 GiB driver
+    // (caught live by the r17 capless-floor probe). Same t42-class
+    // fix as every other collapsed-estimate join in the engine.
+    val sized = bucketed.join(counts.hint("merge"), keys)
       .withColumn("__m",
         ceil(col("__n").cast("double") / chunkSize).cast("int"))
       .withColumn("__c", pmod(xxhash64(col(idCol)), col("__m")).cast("int"))

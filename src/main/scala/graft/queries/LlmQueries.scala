@@ -484,9 +484,11 @@ object LlmQueries {
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${graft.GoldenGen.ModelParams.SimHamming}
         |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
-      Dedup.simHashPairs(plantedCorpus(s, d), "text", "doc_id",
-        maxHamming = graft.GoldenGen.ModelParams.SimHamming,
-        blocks = graft.GoldenGen.ModelParams.SimBlocks)
+      // auto-sized blocking (r17): one-block 9-bit keys saturate on
+      // correlated corpora — simHashPlan widens the keys with the
+      // corpus while staying capless (exact) at every oracle scale
+      Dedup.simHashPairsAuto(plantedCorpus(s, d), "text", "doc_id",
+        maxHamming = graft.GoldenGen.ModelParams.SimHamming)
         .orderBy(col("left_id"), col("right_id"))
     },
 
