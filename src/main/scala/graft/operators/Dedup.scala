@@ -286,20 +286,29 @@ object Dedup {
   }
 
   /** Corpus-sized blocking plan for [[simHashPairs]] (the
-    * [[IvfIndex.autoK]] pattern): widest keyBlocks whose table count
-    * stays under `maxTables`, preferring the smallest keyBlocks whose
-    * key width covers log2(n) — i.e. buckets ≳ distinct signatures, so
-    * uniform occupancy stays O(1) and `maxBucket` only fires on the
-    * corpus's genuine density hot-spots. Returns (blocks, keyBlocks,
-    * maxBucket); maxBucket = None below `capAbove` docs, where even a
-    * fully saturated stream is cheaper than a recall caveat.
+    * [[IvfIndex.autoK]] pattern). Two regimes, both pigeonhole-exact
+    * in structure (blocks = maxHamming + keyBlocks always):
     *
-    * The pigeonhole guarantee holds at every size this returns:
-    * blocks = maxHamming + keyBlocks. */
+    *   - n ≤ `capAbove`: the CLASSIC single-block scheme, capless.
+    *     Measured (r17, clean JVMs): below the cap threshold the raw
+    *     collision stream is cheaper than any wider key's explode
+    *     factor — 10× heaps classic 11.9 s vs keyBlocks = 2 15.5 s vs
+    *     keyBlocks = 3 27.9 s, identical 545,075-pair output; even at
+    *     1 M docs the capless streams tie (99.7 B rows / 103 s classic
+    *     vs 24.5 B / 102 s at keyBlocks = 3). Wider keys buy stream
+    *     reduction, not wall — UNTIL the cap engages.
+    *   - n > `capAbove`: smallest keyBlocks whose key width
+    *     64·k/(maxHamming+k) covers log2(n) (buckets ≳ docs, so
+    *     uniform occupancy stays O(1)), table count capped by
+    *     `maxTables`, plus `maxBucket` = targetBucketSize. The wider
+    *     keys are what make the cap surgical instead of a recall
+    *     massacre — see [[simHashPairs]] for the measured frontier.
+    */
   def simHashPlan(n: Long, maxHamming: Int, maxTables: Int = 256,
                   targetBucketSize: Int = 1024,
                   capAbove: Long = 262144): (Int, Int, Option[Int]) = {
     require(n >= 0 && maxHamming >= 0 && maxTables >= 1)
+    if (n <= capAbove) return (maxHamming + 1, 1, None)
     val log2n = math.max(1.0, math.log(math.max(n, 2).toDouble) / math.log(2.0))
     def tables(k: Int): Long = {
       var t = 1L
@@ -314,8 +323,7 @@ object Dedup {
     val kWanted = Iterator.from(1).find(k =>
       64.0 * k / (maxHamming + k) >= log2n || k >= kBudget).getOrElse(1)
     val k = math.min(kWanted, kBudget)
-    val cap = if (n > capAbove) Some(targetBucketSize) else None
-    (maxHamming + k, k, cap)
+    (maxHamming + k, k, Some(targetBucketSize))
   }
 
   /** The t08 CANDIDATE stage on its own — distinct canonical block-

@@ -164,12 +164,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simHashPlan sizes keys to the corpus and keeps the guarantee") {
-    // tiny corpus: single-block keys already cover log2(n), no cap
+    // below capAbove: the classic single-block scheme, capless — the
+    // r17 A/B measured it cheapest at every capless size
     val (b0, k0, c0) = Dedup.simHashPlan(500L, 6)
     assert(b0 == 7 && k0 == 1 && c0.isEmpty)
-    // oracle-scale corpus: 2-block 16-bit keys, still capless (exact)
-    val (b1, k1, c1) = Dedup.simHashPlan(10000L, 6)
-    assert(b1 == 8 && k1 == 2 && c1.isEmpty)
+    val (b1, k1, c1) = Dedup.simHashPlan(100000L, 6)
+    assert(b1 == 7 && k1 == 1 && c1.isEmpty)
     // heaps 100× scale (1 M docs, log2 = 20): key width must cover
     // log2(n) → 3-block ~21-bit keys, C(9,3)=84 tables, cap engaged
     val (b2, k2, c2) = Dedup.simHashPlan(1000000L, 6)
