@@ -134,6 +134,25 @@ object CandidateProbe {
         fields += s""""t08plan_by_hamming":$byd,"t08plan_planted_hits":$plantedHits"""
       }
     }
+    if (fams("t08planted")) {
+      // planted-recall denominator WITHOUT the quadratic exact run
+      // (the 1000× decade's classic stream is ~7.6 T rows — hours):
+      // planted pairs are id-linked (doc, doc + 1e6 at sf scale,
+      // doc + half-corpus under ScaleGen), so their Hamming spectrum
+      // is ONE linear self-join by id offset. Emits the number of
+      // planted pairs within the radius — the denominator the capped
+      // run's planted_hits divides by.
+      val sigs = Dedup.simHash(planted, "text", "doc_id")
+      val offset = sys.env.get("GRAFT_PLANTED_OFFSET").map(_.toLong)
+        .getOrElse(1000000L)
+      val within = sigs.join(
+          sigs.select((col("doc_id") - offset).as("doc_id"),
+            col("simhash").as("simhash2")), Seq("doc_id"))
+        .filter(Dedup.hamming(col("simhash"), col("simhash2")) <= SimHamming)
+        .count()
+      println(s"[candprobe] t08planted offset=$offset within_radius=$within")
+      fields += s""""t08planted_within":$within"""
+    }
     if (fams("t08hist")) {
       // bucket-occupancy histogram under the planned blocking — the
       // data that picks maxBucket: for each log2 size class, how many
