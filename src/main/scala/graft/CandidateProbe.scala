@@ -179,6 +179,40 @@ object CandidateProbe {
         .mkString("[", ",", "]")
       fields += s""""t08hist":$hist"""
     }
+    if (fams("t08big")) {
+      // the fourth-decade row, sized for a corpus whose ANSWER no
+      // longer fits one box's spill disk (1000× heaps: ~4.4 B pairs):
+      // counts the capped collision stream and the post-filter verify
+      // stream WITHOUT the candidate distinct (both pure streams), and
+      // measures planted recall by filtering to the id-linked planted
+      // subset BEFORE the distinct (≤ one row per planted pair per
+      // matching table — bounded). The full answer materialization is
+      // an aggregate-cluster-disk operation, same note as the t09
+      // 1000× verify arm (r16).
+      val n = planted.count()
+      val planned = Dedup.simHashPlan(n, SimHamming)
+      val b = sys.env.get("GRAFT_T08_BLOCKS").map(_.toInt).getOrElse(planned._1)
+      val k = sys.env.get("GRAFT_T08_KEYBLOCKS").map(_.toInt).getOrElse(planned._2)
+      val cap = sys.env.get("GRAFT_T08_CAP")
+        .map(_.toInt).map(c => if (c == 0) None else Some(c)).getOrElse(planned._3)
+      val offset = sys.env.get("GRAFT_PLANTED_OFFSET").map(_.toLong)
+        .getOrElse(1000000L)
+      println(s"[candprobe] t08big n=$n blocks=$b keyBlocks=$k cap=$cap")
+      fields += s""""t08big_blocks":$b,"t08big_keyblocks":$k,"t08big_cap":${cap.getOrElse(0)}"""
+      val coll = Dedup.simHashCollisions(planted, "text", "doc_id",
+        blocks = b, keyBlocks = k, maxBucket = cap)
+      val (nc, wc) = timed(coll)
+      emit("t08big", "collisions", nc, wc)
+      val filtered = coll.filter(
+        Dedup.hamming(col("left_simhash"), col("right_simhash")) <= SimHamming)
+      val (nf, wf) = timed(filtered)
+      emit("t08big", "verify_stream", nf, wf)
+      val (np, wp) = timed(filtered
+        .select(least(col("left_id"), col("right_id")).as("l"),
+          greatest(col("left_id"), col("right_id")).as("r"))
+        .filter(col("r") === col("l") + offset).distinct())
+      emit("t08big", "planted_hits", np, wp)
+    }
     if (fams("t08exactv")) {
       // the exact hamming-ball answer under the guarantee scheme — the
       // recall denominator for t08plan, countable even where the
