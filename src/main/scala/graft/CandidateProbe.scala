@@ -241,6 +241,121 @@ object CandidateProbe {
         planted, "text", "doc_id", blocks = SimBlocks))
       emit("t08raw", "collisions", nr, wr)
     }
+    if (fams("t08onepass")) {
+      // the fourth-decade recall cells (r17 verdict item 2) in ONE pass:
+      // r17 measured the capped collision stream (2283 s for the count
+      // alone), so three separate stage passes (stream count, by-hamming,
+      // planted hits) would cost ~2 h — instead one aggregation job over
+      // the filtered stream computes all three: groupBy(hamming) with a
+      // plain count (stream rows) and a distinct count over the
+      // id-linked planted pairs (bounded: ≤ 5 M distinct, nulled
+      // elsewhere, so the distinct expand collapses map-side). The full
+      // DISTINCT verified count stays out of reach of one box at this
+      // decade (~4.4 B pairs × 32 B spill > disk) — the by-hamming
+      // stream + the histogram identity bound it instead.
+      val n = planted.count()
+      val planned = Dedup.simHashPlan(n, SimHamming)
+      val b = sys.env.get("GRAFT_T08_BLOCKS").map(_.toInt).getOrElse(planned._1)
+      val k = sys.env.get("GRAFT_T08_KEYBLOCKS").map(_.toInt).getOrElse(planned._2)
+      val cap = sys.env.get("GRAFT_T08_CAP")
+        .map(_.toInt).map(c => if (c == 0) None else Some(c)).getOrElse(planned._3)
+      val offset = sys.env.get("GRAFT_PLANTED_OFFSET").map(_.toLong)
+        .getOrElse(1000000L)
+      println(s"[candprobe] t08onepass n=$n blocks=$b keyBlocks=$k cap=$cap " +
+        s"offset=$offset")
+      fields += s""""t08onepass_blocks":$b,"t08onepass_keyblocks":$k,"t08onepass_cap":${cap.getOrElse(0)}"""
+      val t0 = System.nanoTime()
+      val coll = Dedup.simHashCollisions(planted, "text", "doc_id",
+        blocks = b, keyBlocks = k, maxBucket = cap)
+      val rows = coll
+        .withColumn("d", Dedup.hamming(col("left_simhash"), col("right_simhash")))
+        .filter(col("d") <= SimHamming)
+        .select(col("d"), least(col("left_id"), col("right_id")).as("l"),
+          greatest(col("left_id"), col("right_id")).as("r"))
+        .groupBy(col("d")).agg(
+          count(lit(1)).as("stream_rows"),
+          count_distinct(when(col("r") === col("l") + offset,
+            struct(col("l"), col("r")))).as("planted"))
+        .orderBy(col("d")).collect()
+      val wall = math.round((System.nanoTime() - t0) / 1e6) / 1e3
+      val byd = rows.map(r =>
+        s""""${r.get(0)}":{"stream":${r.getLong(1)},"planted":${r.getLong(2)}}""")
+        .mkString("{", ",", "}")
+      val streamTotal = rows.map(_.getLong(1)).sum
+      val plantedTotal = rows.map(_.getLong(2)).sum
+      println(s"[candprobe] t08onepass stream=$streamTotal " +
+        s"planted_hits=$plantedTotal wall=${wall}s by_hamming=$byd")
+      fields += s""""t08onepass_stream":$streamTotal,"t08onepass_planted_hits":$plantedTotal,"t08onepass_s":$wall,"t08onepass_by_hamming":$byd"""
+    }
+    if (fams("t13hist")) {
+      // bucket-occupancy histogram under the production lshPlan width —
+      // the data that picks nearDupPairsAuto's capFactor (the t08hist
+      // convention): cumulative pair mass below a cap IS the candidate
+      // stream that cap admits
+      val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
+      val n = embs.count()
+      val (bits, tables) = Similarity.lshPlan(n, NearDupThreshold,
+        NearDupTargetRecall, NearDupBucketSize)
+      println(s"[candprobe] t13hist n=$n bits=$bits tables=$tables")
+      val rows = Similarity.lshCollisionBuckets(embs, "vec_id", "embedding",
+          Dims, bits, tables)
+        .groupBy(col("sizeClass")).agg(
+          count(lit(1)).as("buckets"),
+          sum(col("m")).as("members"),
+          sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+        .orderBy(col("sizeClass")).collect()
+      rows.foreach { r =>
+        println(s"[candprobe] t13hist size<=2^${r.getInt(0)} " +
+          s"buckets=${r.getLong(1)} members=${r.getLong(2)} pairs=${r.get(3)}")
+      }
+      val hist = rows.map(r =>
+        s"""{"log2":${r.getInt(0)},"buckets":${r.getLong(1)},"pairs":${r.get(3)}}""")
+        .mkString("[", ",", "]")
+      fields += s""""t13hist":$hist"""
+    }
+    if (fams("t13cap")) {
+      // capped-mode recall audit (r17 verdict item 4): sampled exhaustive
+      // ground truth (the t13recall harness) vs the production lshPlan
+      // width under occupancy caps — the measurement behind
+      // nearDupPairsAuto's capFactor default. cap = 0 row is the capless
+      // reference the capped rows are compared against.
+      val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
+      val n = embs.count()
+      val sampleK = math.max(1L, n / 1000L)
+      def inSample(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(sampleK)) === 0
+      val sVecs = embs.filter(inSample(col("vec_id")))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val truth = embs.crossJoin(broadcast(sVecs))
+        .filter(col("vec_id") =!= col("qid"))
+        .filter(Similarity.cosine(col("embedding"), col("qvec"))
+          >= NearDupThreshold)
+        .select(least(col("qid"), col("vec_id")).as("left_id"),
+          greatest(col("qid"), col("vec_id")).as("right_id"))
+        .distinct().localCheckpoint(eager = true)
+      val tCount = truth.count()
+      val (bits, tables) = Similarity.lshPlan(n, NearDupThreshold,
+        NearDupTargetRecall, NearDupBucketSize)
+      println(s"[candprobe] t13cap n=$n bits=$bits tables=$tables " +
+        s"sampleK=$sampleK truth=$tCount")
+      fields += s""""t13cap_truth":$tCount,"t13cap_bits":$bits,"t13cap_tables":$tables"""
+      val tbs = NearDupBucketSize
+      for (factor <- Seq(0, 4, 8, 16, 32)) {
+        val cap = if (factor == 0) None else Some((tbs * factor).toInt)
+        val cands = Similarity.lshCandidates(
+          embs, "vec_id", "embedding", Dims, bits, tables, maxBucket = cap)
+        val (nc, wc) = timed(cands)
+        val hits = truth.join(
+          cands.filter(inSample(col("left_id")) || inSample(col("right_id"))),
+          Seq("left_id", "right_id"), "left_semi").count()
+        val recall = if (tCount == 0) 1.0
+          else math.round(hits.toDouble / tCount * 10000.0) / 10000.0
+        println(s"[candprobe] t13cap factor=$factor cap=${cap.getOrElse(0)} " +
+          s"candidates=$nc wall=${wc}s hits=$hits recall=$recall")
+        fields += s""""t13cap_f$factor":{"cap":${cap.getOrElse(0)},""" +
+          s""""candidates":$nc,"candidates_s":$wc,"hits":$hits,"recall":$recall}"""
+      }
+    }
     if (fams("t13recall")) {
       // t78-style recall audit for the embedding LSH family (round-17
       // verdict item 4): sampled ground truth (every >= threshold

@@ -33,11 +33,18 @@ object ScaleGenResume {
       ScaleGen.scaleEvents(graft.core.Tables.events(spark, srcDir), factor)
         .repartition(parts).write.mode("overwrite").parquet(s"$outDir/events.parquet")
     } else println(s"[scalegen-resume] events present, skipping")
+    // small tables are ALWAYS re-copied, via temp + atomic rename (r17
+    // advice): the old exists-gate trusted a bare Files.copy target, but
+    // a run killed mid-copy leaves a truncated parquet the next resume
+    // would treat as complete — unlike the scaled tables, which are
+    // correctly gated on _SUCCESS. Re-copying is cheap (single files).
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach { t =>
-        if (!Files.exists(Paths.get(s"$outDir/$t.parquet")))
-          Files.copy(Paths.get(s"$srcDir/$t.parquet"),
-            Paths.get(s"$outDir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        val tmp = Paths.get(s"$outDir/.$t.parquet.tmp")
+        Files.copy(Paths.get(s"$srcDir/$t.parquet"), tmp,
+          StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, Paths.get(s"$outDir/$t.parquet"),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       }
     println(s"[scalegen-resume] completed ${factor}x ($mode) of $srcDir in $outDir")
     spark.stop()

@@ -281,6 +281,18 @@ object Dedup {
   def simHashPairsAuto(df: DataFrame, textCol: String, idCol: String,
                        maxHamming: Int, chunkSize: Int = 2048): DataFrame = {
     val (blocks, keyBlocks, cap) = simHashPlan(df.count(), maxHamming)
+    // the cap crossing must be VISIBLE (r17 advice): above capAbove the
+    // result is a measured-recall subset of the exact Hamming ball, and
+    // nothing in the output schema distinguishes it — a golden run that
+    // grows past the threshold would silently change semantics
+    cap.foreach { c =>
+      val msg = s"[graft] simHashPairsAuto: occupancy cap ENGAGED " +
+        s"(blocks=$blocks keyBlocks=$keyBlocks maxBucket=$c) — result is a " +
+        "measured-recall subset of the exact Hamming ball (see simHashPlan " +
+        "scaladoc; PROBE_t08: 99.85% planted recall at the default cap)"
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      System.err.println(msg)
+    }
     simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
       keyBlocks, cap)
   }
@@ -425,7 +437,13 @@ object Dedup {
     // frame plus a semi-join back (merge-hinted: both sides are
     // O(corpus × tables) frames whose static estimates collapse through
     // the explode, the t42 broadcast-OOM signature). Recall semantics
-    // in [[simHashPairs]]'s scaladoc.
+    // in [[simHashPairs]]'s scaladoc. The pinned repartition on the key
+    // makes the gated subtree's exchange IDENTICAL on both sides of the
+    // downstream pair self-join (different projections sit above it),
+    // so ReuseExchange evaluates the whole simhash+explode+count+gate
+    // lineage ONCE instead of once per side (r17 advice: up to three
+    // evaluations rode on ReuseExchange happening to fire) — and the
+    // pair join's SMJ consumes the partitioning, adding no exchange.
     val gated = maxBucket match {
       case Some(cap) =>
         val small = exploded.groupBy(col("blk"), col("bits"))
@@ -433,6 +451,7 @@ object Dedup {
           .filter(col("__bn") <= cap)
           .select(col("blk"), col("bits"))
         exploded.join(small.hint("merge"), Seq("blk", "bits"), "left_semi")
+          .repartition(col("blk"), col("bits"))
       case None => exploded
     }
     // CHUNK-SALTED self-join ([[SaltedSelfJoin]] — measured 1003 s →

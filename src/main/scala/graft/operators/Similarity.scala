@@ -208,10 +208,34 @@ object Similarity {
                        dims: Int, threshold: Double,
                        targetRecall: Double = 0.9,
                        targetBucketSize: Long = 64,
-                       chunkSize: Int = 2048): DataFrame = {
-    val (bits, tables) = lshPlan(df.count(), threshold, targetRecall,
+                       chunkSize: Int = 2048,
+                       capAbove: Long = 262144,
+                       capFactor: Int = 16): DataFrame = {
+    val n = df.count()
+    val (bits, tables) = lshPlan(n, threshold, targetRecall,
       targetBucketSize)
-    nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables, chunkSize)
+    // occupancy cap — the t08 pattern applied to the LSH tables
+    // (r17 verdict item 4, pre-positioned before the decade that needs
+    // it): lshPlan holds EXPECTED bucket size at targetBucketSize, but
+    // dense corpus regions concentrate — the r17 audit measured
+    // candidates-per-verified-pair doubling per decade at recall 1.000.
+    // Above `capAbove` docs, buckets beyond capFactor × targetBucketSize
+    // are dropped before pair enumeration; sub-threshold corpora (every
+    // oracle scale) stay capless and exact. capFactor = 16 is MEASURED
+    // at the 100×-heaps decade (PROBE_t13cap_r18): recall 1.000 vs the
+    // sampled exhaustive ground truth while cutting the candidate
+    // stream — the oversized tail is redundant dense-cluster bulk.
+    val cap = if (n > capAbove) Some((targetBucketSize * capFactor).toInt)
+              else None
+    cap.foreach { c =>
+      val msg = s"[graft] nearDupPairsAuto: occupancy cap ENGAGED " +
+        s"(bits=$bits tables=$tables maxBucket=$c) — candidate recall is " +
+        "the measured subset semantics (see scaladoc / PROBE_t13cap)"
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      System.err.println(msg)
+    }
+    nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables, chunkSize,
+      cap)
   }
 
   /** Embedding near-duplicate pairs: multi-table LSH-bucket self-join on
@@ -222,10 +246,11 @@ object Similarity {
     * 100× probe measured THIS shape going quadratic at constant bits. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                    threshold: Double, bits: Int = 8, tables: Int = 4,
-                   chunkSize: Int = 2048): DataFrame = {
+                   chunkSize: Int = 2048,
+                   maxBucket: Option[Int] = None): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val candidates = lshCandidates(df, idCol, vecCol, dims, bits, tables,
-      chunkSize)
+      chunkSize, maxBucket)
     val lv = vecs.select(col("id").as("left_id"), col("vec").as("left_vec"))
     val rv = vecs.select(col("id").as("right_id"), col("vec").as("right_vec"))
     candidates.join(lv, Seq("left_id")).join(rv, Seq("right_id"))
@@ -246,14 +271,46 @@ object Similarity {
   private[graft] def lshCandidates(df: DataFrame, idCol: String,
                                    vecCol: String, dims: Int, bits: Int,
                                    tables: Int,
-                                   chunkSize: Int = 2048): DataFrame = {
+                                   chunkSize: Int = 2048,
+                                   maxBucket: Option[Int] = None): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"),
       explode(lshBuckets(col(vecCol), dims, bits, tables)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    SaltedSelfJoin.pairs(bucketed, Seq("tbl", "bucket"),
-        "id", chunkSize = chunkSize)
+    // occupancy guard (the [[graft.operators.Dedup.simHashCollisions]]
+    // pattern): drop saturated (tbl, bucket) buckets before pair
+    // enumeration. Merge-hinted for the same collapsed-estimate reason;
+    // the pinned repartition makes the gated exchange identical on both
+    // self-join sides so the bucketing lineage evaluates once.
+    val gated = maxBucket match {
+      case Some(cap) =>
+        val small = bucketed.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= cap)
+          .select(col("tbl"), col("bucket"))
+        bucketed.join(small.hint("merge"), Seq("tbl", "bucket"), "left_semi")
+          .repartition(col("tbl"), col("bucket"))
+      case None => bucketed
+    }
+    SaltedSelfJoin.pairs(gated, Seq("tbl", "bucket"),
+        "id", chunkSize = chunkSize,
+        maxBucketHint = maxBucket.map(_.toLong))
       .select(least(col("left_id"), col("right_id")).as("left_id"),
         greatest(col("left_id"), col("right_id")).as("right_id"))
       .distinct()
   }
+
+  /** Bucket-size spectrum the [[lshCandidates]] blocking would run —
+    * one row per (tbl, bucket) with member count `m` and `sizeClass` =
+    * ceil(log2 m); the control-plane aggregate that sizes `maxBucket`
+    * from data (the [[graft.operators.Dedup.simHashCollisionBuckets]]
+    * convention). `private[graft]`: probe surface, not API. */
+  private[graft] def lshCollisionBuckets(df: DataFrame, idCol: String,
+                                         vecCol: String, dims: Int,
+                                         bits: Int, tables: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(lshBuckets(col(vecCol), dims, bits, tables)).as("tb"))
+      .groupBy(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("m"))
+      .withColumn("sizeClass",
+        ceil(log(2.0, greatest(col("m"), lit(1L)))).cast("int"))
 }

@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
   * graft_lsh_buckets, graft_minhash_sig, graft_simhash) and the
   * composed-Column reference implementations they replaced on the hot
   * paths — plus hash-primitive parity with Spark's own xxhash64 and
-  * degenerate-input semantics. */
+  * degenerate-input semantics.
+  *
+  * Mismatch filters use null-safe `not(a <=> b)`, never `a =!= b`
+  * (r16/r17 advice): `=!=` evaluates to NULL when either side is NULL,
+  * the filter then DROPS the row, and a regression that nulls a native
+  * kernel's output would sail through a zero-mismatch assertion. */
 class NativeExpressionsSpec extends SparkSpec {
   import testImplicits._
 
@@ -24,7 +29,7 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(
         Similarity.cosine(col("embedding"), col("__q")).as("native"),
         Similarity.cosineComposed(col("embedding"), col("__q")).as("composed"))
-      .filter(col("native") =!= col("composed"))
+      .filter(not(col("native") <=> col("composed")))
       .count()
     assert(mismatches == 0)
   }
@@ -58,7 +63,7 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(
         Similarity.lshBuckets(col("embedding"), 64, 10, 4).as("native"),
         Similarity.lshBucketsComposed(col("embedding"), 64, 10, 4).as("composed"))
-      .filter(col("native") =!= col("composed"))
+      .filter(not(col("native") <=> col("composed")))
       .count()
     assert(mismatches == 0)
   }
@@ -89,7 +94,7 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(
         Dedup.minHashSignature(col("text"), 32).as("native"),
         Dedup.minHashSignatureComposed(col("text"), 32).as("composed"))
-      .filter(col("native") =!= col("composed"))
+      .filter(not(col("native") <=> col("composed")))
       .count()
     assert(mismatches == 0)
   }
@@ -103,7 +108,7 @@ class NativeExpressionsSpec extends SparkSpec {
     val mismatches = runs.select(
         PiiRedact.luhnValid(col("s")).as("native"),
         PiiRedact.luhnValidComposed(col("s")).as("composed"))
-      .filter(col("native") =!= col("composed")).count()
+      .filter(not(col("native") <=> col("composed"))).count()
     assert(mismatches == 0)
     val pinned = spark.sql(
       "SELECT graft_luhn('4111111111111111'), graft_luhn('4111111111111112'), " +
@@ -120,7 +125,7 @@ class NativeExpressionsSpec extends SparkSpec {
     val mismatches = pairs.select(
       TextFunctions.jaccard(col("ta"), col("tb")).as("native"),
       TextFunctions.jaccardComposed(col("ta"), col("tb")).as("composed"))
-      .filter(col("native") =!= col("composed"))
+      .filter(not(col("native") <=> col("composed")))
       .count()
     assert(mismatches == 0)
   }
@@ -130,7 +135,7 @@ class NativeExpressionsSpec extends SparkSpec {
       val mismatches = documents
         .select(TextFunctions.shingles(col("text"), n).as("native"),
           TextFunctions.shinglesComposed(col("text"), n).as("composed"))
-        .filter(col("native") =!= col("composed"))
+        .filter(not(col("native") <=> col("composed")))
         .count()
       assert(mismatches == 0, s"shingle mismatch at n=$n")
     }
@@ -170,7 +175,7 @@ class NativeExpressionsSpec extends SparkSpec {
     val mismatches = joined.select(
       call_function("graft_jaccard_sorted", col("wa"), col("wb")).as("native"),
       when(uni === 0, 0.0).otherwise(inter / uni).as("composed"))
-      .filter(col("native") =!= col("composed"))
+      .filter(not(col("native") <=> col("composed")))
       .count()
     assert(mismatches == 0)
     // edges: both empty -> 0.0, disjoint -> 0.0, identical -> 1.0, null -> NULL
@@ -228,7 +233,7 @@ class NativeExpressionsSpec extends SparkSpec {
       call_function("graft_match_frac", col("a"), col("b")).as("native"),
       (size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
         m => m)).cast("double") / 32).as("composed"))
-      .filter(col("native") =!= col("composed"))
+      .filter(not(col("native") <=> col("composed")))
       .count()
     assert(mismatches == 0)
     // self-match is exactly 1.0; length mismatch is NULL
@@ -244,7 +249,7 @@ class NativeExpressionsSpec extends SparkSpec {
     val composed = Dedup.simHashComposed(documents, "text", "doc_id")
       .withColumnRenamed("simhash", "simhash_c")
     val mismatches = native.join(composed, Seq("doc_id"))
-      .filter(col("simhash") =!= col("simhash_c"))
+      .filter(not(col("simhash") <=> col("simhash_c")))
       .count()
     assert(mismatches == 0)
     assert(native.count() == composed.count())
@@ -289,7 +294,7 @@ class NativeExpressionsSpec extends SparkSpec {
         call_function("graft_minhash_sig", col("sa"), lit(16)),
         call_function("graft_minhash_sig", col("sb"), lit(16)),
         (x, y) => least(x, y)).as("merged"))
-      .filter(col("united") =!= col("merged"))
+      .filter(not(col("united") <=> col("merged")))
       .count()
     assert(mismatches == 0)
   }
@@ -301,7 +306,7 @@ class NativeExpressionsSpec extends SparkSpec {
         TextFunctions.tokens(lower(col("text")))).as("fwd"),
       call_function("graft_simhash",
         reverse(TextFunctions.tokens(lower(col("text"))))).as("rev"))
-      .filter(col("fwd") =!= col("rev"))
+      .filter(not(col("fwd") <=> col("rev")))
       .count()
     assert(mismatches == 0)
   }
@@ -345,14 +350,14 @@ class NativeExpressionsSpec extends SparkSpec {
     val mismatches = documents
       .select(call_function("graft_clean_len", lower(col("text"))).as("n"),
         composedClean(col("text")).as("c"))
-      .filter(col("n") =!= col("c")).count()
+      .filter(not(col("n") <=> col("c"))).count()
     assert(mismatches == 0)
     val edges = Seq("", "   ", "ABC def", "a\tb\nc", "héllo wörld 中文 🙂 12",
       "!@#$%^&*()", "ümlaut ÉÈ ss")
       .toDF("t")
       .select(call_function("graft_clean_len", lower(col("t"))).as("n"),
         composedClean(col("t")).as("c"))
-      .filter(col("n") =!= col("c")).count()
+      .filter(not(col("n") <=> col("c"))).count()
     assert(edges == 0)
     assert(spark.sql("SELECT graft_clean_len(CAST(NULL AS STRING))").head.isNullAt(0))
   }
@@ -370,7 +375,7 @@ class NativeExpressionsSpec extends SparkSpec {
         typedLit(TextFunctions.Stopwords))
     val mismatches = documents
       .select(native(col("text")).as("n"), composed(col("text")).as("c"))
-      .filter(col("n") =!= col("c")).count()
+      .filter(not(col("n") <=> col("c"))).count()
     assert(mismatches == 0)
     // edges: empty (split("") = [""] → ratio 0/1), whitespace-only,
     // leading tabs (leading "" token from the space-only trim),
@@ -398,7 +403,7 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(col("doc_id"),
         call_function("graft_rep_ratio", col("text"), lit(2)).as("n_ratio"))
       .join(composed, Seq("doc_id"), "left")
-      .filter(coalesce(col("c_ratio"), lit(0.0)) =!= col("n_ratio"))
+      .filter(not(coalesce(col("c_ratio"), lit(0.0)) <=> col("n_ratio")))
       .count()
     assert(mismatches == 0)
     // edges: < n tokens → 0.0 (empty, blank, single token), exact
@@ -429,7 +434,7 @@ class NativeExpressionsSpec extends SparkSpec {
       .select(col("doc_id"),
         call_function("graft_dup_mass", col("text"), lit(5)).as("n_frac"))
       .join(composed, Seq("doc_id"), "left")
-      .filter(coalesce(col("c_frac"), lit(0.0)) =!= col("n_frac"))
+      .filter(not(coalesce(col("c_frac"), lit(0.0)) <=> col("n_frac")))
       .count()
     assert(mismatches == 0)
     // edges: < n tokens -> 0.0 (empty, blank, short); a 5-token doc has
@@ -467,9 +472,9 @@ class NativeExpressionsSpec extends SparkSpec {
         (round(col("__p.entropy"), 4) + 0.0).as("ne"),
         col("__p.n_types").as("nt"), col("__p.n_tokens").as("nn"))
       .join(composed, Seq("doc_id"), "left")
-      .filter(coalesce(col("entropy"), lit(0.0)) =!= col("ne") ||
-        coalesce(col("n_types"), lit(0L)) =!= col("nt") ||
-        coalesce(col("n").cast("long"), lit(0L)) =!= col("nn"))
+      .filter(not(coalesce(col("entropy"), lit(0.0)) <=> col("ne")) ||
+        not(coalesce(col("n_types"), lit(0L)) <=> col("nt")) ||
+        not(coalesce(col("n").cast("long"), lit(0L)) <=> col("nn")))
       .count()
     assert(mismatches == 0)
     // edges: empty/whitespace-only -> (0.0, 0, 0); uniform two-token
