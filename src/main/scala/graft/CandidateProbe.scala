@@ -274,8 +274,14 @@ object CandidateProbe {
           greatest(col("left_id"), col("right_id")).as("r"))
         .groupBy(col("d")).agg(
           count(lit(1)).as("stream_rows"),
-          count_distinct(when(col("r") === col("l") + offset,
-            struct(col("l"), col("r")))).as("planted"))
+          // the distinct key is the LONG left id, not a (l, r) struct:
+          // r == l + offset makes l alone identify the planted pair, and
+          // a primitive key keeps the distinct's partial aggregate in
+          // HashAggregate's fast map — the struct-keyed first attempt
+          // planned SortAggregate, whose pre-agg sort of the 14.8 B-row
+          // stream spilled the probe box's disk dry at the fourth decade
+          count_distinct(when(col("r") === col("l") + offset, col("l")))
+            .as("planted"))
         .orderBy(col("d")).collect()
       val wall = math.round((System.nanoTime() - t0) / 1e6) / 1e3
       val byd = rows.map(r =>
