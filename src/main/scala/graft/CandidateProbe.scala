@@ -346,7 +346,7 @@ object CandidateProbe {
         s"sampleK=$sampleK truth=$tCount")
       fields += s""""t13cap_truth":$tCount,"t13cap_bits":$bits,"t13cap_tables":$tables"""
       val tbs = NearDupBucketSize
-      for (factor <- Seq(0, 4, 8, 16, 32)) {
+      for (factor <- Seq(0, 1, 2, 4, 8, 16, 32)) {
         val cap = if (factor == 0) None else Some((tbs * factor).toInt)
         val cands = Similarity.lshCandidates(
           embs, "vec_id", "embedding", Dims, bits, tables, maxBucket = cap)

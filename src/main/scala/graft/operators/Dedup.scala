@@ -338,6 +338,48 @@ object Dedup {
     (maxHamming + k, k, Some(targetBucketSize))
   }
 
+  /** Data-driven `maxBucket` from an occupancy histogram — the missing
+    * half of [[simHashPlan]]'s cap story. A FIXED targetBucketSize
+    * admits a collision stream that grows with corpus density, not just
+    * size: the committed fourth-decade histogram (PROBE_t08_r17, 10 M
+    * docs) shows the default cap 1024 admitting ~264 B ordered rows
+    * (~26 k rows/doc) where 100× admits ~10.6 k/doc — the per-doc
+    * stream balloons silently as correlated corpora densify. This
+    * function inverts the measured histogram→stream identity instead:
+    * given `hist` (sizeClass → unordered pair mass, exactly the
+    * [[simHashCollisionBuckets]] aggregate the probes emit, one cheap
+    * aggregation pass over the corpus) and a per-doc ordered-stream
+    * budget, it returns the largest power-of-two cap whose admitted
+    * stream (2 × cumulative pair mass at classes ≤ log2 cap) stays
+    * within budget — or None when even the full histogram fits, i.e.
+    * the corpus needs no cap at all. The recall consequence of the
+    * chosen cap is then read off the same histogram (what the next
+    * class up drops) and measured by the planted-recall probes; cap
+    * floor 2 because a 1-member bucket pairs with nothing.
+    *
+    * Sizing discipline at 100 TB: run [[simHashCollisionBuckets]] once
+    * (one groupBy over corpus × tables thin rows), aggregate by
+    * sizeClass, call this, then run [[simHashPairs]] at the returned
+    * cap — two passes total, no trial-and-error over the quadratic
+    * stream. */
+  def capFromHistogram(hist: Seq[(Int, Long)], n: Long,
+                       streamPerDoc: Double = 8192.0): Option[Int] = {
+    require(n > 0, "capFromHistogram: n must be positive")
+    require(hist.forall { case (c, p) => c >= 0 && p >= 0 },
+      "capFromHistogram: size classes and pair masses must be non-negative")
+    val budget = streamPerDoc * n / 2.0 // unordered pair budget
+    val byClass = hist.sortBy(_._1)
+    var cum = 0.0
+    var best = 1 // size class 1 = cap 2, the floor
+    var fitsAll = true
+    byClass.foreach { case (cls, pairs) =>
+      cum += pairs.toDouble
+      if (cum <= budget) best = math.max(best, cls)
+      else fitsAll = false
+    }
+    if (fitsAll) None else Some(1 << best)
+  }
+
   /** The t08 CANDIDATE stage on its own — distinct canonical block-
     * collision pairs with both signatures, before the Hamming verify.
     * `private[graft]` so the scale probes can measure candidate growth

@@ -184,6 +184,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("capFromHistogram inverts the measured histogram->stream identity") {
+    // fixture: the committed fourth-decade occupancy histogram
+    // (PROBE_t08_r17, 10 M docs, 10 blocks / 4-block keys) — sizeClass
+    // -> unordered pair mass
+    val hist1000x = Seq(0 -> 0L, 1 -> 47507555L, 2 -> 134474025L,
+      3 -> 343367650L, 4 -> 823261795L, 5 -> 1890694361L,
+      6 -> 4174776196L, 7 -> 8864821103L, 8 -> 18095885300L,
+      9 -> 34971613832L, 10 -> 62727244119L, 11 -> 102947267829L,
+      12 -> 148379220468L, 13 -> 183624880044L, 14 -> 175623154425L,
+      15 -> 129644344629L, 16 -> 42732211851L, 17 -> 11511142623L)
+    val n = 10000000L
+    // default budget (8192 rows/doc ordered -> 40.96 B unordered):
+    // classes <= 9 cumulate 69.3 B > budget; classes <= 8 cumulate
+    // 34.4 B <= budget -> cap 256
+    assert(Dedup.capFromHistogram(hist1000x, n) == Some(256))
+    // the r17 probe's cap-64 stream: budget just above 1483 rows/doc
+    // admits exactly classes <= 6 (7.41 B unordered = 14.8 B ordered,
+    // the measured fourth-decade stream)
+    assert(Dedup.capFromHistogram(hist1000x, n, streamPerDoc = 1500.0)
+      == Some(64))
+    // a budget above the whole histogram means no cap is needed
+    assert(Dedup.capFromHistogram(hist1000x, n,
+      streamPerDoc = 1e12).isEmpty)
+    // a hostile budget still returns the cap floor (2), never None-by-
+    // accident or a degenerate 1-member cap
+    assert(Dedup.capFromHistogram(hist1000x, n, streamPerDoc = 0.001)
+      == Some(2))
+    // empty histogram (no bucket has 2+ members): nothing to cap
+    assert(Dedup.capFromHistogram(Seq.empty, n).isEmpty)
+  }
+
   test("jaccardPairs finds planted near-duplicates above threshold") {
     val corpus = planted
     val got = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.6)
