@@ -288,11 +288,53 @@ object Dedup {
     cap.foreach { c =>
       val msg = s"[graft] simHashPairsAuto: occupancy cap ENGAGED " +
         s"(blocks=$blocks keyBlocks=$keyBlocks maxBucket=$c) — result is a " +
-        "measured-recall subset of the exact Hamming ball (see simHashPlan " +
-        "scaladoc; PROBE_t08: 99.85% planted recall at the default cap)"
+        "measured-recall subset of the exact Hamming ball, and fixed-cap " +
+        "recall DECAYS as the corpus densifies (PROBE_t08: cap 64 planted " +
+        "recall 90.7% at 1M docs, 85.7% at 10M) — size the cap per corpus " +
+        "via simHashPairsBudgeted/capFromHistogram"
       org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       System.err.println(msg)
     }
+    simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
+      keyBlocks, cap)
+  }
+
+  /** [[simHashPairsAuto]] with the cap sized to THIS corpus instead of
+    * the fixed targetBucketSize — the full two-pass discipline
+    * [[capFromHistogram]] documents, as one call: pass 1 aggregates the
+    * occupancy histogram under the corpus-sized blocking (one groupBy
+    * over corpus × tables thin rows, collected as ≤ 64 tiny size-class
+    * rows), pass 2 runs the capped pair enumeration. Exists because the
+    * r18 fourth-decade measurement showed fixed caps silently losing
+    * recall per decade (90.7% → 85.7% planted at cap 64 from 1 M to
+    * 10 M docs) while the admitted stream per doc balloons — the only
+    * stable contract across decades is a per-doc stream BUDGET, which
+    * this entry point enforces. Below `capAbove` docs it is exactly
+    * [[simHashPairsAuto]]'s capless exact path. */
+  def simHashPairsBudgeted(df: DataFrame, textCol: String, idCol: String,
+                           maxHamming: Int, streamPerDoc: Double = 8192.0,
+                           chunkSize: Int = 2048): DataFrame = {
+    val n = df.count()
+    val (blocks, keyBlocks, planCap) = simHashPlan(n, maxHamming)
+    if (planCap.isEmpty)
+      return simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
+        keyBlocks, None)
+    // pairs per class sums in DOUBLE (Spark's `/` divides as double);
+    // m(m−1) is even so the value is exact well past any realistic pair
+    // mass (integer-exact to 2^53 ≈ 9·10^15; the measured fourth-decade
+    // classes top out at ~1.8·10^11)
+    val hist = simHashCollisionBuckets(df, textCol, idCol, blocks, keyBlocks)
+      .groupBy(col("sizeClass"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1).toLong))
+      .toSeq
+    val cap = capFromHistogram(hist, n, streamPerDoc)
+    val msg = s"[graft] simHashPairsBudgeted: n=$n blocks=$blocks " +
+      s"keyBlocks=$keyBlocks budget=${streamPerDoc}/doc -> cap=$cap" +
+      (if (cap.isEmpty) " (whole histogram fits — exact)" else "")
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    System.err.println(msg)
     simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
       keyBlocks, cap)
   }

@@ -184,6 +184,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simHashPairsBudgeted is exact below capAbove and sizes caps from the corpus histogram") {
+    // below the cap threshold the budgeted path must be the capless
+    // exact Hamming ball — same contract as simHashPairsAuto
+    val maxH = 6
+    val exact = Dedup.simHashPairs(planted, "text", "doc_id", maxH,
+      blocks = maxH + 1).select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val budgeted = Dedup.simHashPairsBudgeted(planted, "text", "doc_id", maxH)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(budgeted == exact)
+    // the histogram aggregate it would size caps from matches a direct
+    // computation of per-bucket pair mass on this corpus
+    val hist = Dedup.simHashCollisionBuckets(planted, "text", "doc_id", 7, 1)
+      .groupBy(col("sizeClass"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1).toLong)).toMap
+    val direct = Dedup.simHash(planted, "text", "doc_id").collect()
+      .map(_.getLong(1))
+      .flatMap(sig => (0 until 7).map(b => (b, blockBits(sig, b, 7))))
+      .groupBy(identity).map(_._2.length.toLong)
+      .groupBy(m => math.ceil(math.log(math.max(m, 1).toDouble) /
+        math.log(2.0)).toInt)
+      .view.mapValues(_.map(m => m * (m - 1) / 2).sum).toMap
+    assert(hist == direct.filter(_._2 >= 0))
+  }
+
+  /** bits of block `b` of `sig` under the simHashCollisions layout
+    * (wider blocks first when 64 doesn't divide evenly). */
+  private def blockBits(sig: Long, b: Int, blocks: Int): (Int, Long) = {
+    val base = 64 / blocks; val rem = 64 % blocks
+    val widths = (0 until blocks).map(k => if (k < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    (b, (sig >>> offsets(b)) & ((1L << widths(b)) - 1))
+  }
+
   test("capFromHistogram inverts the measured histogram->stream identity") {
     // fixture: the committed fourth-decade occupancy histogram
     // (PROBE_t08_r17, 10 M docs, 10 blocks / 4-block keys) — sizeClass
