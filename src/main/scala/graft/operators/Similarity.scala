@@ -238,6 +238,48 @@ object Similarity {
       cap)
   }
 
+  /** [[nearDupPairsAuto]] with the occupancy cap sized to THIS corpus's
+    * bucket histogram instead of the fixed capFactor — the
+    * [[graft.operators.Dedup.simHashPairsBudgeted]] two-pass discipline
+    * on the LSH tables: pass 1 aggregates bucket occupancy under the
+    * lshPlan width (one groupBy over corpus × tables thin rows,
+    * collected as ≤ 64 size-class rows), pass 2 runs the capped
+    * enumeration at the largest cap whose admitted candidate stream
+    * stays within `streamPerVec × n` ordered rows. Exists for the same
+    * measured reason as the simhash variant: fixed caps lose recall as
+    * corpora densify, and fixed capFactors admit ballooning streams —
+    * the stable cross-decade contract is the budget. Below `capAbove`
+    * vectors this is the capless exact-verify path at lshPlan width. */
+  def nearDupPairsBudgeted(df: DataFrame, idCol: String, vecCol: String,
+                           dims: Int, threshold: Double,
+                           targetRecall: Double = 0.9,
+                           targetBucketSize: Long = 64,
+                           streamPerVec: Double = 1024.0,
+                           chunkSize: Int = 2048,
+                           capAbove: Long = 262144): DataFrame = {
+    val n = df.count()
+    val (bits, tables) = lshPlan(n, threshold, targetRecall,
+      targetBucketSize)
+    if (n <= capAbove)
+      return nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables,
+        chunkSize)
+    // pairs per class sums in DOUBLE (Spark `/`), integer-exact to 2^53
+    val hist = lshCollisionBuckets(df, idCol, vecCol, dims, bits, tables)
+      .groupBy(col("sizeClass"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1).toLong))
+      .toSeq
+    val cap = graft.operators.Dedup.capFromHistogram(hist, n, streamPerVec)
+    val msg = s"[graft] nearDupPairsBudgeted: n=$n bits=$bits " +
+      s"tables=$tables budget=${streamPerVec}/vec -> cap=$cap" +
+      (if (cap.isEmpty) " (whole histogram fits — exact-verify capless)" else "")
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    System.err.println(msg)
+    nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables, chunkSize,
+      cap)
+  }
+
   /** Embedding near-duplicate pairs: multi-table LSH-bucket self-join on
     * (tbl, bucket, id) rows ONLY — vectors are re-joined by id for the
     * cosine verify over the distinct candidate-pair set, mirroring the

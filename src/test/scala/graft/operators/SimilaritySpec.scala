@@ -140,6 +140,39 @@ class SimilaritySpec extends SparkSpec {
     assert(salted === got, "chunk-salted LSH join changed the pair set")
   }
 
+  test("nearDupPairsBudgeted and capped nearDupPairs hold the exact-verify contract") {
+    // below capAbove the budgeted path is the capless lshPlan-width
+    // answer — same contract as nearDupPairsAuto
+    val auto = Similarity.nearDupPairsAuto(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val budgeted = Similarity.nearDupPairsBudgeted(plantedEmb, "vec_id",
+        "embedding", dims = 64, threshold = 0.95)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(budgeted == auto)
+    // a cap that binds nothing (larger than every bucket) is answer-
+    // invariant; a binding cap returns a SUBSET whose survivors still
+    // meet the exact verify threshold
+    val capless = Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95, bits = 8, tables = 4)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slack = Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95, bits = 8, tables = 4,
+        maxBucket = Some(1 << 20))
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slack == capless, "non-binding cap changed the pair set")
+    val capped = Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+      dims = 64, threshold = 0.95, bits = 8, tables = 4, maxBucket = Some(4))
+    val cappedSet = capped.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedSet.subsetOf(capless), "cap invented pairs")
+    capped.collect().foreach(r => assert(r.getDouble(2) >= 0.95))
+  }
+
   test("lshPlan: occupancy-driven bits, recall-driven tables, caps honored") {
     // bits tracks corpus size at constant occupancy
     val (b1, _) = Similarity.lshPlan(20000L, 0.95)
