@@ -8,7 +8,7 @@
 #
 # usage: tools/taint_exercise.sh [outFile]
 set -u
-OUT="${1:-TAINT_r17.json}"
+OUT="${1:-TAINT_exercise.json}"
 NPROC=$(nproc)
 
 # external co-load: pure-CPU busy loops, one per core, NOT a child of
