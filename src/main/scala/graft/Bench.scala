@@ -31,24 +31,55 @@ object Bench {
       case _ => -1L
     }
 
-  /** Machine-wide busy CPU jiffies from /proc/stat (all fields except
-    * idle), or -1 off-Linux. The load-proofing primitive:
-    * external CPU = machine busy − this process's CPU. Unlike loadavg
-    * it has no 1-minute inertia and is not confounded by the bench's
-    * own local[32] load, so it detects a co-loaded machine DURING the
-    * exact seconds a query was timed. iowait is INCLUDED since r18: a
-    * co-loader that is I/O-bound steals the disk and memory bus while
-    * contributing no user/system jiffies, so the old idle+iowait
-    * exclusion made I/O-bound contention invisible by construction
-    * (r17 verdict item 1). */
-  private def machineBusyJiffies: Long =
+  /** Machine-wide (busy, iowait) CPU jiffies from /proc/stat — busy is
+    * all fields except idle — or (-1, 0) off-Linux. The load-proofing
+    * primitive: external CPU = machine busy − this process's CPU.
+    * Unlike loadavg it has no 1-minute inertia and is not confounded by
+    * the bench's own local[32] load, so it detects a co-loaded machine
+    * DURING the exact seconds a query was timed. iowait is INCLUDED in
+    * busy since r18: a co-loader that is I/O-bound steals the disk and
+    * memory bus while contributing no user/system jiffies, so the old
+    * idle+iowait exclusion made I/O-bound contention invisible by
+    * construction (r17 verdict item 1). iowait is ALSO returned
+    * separately since r19 so the bench's own block-I/O waits (spill-
+    * heavy queries) can be subtracted back out — see
+    * [[ownBlkioJiffies]] (r18 advice: with iowait counted wholesale, an
+    * I/O-heavy query could self-taint a genuinely idle machine). */
+  private def machineJiffies: (Long, Long) =
     try {
       val line = java.nio.file.Files.readAllLines(
         java.nio.file.Paths.get("/proc/stat")).get(0)
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
       // user nice system idle iowait irq softirq steal guest guest_nice
-      f.zipWithIndex.collect { case (v, i) if i != 3 => v }.sum
-    } catch { case _: Throwable => -1L }
+      (f.zipWithIndex.collect { case (v, i) if i != 3 => v }.sum,
+        if (f.length > 4) f(4) else 0L)
+    } catch { case _: Throwable => (-1L, 0L) }
+
+  /** This process's own aggregated block-I/O delay jiffies, summed over
+    * all live threads (/proc/self/task/STAR/stat field 42,
+    * delayacct_blkio_ticks). Used to credit the bench's OWN disk waits
+    * back out of the external-CPU estimate: machine iowait counts them,
+    * but they are not external load. Requires kernel delay accounting
+    * (CONFIG_TASK_DELAY_ACCT + the delayacct boot param / sysctl);
+    * where it is off the field reads 0 and the subtraction is a no-op —
+    * on such boxes a spill-heavy query under extreme I/O pressure may
+    * still need a raised SPARK_GRAFT_BENCH_EXT_FRAC, which is the
+    * documented residual of the r18 iowait-inclusion trade. Parse
+    * splits AFTER the last ')' — comm may contain spaces. */
+  private def ownBlkioJiffies: Long =
+    try {
+      val dir = new java.io.File("/proc/self/task")
+      val tids = Option(dir.listFiles()).getOrElse(Array.empty)
+      tids.map { t =>
+        try {
+          val s = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(t.getPath, "stat"))
+          val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+          // rest(0) is field 3 (state) → field 42 is rest(39)
+          if (rest.length > 39) rest(39).toLong else 0L
+        } catch { case _: Throwable => 0L }
+      }.sum
+    } catch { case _: Throwable => 0L }
 
   /** Committed per-query clean-pair reference — (wall s, process-cpu s)
     * of the best run from the last judge-verified idle-machine record
@@ -220,7 +251,8 @@ object Bench {
       * skipped. */
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Double, Double, Double, Double, Option[String]) = {
-      val j0 = machineBusyJiffies
+      val (j0, io0) = machineJiffies
+      val b0 = ownBlkioJiffies
       val c0 = processCpuNanos
       val g0 = gcMillis
       val t0 = System.nanoTime()
@@ -235,9 +267,20 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = if (c0 < 0) -1.0
                 else math.round((processCpuNanos - c0) / 1e9 * 1000.0) / 1000.0
+      // external CPU = machine busy − own process CPU − own block-I/O
+      // waits (the bench's spill/scan waits show up in machine iowait
+      // but are not external load; the own-blkio credit is clamped to
+      // the machine's iowait delta so delayacct oddities can never
+      // hide a real co-loader's compute jiffies)
       val ext = if (j0 < 0 || c0 < 0) -1.0
-                else math.max(0.0,
-                  (machineBusyJiffies - j0) / 100.0 - (processCpuNanos - c0) / 1e9)
+                else {
+                  val (j1, io1) = machineJiffies
+                  val ownIo = math.min(
+                    math.max(0L, ownBlkioJiffies - b0),
+                    math.max(0L, io1 - io0))
+                  math.max(0.0,
+                    (j1 - j0 - ownIo) / 100.0 - (processCpuNanos - c0) / 1e9)
+                }
       val gc = math.round((gcMillis - g0) / 1.0) / 1000.0
       (wall, cpu, ext, loadAvg, gc, err)
     }
@@ -246,9 +289,15 @@ object Bench {
     // the collapse tripwire only arms when this run's corpus matches
     // the committed reference's — cpu/wall signatures are SF-specific
     // (sf0.01's t15 runs at ratio ~2 where sf0.1's clean ratio is ~7,
-    // so a cross-SF check would taint idle runs)
-    val collapseArmed = cleanRef._2.nonEmpty &&
-      new java.io.File(sfDir).getName == new java.io.File(cleanRef._1).getName
+    // so a cross-SF check would taint idle runs). Full canonical-path
+    // compare (r18 advice): a basename-only match would arm the wrong
+    // signature for two corpora that share a leaf name (.../a/sf0.1 vs
+    // .../b/sf0.1). getCanonicalPath resolves against the cwd for
+    // relative records, matching how the bench itself opens sfDir.
+    val collapseArmed = cleanRef._2.nonEmpty && (try {
+      new java.io.File(sfDir).getCanonicalPath ==
+        new java.io.File(cleanRef._1).getCanonicalPath
+    } catch { case _: Throwable => false })
     def collapsedRun(name: String,
         r: (Double, Double, Double, Double, Double, Option[String])): Boolean =
       collapseArmed && r._6.isEmpty && collapsed(name, r._1, r._2)
@@ -276,7 +325,12 @@ object Bench {
         runs = runs :+ runOnce(fn)
       val err = runs.flatMap(_._6).headOption
       val best = runs.minBy(_._1)
-      (name, runs.head._1, best._1, runs.map(_._2).min, best._3,
+      // cpu_s is the BEST run's own CPU (r18 advice): the clean-pair
+      // reference pairs each query's best wall with its cpu, and a
+      // min-across-runs cpu could come from a different run, skewing
+      // the refCpu/refWall parallelism signature the collapse tripwire
+      // arms against
+      (name, runs.head._1, best._1, best._2, best._3,
         runs.map(_._4).max, tainted(best), best._5, err,
         collapsedRun(name, best))
     }

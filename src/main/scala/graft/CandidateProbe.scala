@@ -406,6 +406,110 @@ object CandidateProbe {
           s""""candidates":$nc,"candidates_s":$wc,"hits":$hits,"recall":$recall}"""
       }
     }
+    if (fams("t13budget")) {
+      // the fourth-decade budgeted row for the embedding LSH family
+      // (r18 verdict item 3) — the PROBE_t08_r18 discipline applied to
+      // [[Similarity.nearDupPairsBudgeted]]'s machinery: (1) ONE
+      // histogram aggregate under the production lshPlan width sizes
+      // the cap for the per-vec stream budget (GRAFT_T13_BUDGET,
+      // default the production 1024); the histogram identity — 2 ×
+      // cumulative pair mass at classes ≤ log2 cap — IS the admitted
+      // ordered candidate stream, exactly as validated for t08 in r18;
+      // (2) planted recall is measured on the id-linked planted subset
+      // of the gated pair enumeration BEFORE the candidate distinct
+      // (bounded ≤ tables rows per planted pair), then the exact
+      // cosine verify. The full candidate distinct at this decade is
+      // an aggregate-cluster operation — same adjudication as t08big.
+      val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
+      val n = embs.count()
+      val (bits, tables) = Similarity.lshPlan(n, NearDupThreshold,
+        NearDupTargetRecall, NearDupBucketSize)
+      val budget = sys.env.get("GRAFT_T13_BUDGET").map(_.toDouble)
+        .getOrElse(1024.0)
+      val offset = sys.env.get("GRAFT_PLANTED_OFFSET").map(_.toLong)
+        .getOrElse(1000000L)
+      println(s"[candprobe] t13budget n=$n bits=$bits tables=$tables " +
+        s"budget=$budget/vec offset=$offset")
+      val th0 = System.nanoTime()
+      val histRows = Similarity.lshCollisionBuckets(embs, "vec_id",
+          "embedding", Dims, bits, tables)
+        .groupBy(col("sizeClass")).agg(
+          count(lit(1)).as("buckets"),
+          sum(col("m")).as("members"),
+          sum(col("m") * (col("m") - 1) / 2).as("pairs"))
+        .orderBy(col("sizeClass")).collect()
+      val histWall = math.round((System.nanoTime() - th0) / 1e6) / 1e3
+      histRows.foreach { r =>
+        println(s"[candprobe] t13budget size<=2^${r.getInt(0)} " +
+          s"buckets=${r.getLong(1)} members=${r.getLong(2)} pairs=${r.get(3)}")
+      }
+      val histJson = histRows.map(r =>
+        s"""{"log2":${r.getInt(0)},"buckets":${r.getLong(1)},"pairs":${r.get(3)}}""")
+        .mkString("[", ",", "]")
+      val hist = histRows.map(r => (r.getInt(0), r.getDouble(3).toLong)).toSeq
+      val cap = Dedup.capFromHistogram(hist, n, budget)
+      val lim = cap.map(Integer.numberOfTrailingZeros).getOrElse(Int.MaxValue)
+      val admitted = 2L * hist.filter(_._1 <= lim).map(_._2).sum
+      val budgetRows = (budget * n).toLong
+      println(s"[candprobe] t13budget cap=${cap.getOrElse(0)} " +
+        s"admitted_stream=$admitted budget_rows=$budgetRows hist_s=$histWall")
+      fields += s""""t13budget_hist":$histJson,"t13budget_n":$n,""" +
+        s""""t13budget_bits":$bits,"t13budget_tables":$tables,""" +
+        s""""t13budget_budget":$budget,"t13budget_cap":${cap.getOrElse(0)},""" +
+        s""""t13budget_admitted":$admitted,"t13budget_budget_rows":$budgetRows,""" +
+        s""""t13budget_hist_s":$histWall"""
+      if (!sys.env.contains("GRAFT_T13_SKIP_RECALL")) {
+        // gated enumeration (the [[Similarity.lshCandidates]] shape,
+        // replicated so the planted filter lands BEFORE the distinct)
+        val bucketed = embs.select(col("vec_id").as("id"),
+          explode(Similarity.lshBuckets(col("embedding"), Dims, bits, tables))
+            .as("tb"))
+          .select(col("id"), col("tb.tbl").as("tbl"),
+            col("tb.bucket").as("bucket"))
+        val gated = cap match {
+          case Some(c) =>
+            val small = bucketed.groupBy(col("tbl"), col("bucket"))
+              .agg(count(lit(1)).as("__bn"))
+              .filter(col("__bn") <= c)
+              .select(col("tbl"), col("bucket"))
+            bucketed.join(small.hint("merge"), Seq("tbl", "bucket"),
+                "left_semi")
+              .repartition(col("tbl"), col("bucket"))
+          case None => bucketed
+        }
+        val plantedCand = graft.operators.SaltedSelfJoin
+          .pairs(gated, Seq("tbl", "bucket"), "id",
+            maxBucketHint = cap.map(_.toLong))
+          .select(least(col("left_id"), col("right_id")).as("l"),
+            greatest(col("left_id"), col("right_id")).as("r"))
+          .filter(col("r") === col("l") + offset)
+          .distinct()
+        val vecs = embs.select(col("vec_id"), col("embedding"))
+        val verified = plantedCand
+          .join(vecs.select(col("vec_id").as("l"), col("embedding").as("lv")),
+            Seq("l"))
+          .join(vecs.select(col("vec_id").as("r"), col("embedding").as("rv")),
+            Seq("r"))
+          .filter(round(Similarity.cosine(col("lv"), col("rv")), 4)
+            >= NearDupThreshold)
+        val (hits, hitsWall) = timed(verified)
+        // denominator: planted pairs actually within the threshold
+        // (one linear id-offset self-join — the t08planted convention)
+        val within = embs.join(
+            embs.select((col("vec_id") - offset).as("vec_id"),
+              col("embedding").as("e2")), Seq("vec_id"))
+          .filter(round(Similarity.cosine(col("embedding"), col("e2")), 4)
+            >= NearDupThreshold)
+          .count()
+        val recall = if (within == 0) 1.0
+          else math.round(hits.toDouble / within * 10000.0) / 10000.0
+        println(s"[candprobe] t13budget planted_hits=$hits within=$within " +
+          s"recall=$recall wall=${hitsWall}s")
+        fields += s""""t13budget_planted_hits":$hits,""" +
+          s""""t13budget_planted_within":$within,""" +
+          s""""t13budget_recall":$recall,"t13budget_recall_s":$hitsWall"""
+      }
+    }
     if (fams("t13")) {
       val embs = graft.queries.LlmQueries.plantedEmbeddings(spark, sfDir)
       val n = embs.count()

@@ -22,15 +22,26 @@ import org.apache.spark.sql.functions._
   *      batch (watermark 10 min against a 1 min/batch event clock, so
   *      steady state holds ~10 batches of bucket owners + open
   *      windows), plus the same duration-plateau check.
+  *   C/D. [[graft.streaming.WindowedDistinct]] /
+  *      [[graft.streaming.WindowedFrequency]] — the streaming sketch
+  *      pair, added round 19 (r18 verdict item 5): their bounded-state
+  *      contract (HLL ≤ 256 register rows, CMS ≤ 16 384 counter rows
+  *      per open window, INDEPENDENT of input cardinality) is spec'd on
+  *      toy streams; this pins the measured state plateau and per-batch
+  *      wall per corpus decade.
   *
   * Emits one JSON line per phase. Usage:
-  *   runMain graft.StreamScaleProbe [sfDir] [nBatches]
+  *   runMain graft.StreamScaleProbe [sfDir] [nBatches] [phase,phase,…]
   */
 object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/scale10_heaps"))
     val nBatches = if (args.length > 1) args(1).toInt else 20
+    val phases: Set[String] =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("against_index", "neardup_within_watermark",
+        "windowed_distinct", "windowed_frequency")
     val spark = graft.core.Sessions.local("graft-stream-scale-probe")
     import graft.operators.IncrementalDedup
 
@@ -39,10 +50,12 @@ object StreamScaleProbe {
 
     // ---- the persisted index (t07 artifact posture) ----
     val work = Files.createTempDirectory("stream_scale_probe").toString
-    IncrementalDedup.signatureIndex(docs, "text", "doc_id")
-      .write.parquet(s"$work/index.parquet")
-    val index = spark.read.parquet(s"$work/index.parquet").cache()
-    val nIndex = index.count() // materialize the cache outside timing
+    val (index, nIndex) = if (phases("against_index")) {
+      IncrementalDedup.signatureIndex(docs, "text", "doc_id")
+        .write.parquet(s"$work/index.parquet")
+      val ix = spark.read.parquet(s"$work/index.parquet").cache()
+      (ix, ix.count()) // materialize the cache outside timing
+    } else (spark.emptyDataFrame, 0L)
 
     // ---- source files: one per micro-batch, event clock 1 min/batch ----
     val srcDir = s"$work/src"
@@ -91,15 +104,35 @@ object StreamScaleProbe {
     }
 
     // A: stateless stream-static join against the persisted index
-    runPhase("against_index",
-      graft.streaming.StreamDedup.againstIndex(
-        stream.select(col("doc_id"), col("text")), "text", "doc_id", index),
-      s"$work/ckptA")
+    if (phases("against_index"))
+      runPhase("against_index",
+        graft.streaming.StreamDedup.againstIndex(
+          stream.select(col("doc_id"), col("text")), "text", "doc_id", index),
+        s"$work/ckptA")
     // B: stateful near-dup admission (watermark 10 min, window 1 min)
-    runPhase("neardup_within_watermark",
-      graft.streaming.StreamDedup.nearDupWithinWatermark(
-        stream, "ts", "doc_id", "text"),
-      s"$work/ckptB")
+    if (phases("neardup_within_watermark"))
+      runPhase("neardup_within_watermark",
+        graft.streaming.StreamDedup.nearDupWithinWatermark(
+          stream, "ts", "doc_id", "text"),
+        s"$work/ckptB")
+    // C/D: the streaming sketch pair over the full text column — the
+    // worst-case cardinality (every doc distinct), which is exactly
+    // what the sketches bound: 2-minute windows against the 1 min/batch
+    // event clock keep ~2 windows open under the 2-minute watermark,
+    // so the state plateau is (open windows) × (sketch table size),
+    // whatever the corpus decade
+    if (phases("windowed_distinct"))
+      runPhase("windowed_distinct",
+        graft.streaming.WindowedDistinct.tumbling(
+          stream, "ts", col("text"),
+          windowLength = "2 minutes", watermark = "2 minutes"),
+        s"$work/ckptC")
+    if (phases("windowed_frequency"))
+      runPhase("windowed_frequency",
+        graft.streaming.WindowedFrequency.tumbling(
+          stream, "ts", col("text"),
+          windowLength = "2 minutes", watermark = "2 minutes"),
+        s"$work/ckptD")
     spark.stop()
   }
 }

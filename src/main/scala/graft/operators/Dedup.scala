@@ -273,31 +273,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("left_id"), col("right_id"), col("hamming"))
 
+  /** Append the exactness marker the Budgeted/Auto entry points return
+    * (r18 verdict item 2): a boolean `capped` column — per-row, so it
+    * survives writes and unions — whose column METADATA carries the
+    * same flag under key "graft.capped", readable even when the result
+    * has zero rows (a binding cap on a small corpus can legitimately
+    * empty the pair set). */
+  private[graft] def withCappedMarker(df: DataFrame,
+                                      capped: Boolean): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean("graft.capped", capped).build()
+    df.withColumn("capped", lit(capped).as("capped", meta))
+  }
+
   /** [[simHashPairs]] at [[simHashPlan]]-sized blocking — the
     * production path (the [[Similarity]] `nearDupPairsAuto` pattern):
     * one count() sizes the keys to the corpus; below `capAbove` docs
     * the plan is capless, so the answer is the exact Hamming ball and
-    * the oracle holds at every verify scale. */
+    * the oracle holds at every verify scale.
+    *
+    * Since round 19 this IS [[simHashPairsBudgeted]]: above `capAbove`
+    * the occupancy cap is sized from THIS corpus's bucket histogram to
+    * the `streamPerDoc` ordered-stream budget, because the fixed
+    * `targetBucketSize` cap the Auto path used before measurably loses
+    * recall per decade as correlated corpora densify (PROBE_t08_r18:
+    * planted recall 90.7% at 1 M docs → 85.7% at 10 M under cap 64,
+    * while the admitted stream per doc balloons). The budget is the
+    * only contract the fourth-decade measurements showed stable across
+    * decades, so the obvious entry point now inherits it instead of
+    * hiding it behind a log line. Output carries a boolean `capped`
+    * marker column — false on every exact run — so a downstream
+    * consumer can gate on exactness programmatically (r18 verdict
+    * item 2); golden projections drop it. */
   def simHashPairsAuto(df: DataFrame, textCol: String, idCol: String,
-                       maxHamming: Int, chunkSize: Int = 2048): DataFrame = {
-    val (blocks, keyBlocks, cap) = simHashPlan(df.count(), maxHamming)
-    // the cap crossing must be VISIBLE (r17 advice): above capAbove the
-    // result is a measured-recall subset of the exact Hamming ball, and
-    // nothing in the output schema distinguishes it — a golden run that
-    // grows past the threshold would silently change semantics
-    cap.foreach { c =>
-      val msg = s"[graft] simHashPairsAuto: occupancy cap ENGAGED " +
-        s"(blocks=$blocks keyBlocks=$keyBlocks maxBucket=$c) — result is a " +
-        "measured-recall subset of the exact Hamming ball, and fixed-cap " +
-        "recall DECAYS as the corpus densifies (PROBE_t08: cap 64 planted " +
-        "recall 90.7% at 1M docs, 85.7% at 10M) — size the cap per corpus " +
-        "via simHashPairsBudgeted/capFromHistogram"
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
-      System.err.println(msg)
-    }
-    simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
-      keyBlocks, cap)
-  }
+                       maxHamming: Int, chunkSize: Int = 2048,
+                       streamPerDoc: Double = 8192.0,
+                       capAbove: Long = 262144L,
+                       knownN: Option[Long] = None): DataFrame =
+    simHashPairsBudgeted(df, textCol, idCol, maxHamming, streamPerDoc,
+      chunkSize, capAbove, knownN)
 
   /** [[simHashPairsAuto]] with the cap sized to THIS corpus instead of
     * the fixed targetBucketSize — the full two-pass discipline
@@ -310,15 +324,32 @@ object Dedup {
     * 10 M docs) while the admitted stream per doc balloons — the only
     * stable contract across decades is a per-doc stream BUDGET, which
     * this entry point enforces. Below `capAbove` docs it is exactly
-    * [[simHashPairsAuto]]'s capless exact path. */
+    * [[simHashPairsAuto]]'s capless exact path.
+    *
+    * Output schema: (left_id, right_id, hamming, capped) — `capped` is
+    * true iff an occupancy cap actually engaged (subset semantics),
+    * false on every exact run, including above-threshold corpora whose
+    * whole histogram fits the budget.
+    *
+    * Lineage discipline (r18 verdict item 4): the sizing needs the doc
+    * count and the occupancy histogram before the pair enumeration —
+    * over a DERIVED input (a curation-stage output, not a raw scan)
+    * each extra pass re-executes the upstream pipeline. Pass `knownN`
+    * when the caller already knows the count (or persisted the input
+    * and counted it), which drops the count pass entirely; the
+    * histogram pass is irreducible (it IS the sizing data) but runs at
+    * most once, and only above `capAbove`. */
   def simHashPairsBudgeted(df: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int, streamPerDoc: Double = 8192.0,
-                           chunkSize: Int = 2048): DataFrame = {
-    val n = df.count()
-    val (blocks, keyBlocks, planCap) = simHashPlan(n, maxHamming)
+                           chunkSize: Int = 2048,
+                           capAbove: Long = 262144L,
+                           knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(df.count())
+    val (blocks, keyBlocks, planCap) = simHashPlan(n, maxHamming,
+      capAbove = capAbove)
     if (planCap.isEmpty)
-      return simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
-        keyBlocks, None)
+      return withCappedMarker(simHashPairs(df, textCol, idCol, maxHamming,
+        blocks, chunkSize, keyBlocks, None), capped = false)
     // pairs per class sums in DOUBLE (Spark's `/` divides as double);
     // m(m−1) is even so the value is exact well past any realistic pair
     // mass (integer-exact to 2^53 ≈ 9·10^15; the measured fourth-decade
@@ -330,13 +361,12 @@ object Dedup {
       .map(r => (r.getInt(0), r.getDouble(1).toLong))
       .toSeq
     val cap = capFromHistogram(hist, n, streamPerDoc)
-    val msg = s"[graft] simHashPairsBudgeted: n=$n blocks=$blocks " +
-      s"keyBlocks=$keyBlocks budget=${streamPerDoc}/doc -> cap=$cap" +
-      (if (cap.isEmpty) " (whole histogram fits — exact)" else "")
-    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
-    System.err.println(msg)
-    simHashPairs(df, textCol, idCol, maxHamming, blocks, chunkSize,
-      keyBlocks, cap)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"[graft] simHashPairsBudgeted: n=$n blocks=$blocks " +
+        s"keyBlocks=$keyBlocks budget=${streamPerDoc}/doc -> cap=$cap" +
+        (if (cap.isEmpty) " (whole histogram fits — exact)" else ""))
+    withCappedMarker(simHashPairs(df, textCol, idCol, maxHamming, blocks,
+      chunkSize, keyBlocks, cap), capped = cap.isDefined)
   }
 
   /** Corpus-sized blocking plan for [[simHashPairs]] (the
@@ -419,7 +449,12 @@ object Dedup {
       if (cum <= budget) best = math.max(best, cls)
       else fitsAll = false
     }
-    if (fitsAll) None else Some(1 << best)
+    // clamp: size class >= 31 would overflow the Int shift to a
+    // negative cap, and the downstream `__bn <= cap` gate would then
+    // drop EVERY bucket (r18 advice). 2^30 members per bucket is past
+    // any cap a per-doc budget can sensibly admit, so the clamp only
+    // trades an unreachable cap for the largest representable one.
+    if (fitsAll) None else Some(1 << math.min(best, 30))
   }
 
   /** The t08 CANDIDATE stage on its own — distinct canonical block-

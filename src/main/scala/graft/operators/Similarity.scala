@@ -203,40 +203,31 @@ object Similarity {
   /** [[nearDupPairs]] at [[lshPlan]]-sized width — the production
     * default for corpora of unknown size (one count action sizes the
     * plan; the fixed-bits variant stays for oracle determinism, exactly
-    * the autoK/pruneAuto convention). */
+    * the autoK/pruneAuto convention).
+    *
+    * Since round 19 this IS [[nearDupPairsBudgeted]]: above `capAbove`
+    * the occupancy cap is sized from THIS corpus's bucket histogram to
+    * the `streamPerVec` candidate-stream budget instead of the fixed
+    * `capFactor × targetBucketSize` the Auto path used before. The
+    * simhash twin's fourth-decade measurement (PROBE_t08_r18) proved
+    * fixed caps silently lose recall per decade as corpora densify
+    * while the admitted stream balloons — the per-vector budget is the
+    * only contract stable across decades, so the obvious entry point
+    * inherits it (r18 verdict item 1). Sub-threshold corpora (every
+    * oracle scale) stay capless and exact. Output carries a boolean
+    * `capped` marker column — false on every exact-candidate run — so
+    * downstream consumers can gate on exactness; golden projections
+    * drop it. */
   def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
                        dims: Int, threshold: Double,
                        targetRecall: Double = 0.9,
                        targetBucketSize: Long = 64,
                        chunkSize: Int = 2048,
                        capAbove: Long = 262144,
-                       capFactor: Int = 16): DataFrame = {
-    val n = df.count()
-    val (bits, tables) = lshPlan(n, threshold, targetRecall,
-      targetBucketSize)
-    // occupancy cap — the t08 pattern applied to the LSH tables
-    // (r17 verdict item 4, pre-positioned before the decade that needs
-    // it): lshPlan holds EXPECTED bucket size at targetBucketSize, but
-    // dense corpus regions concentrate — the r17 audit measured
-    // candidates-per-verified-pair doubling per decade at recall 1.000.
-    // Above `capAbove` docs, buckets beyond capFactor × targetBucketSize
-    // are dropped before pair enumeration; sub-threshold corpora (every
-    // oracle scale) stay capless and exact. capFactor = 16 is MEASURED
-    // at the 100×-heaps decade (PROBE_t13cap_r18): recall 1.000 vs the
-    // sampled exhaustive ground truth while cutting the candidate
-    // stream — the oversized tail is redundant dense-cluster bulk.
-    val cap = if (n > capAbove) Some((targetBucketSize * capFactor).toInt)
-              else None
-    cap.foreach { c =>
-      val msg = s"[graft] nearDupPairsAuto: occupancy cap ENGAGED " +
-        s"(bits=$bits tables=$tables maxBucket=$c) — candidate recall is " +
-        "the measured subset semantics (see scaladoc / PROBE_t13cap)"
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
-      System.err.println(msg)
-    }
-    nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables, chunkSize,
-      cap)
-  }
+                       streamPerVec: Double = 1024.0,
+                       knownN: Option[Long] = None): DataFrame =
+    nearDupPairsBudgeted(df, idCol, vecCol, dims, threshold, targetRecall,
+      targetBucketSize, streamPerVec, chunkSize, capAbove, knownN)
 
   /** [[nearDupPairsAuto]] with the occupancy cap sized to THIS corpus's
     * bucket histogram instead of the fixed capFactor — the
@@ -249,20 +240,30 @@ object Similarity {
     * measured reason as the simhash variant: fixed caps lose recall as
     * corpora densify, and fixed capFactors admit ballooning streams —
     * the stable cross-decade contract is the budget. Below `capAbove`
-    * vectors this is the capless exact-verify path at lshPlan width. */
+    * vectors this is the capless exact-verify path at lshPlan width.
+    *
+    * Output schema: (left_id, right_id, cosine_sim, capped) — `capped`
+    * is true iff an occupancy cap actually engaged (candidate-subset
+    * semantics), false on every exact-candidate run. Pass `knownN`
+    * when the caller already knows the corpus count (or persisted the
+    * input and counted it) — over a derived input each extra pass
+    * re-executes the upstream pipeline, and the count pass is the one
+    * the caller can supply (the histogram pass IS the sizing data). */
   def nearDupPairsBudgeted(df: DataFrame, idCol: String, vecCol: String,
                            dims: Int, threshold: Double,
                            targetRecall: Double = 0.9,
                            targetBucketSize: Long = 64,
                            streamPerVec: Double = 1024.0,
                            chunkSize: Int = 2048,
-                           capAbove: Long = 262144): DataFrame = {
-    val n = df.count()
+                           capAbove: Long = 262144,
+                           knownN: Option[Long] = None): DataFrame = {
+    val n = knownN.getOrElse(df.count())
     val (bits, tables) = lshPlan(n, threshold, targetRecall,
       targetBucketSize)
     if (n <= capAbove)
-      return nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables,
-        chunkSize)
+      return graft.operators.Dedup.withCappedMarker(
+        nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables,
+          chunkSize), capped = false)
     // pairs per class sums in DOUBLE (Spark `/`), integer-exact to 2^53
     val hist = lshCollisionBuckets(df, idCol, vecCol, dims, bits, tables)
       .groupBy(col("sizeClass"))
@@ -271,13 +272,14 @@ object Similarity {
       .map(r => (r.getInt(0), r.getDouble(1).toLong))
       .toSeq
     val cap = graft.operators.Dedup.capFromHistogram(hist, n, streamPerVec)
-    val msg = s"[graft] nearDupPairsBudgeted: n=$n bits=$bits " +
-      s"tables=$tables budget=${streamPerVec}/vec -> cap=$cap" +
-      (if (cap.isEmpty) " (whole histogram fits — exact-verify capless)" else "")
-    org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
-    System.err.println(msg)
-    nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables, chunkSize,
-      cap)
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"[graft] nearDupPairsBudgeted: n=$n bits=$bits " +
+        s"tables=$tables budget=${streamPerVec}/vec -> cap=$cap" +
+        (if (cap.isEmpty) " (whole histogram fits — exact-verify capless)"
+         else ""))
+    graft.operators.Dedup.withCappedMarker(
+      nearDupPairs(df, idCol, vecCol, dims, threshold, bits, tables,
+        chunkSize, cap), capped = cap.isDefined)
   }
 
   /** Embedding near-duplicate pairs: multi-table LSH-bucket self-join on
@@ -315,6 +317,11 @@ object Similarity {
                                    tables: Int,
                                    chunkSize: Int = 2048,
                                    maxBucket: Option[Int] = None): DataFrame = {
+    // cap validation (r18 advice, mirroring simHashCollisions): a
+    // non-positive or 1 cap would silently filter out every bucket —
+    // a 1-member bucket pairs with nothing, so caps below 2 are bugs
+    maxBucket.foreach(c => require(c >= 2,
+      s"lshCandidates: maxBucket must be >= 2, got $c"))
     val bucketed = df.select(col(idCol).as("id"),
       explode(lshBuckets(col(vecCol), dims, bits, tables)).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))

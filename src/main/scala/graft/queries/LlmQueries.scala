@@ -486,9 +486,13 @@ object LlmQueries {
         |ORDER BY left_id, right_id""".stripMargin) { (s, d) =>
       // auto-sized blocking (r17): one-block 9-bit keys saturate on
       // correlated corpora — simHashPlan widens the keys with the
-      // corpus while staying capless (exact) at every oracle scale
+      // corpus while staying capless (exact) at every oracle scale;
+      // the `capped` exactness marker (false here by that contract —
+      // spec-pinned) is metadata, not answer, so the golden projection
+      // drops it
       Dedup.simHashPairsAuto(plantedCorpus(s, d), "text", "doc_id",
         maxHamming = graft.GoldenGen.ModelParams.SimHamming)
+        .drop("capped")
         .orderBy(col("left_id"), col("right_id"))
     },
 
@@ -1169,6 +1173,7 @@ object LlmQueries {
           "embedding", dims = Dims, threshold = NearDupThreshold,
           targetRecall = NearDupTargetRecall,
           targetBucketSize = NearDupBucketSize)
+        .drop("capped") // exactness marker, not answer (capless here)
         .orderBy(col("left_id"), col("right_id"))
     },
 

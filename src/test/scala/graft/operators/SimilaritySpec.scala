@@ -171,6 +171,48 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cappedSet.subsetOf(capless), "cap invented pairs")
     capped.collect().foreach(r => assert(r.getDouble(2) >= 0.95))
+    // degenerate caps are rejected loudly instead of silently emptying
+    // the pair set (r18 advice)
+    intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(plantedEmb, "vec_id", "embedding",
+        dims = 64, threshold = 0.95, bits = 8, tables = 4,
+        maxBucket = Some(1)).count()
+    }
+  }
+
+  test("nearDupPairsAuto IS the budgeted path and stamps the capped marker") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capless default (every oracle scale): marker false per-row and in
+    // column metadata; answer is the exact-verify capless set
+    val auto = Similarity.nearDupPairsAuto(plantedEmb, "vec_id", "embedding",
+      dims = 64, threshold = 0.95)
+    assert(!auto.schema("capped").metadata.getBoolean("graft.capped"))
+    assert(auto.select("capped").distinct().collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+    // forced above-threshold with a hostile budget: auto == budgeted
+    // (r18 verdict item 1), the marker reads true even if the binding
+    // cap empties the result on this tiny fixture, and survivors are a
+    // subset of the capless answer that still meets the exact verify
+    val a = Similarity.nearDupPairsAuto(plantedEmb, "vec_id", "embedding",
+      dims = 64, threshold = 0.95, capAbove = 10L, streamPerVec = 0.001)
+    val b = Similarity.nearDupPairsBudgeted(plantedEmb, "vec_id", "embedding",
+      dims = 64, threshold = 0.95, streamPerVec = 0.001, capAbove = 10L)
+    assert(pairSet(a) == pairSet(b))
+    assert(a.schema("capped").metadata.getBoolean("graft.capped"))
+    assert(b.schema("capped").metadata.getBoolean("graft.capped"))
+    val aRows = a.select("capped").distinct().collect().map(_.getBoolean(0))
+    assert(aRows.isEmpty || aRows.toSeq == Seq(true))
+    assert(pairSet(a).subsetOf(pairSet(auto)), "cap invented pairs")
+    a.select("cosine_sim").collect().foreach(r =>
+      assert(r.getDouble(0) >= 0.95))
+    // knownN (r18 verdict item 4): supplying the pre-computed count
+    // skips the count pass and is answer-invariant
+    val known = Similarity.nearDupPairsBudgeted(plantedEmb, "vec_id",
+      "embedding", dims = 64, threshold = 0.95, streamPerVec = 0.001,
+      capAbove = 10L, knownN = Some(plantedEmb.count()))
+    assert(pairSet(known) == pairSet(b))
   }
 
   test("lshPlan: occupancy-driven bits, recall-driven tables, caps honored") {

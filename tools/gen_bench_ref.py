@@ -6,6 +6,12 @@ line is `<query> <best wall s> <best cpu s>`; the `# sf` header pins
 the scale factor the signature is valid for (the tripwire disarms on
 any other corpus).
 
+Since r19 Bench records cpu_s as the BEST run's own CPU (it was the
+min across runs before), so the (wall, cpu) pair written here is a
+single run's true parallelism signature — not a cross-run mix that
+could shift rule A's arming threshold (r18 advice). Only regenerate
+from records produced by an r19+ Bench.
+
 usage: tools/gen_bench_ref.py BENCH_rNN_clean.json
 """
 import json
