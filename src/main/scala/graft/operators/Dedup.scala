@@ -338,7 +338,11 @@ object Dedup {
     * when the caller already knows the count (or persisted the input
     * and counted it), which drops the count pass entirely; the
     * histogram pass is irreducible (it IS the sizing data) but runs at
-    * most once, and only above `capAbove`. */
+    * most once, and only above `capAbove`. Measured
+    * (PROBE_budgetpass_r19): 4 upstream evaluations default → 3 with
+    * `knownN` (histogram + the self-join's two arms), answer
+    * invariant — callers with expensive derived inputs should persist
+    * them. */
   def simHashPairsBudgeted(df: DataFrame, textCol: String, idCol: String,
                            maxHamming: Int, streamPerDoc: Double = 8192.0,
                            chunkSize: Int = 2048,

@@ -248,7 +248,10 @@ object Similarity {
     * when the caller already knows the corpus count (or persisted the
     * input and counted it) — over a derived input each extra pass
     * re-executes the upstream pipeline, and the count pass is the one
-    * the caller can supply (the histogram pass IS the sizing data). */
+    * the caller can supply (the histogram pass IS the sizing data;
+    * measured for the simhash twin in PROBE_budgetpass_r19: 4 → 3
+    * upstream evaluations, answer invariant — persist expensive
+    * derived inputs). */
   def nearDupPairsBudgeted(df: DataFrame, idCol: String, vecCol: String,
                            dims: Int, threshold: Double,
                            targetRecall: Double = 0.9,
