@@ -712,24 +712,36 @@ object Dedup {
     val lt = docs.select(col("doc_id").as("left_id"), col("text").as("__lt"))
     val rt = docs.select(col("doc_id").as("right_id"), col("text").as("__rt"))
     // candidate pairs are left < right by id; containment is asymmetric,
-    // so verify both orientations (the joined subtree is shared — tiny
-    // candidate set, text joined once per side). Merge-hinted: the r16
-    // audit truth-counted this candidates frame at 40 M rows (1.2 GB)
-    // on the heaps 100× corpus under a 25 MB static estimate, and the
-    // text sides are O(corpus) — no side is ever a safe broadcast.
+    // so verify both orientations. Merge-hinted: the r16 audit
+    // truth-counted this candidates frame at 40 M rows (1.2 GB) on the
+    // heaps 100× corpus under a 25 MB static estimate, and the text
+    // sides are O(corpus) — no side is ever a safe broadcast.
+    //
+    // ONE pass (r19): the old unionAll of two filters over this same
+    // subtree planned the whole blocking + both text joins TWICE —
+    // Catalyst cannot ReusedExchange across the orientation-specific
+    // projections (plan-measured: 2× the candidates subtree, 8 SMJ, 26
+    // Exchanges at sf0.1). Each joined row now emits its 0–2 oriented
+    // verdicts in a single projection (array-build → filter → explode,
+    // all codegen), halving the operator's scans, joins and shuffles.
+    // Same rows, same multiplicities (equal texts still emit both
+    // directions); callers order the result, so emission order is free.
     val joined = candidates.join(lt.hint("merge"), Seq("left_id"))
       .join(rt.hint("merge"), Seq("right_id"))
-    val lInR = joined
-      .filter(length(col("__lt")) <= length(col("__rt")) &&
-        col("__rt").contains(col("__lt")))
-      .select(col("left_id").as("contained_id"),
-        col("right_id").as("container_id"))
-    val rInL = joined
-      .filter(length(col("__rt")) <= length(col("__lt")) &&
-        col("__lt").contains(col("__rt")))
-      .select(col("right_id").as("contained_id"),
-        col("left_id").as("container_id"))
-    lInR.unionAll(rInL)
+    joined
+      .select(explode(filter(array(
+        struct(
+          (length(col("__lt")) <= length(col("__rt")) &&
+            col("__rt").contains(col("__lt"))).as("k"),
+          col("left_id").as("contained_id"),
+          col("right_id").as("container_id")),
+        struct(
+          (length(col("__rt")) <= length(col("__lt")) &&
+            col("__lt").contains(col("__rt"))).as("k"),
+          col("right_id").as("contained_id"),
+          col("left_id").as("container_id"))),
+        p => p.getField("k"))).as("p"))
+      .select(col("p.contained_id"), col("p.container_id"))
   }
 
   /** Benchmark decontamination via a Bloom-sketch prefilter — the scale

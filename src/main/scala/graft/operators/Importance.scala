@@ -21,23 +21,27 @@ import graft.functions.TextFunctions
   *
   * (length-normalized so long documents aren't favored).
   *
-  * Spark-first plan: ONE exploded token pass over the raw corpus feeds
-  * both the per-(doc, bucket) counts and the raw bucket distribution;
-  * the target distribution is a second aggregate over the target rows
-  * only. Both distributions are `nBuckets` rows — they broadcast to the
-  * scorer, so the only wide shuffle is the doc-keyed count aggregation.
-  * The per-bucket log-ratio is computed ONCE in the broadcast table
-  * (never re-derived per row), keeping the scorer a pure
-  * multiply-accumulate.
+  * Spark-first plan: ONE exploded token pass over the raw corpus is
+  * reduced immediately to per-(doc, target-flag, bucket) counts — the
+  * only wide shuffle — and that compact frame (≤ nBuckets thin rows
+  * per document) is materialized once (lazy localCheckpoint) and feeds
+  * EVERY downstream aggregate: raw distribution, target distribution,
+  * Laplace floor, per-doc scoring. (r19: the previous shape re-derived
+  * the exploded-token subtree per consumer — plan-measured 14 parquet
+  * scans of the corpus at sf0.1 for t38; now 2.) Both distributions
+  * are `nBuckets` rows — they broadcast to the scorer. The per-bucket
+  * log-ratio is computed ONCE in the broadcast table (never re-derived
+  * per row), keeping the scorer a pure multiply-accumulate.
   *
   * Determinism contract: output weight is rounded to 4 dp; empty
   * documents get weight 0.0 and survive (callers decide their fate). */
 object Importance {
 
-  /** Per-bucket Laplace-smoothed distribution of a token stream. */
-  private def bucketDist(tok: DataFrame, nBuckets: Int, outCol: String) =
-    tok.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(tok.agg(count(lit(1)).as("tot"))))
+  /** Per-bucket Laplace-smoothed distribution from (bucket, c) counts. */
+  private def bucketDist(cnt: DataFrame, nBuckets: Int, outCol: String) =
+    cnt.groupBy(col("bucket")).agg(sum(col("c")).as("cnt"))
+      .crossJoin(broadcast(
+        cnt.agg(coalesce(sum(col("c")), lit(0L)).as("tot"))))
       .select(col("bucket"),
         ((col("cnt") + 1.0) / (col("tot") + nBuckets.toDouble)).as(outCol))
 
@@ -50,26 +54,33 @@ object Importance {
     val bucket = conv(substring(md5(col("t")), 1, 4), 16, 10)
       .cast("long") % nBuckets
     // empty text must contribute NO tokens (split(trim('')) is [''], a
-    // phantom empty token) — filter before tokenizing
-    val tok = base.filter(length(trim(col("text"))) > 0)
+    // phantom empty token) — filter before tokenizing. The explode is
+    // reduced to per-(doc, flag, bucket) counts in the same pass and
+    // materialized ONCE: every downstream aggregate is exact over these
+    // integer counts (sum-of-counts ≡ count-of-rows), so the token
+    // stream itself is never re-derived.
+    val tokCnt = base.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), col("is_target"),
         explode(TextFunctions.tokens(lower(col("text")))).as("t"))
       .select(col("doc_id"), col("is_target"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val tgtCnt = tokCnt.filter(col("is_target"))
 
     // only buckets observed in the raw corpus can occur in a document,
     // so the log-ratio table needs one row per RAW bucket; a bucket
     // absent from the target takes the Laplace floor 1/(tot_t + B)
-    val floorRow = tok.filter(col("is_target"))
-      .agg((lit(1.0) / (count(lit(1)) + nBuckets.toDouble)).as("floor_t"))
-    val lrTable = bucketDist(tok, nBuckets, "p_r")
-      .join(bucketDist(tok.filter(col("is_target")), nBuckets, "p_t"),
-        Seq("bucket"), "left")
+    val floorRow = tgtCnt
+      .agg((lit(1.0) / (coalesce(sum(col("c")), lit(0L)) + nBuckets.toDouble))
+        .as("floor_t"))
+    val lrTable = bucketDist(tokCnt, nBuckets, "p_r")
+      .join(bucketDist(tgtCnt, nBuckets, "p_t"), Seq("bucket"), "left")
       .crossJoin(broadcast(floorRow))
       .select(col("bucket"),
         log(coalesce(col("p_t"), col("floor_t")) / col("p_r")).as("lr"))
 
-    val perDoc = tok.groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    val perDoc = tokCnt.select(col("doc_id"), col("bucket"), col("c"))
       .join(broadcast(lrTable), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg((round(sum(col("c") * col("lr")) / sum(col("c")), 4) + 0.0)

@@ -57,20 +57,36 @@ object PageRank {
     require(n > 0, "PageRank needs a non-empty graph")
     val r0 = unit / n
     val tele = 15L * r0 / 100L
-    var r = nodes.select(col("node"), lit(r0).as("r"))
-    var i = 0
+    // Loop shape (r19): the fixpoint carries only the aggregated mass
+    // table s(dst) and folds the rank formula r(u) = tele +
+    // floor(85·s(u) div 100) into the NEXT iteration's contribution
+    // expression (LEFT join — a src that received no mass has s = 0 and
+    // still spreads its teleport share). This removes the per-iteration
+    // `nodes` join (one SortMergeJoin + one Exchange of the node table
+    // per round; plan-measured 50 Exchanges / 16 SMJ at sf0.1), and
+    // iteration 1 needs no join at all (r₀ is a constant). Zeros and
+    // the final rank formula are restored once, in the output
+    // projection. The integer recurrence is untouched — output
+    // bit-identical (oracle-pinned).
+    var s = ed
+      .select(col("dst"), floor(lit(r0) / col("deg")).cast("long").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    var i = 1
     while (i < iters) {
-      val s = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst"), floor(r("r") / ed("deg")).cast("long").as("c"))
+      val prev = s.select(col("dst").as("src"), col("s"))
+      s = ed.join(prev, Seq("src"), "left")
+        .select(col("dst"),
+          floor((lit(tele) +
+            floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100L).cast("long"))
+            / col("deg")).cast("long").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(s, nodes("node") === s("dst"), "left")
-        .select(nodes("node"),
-          (lit(tele) +
-            floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
-            .as("r"))
       i += 1
     }
-    r.select(col("node"), col("r").as("rank"))
+    nodes.join(s, nodes("node") === s("dst"), "left")
+      .select(nodes("node"),
+        (lit(tele) +
+          floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
+          .as("rank"))
   }
 
   /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina &
@@ -91,9 +107,6 @@ object PageRank {
     require(iters >= 1 && iters <= 64, "iters must be in [1, 64]")
     val e = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst")).distinct()
-    val ed = e.repartition(col("src"))
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val flagged = nodes
@@ -101,25 +114,42 @@ object PageRank {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0)).as("seed"))
       .localCheckpoint(false)
+    // the SRC node's seed flag rides the one checkpointed edge table —
+    // the fused loop below needs tele(u) at the edge row, and attaching
+    // it once here replaces attaching it every round via the old
+    // per-iteration `flagged` join (same fusion as [[ranks]], r19)
+    val ed = e.repartition(col("src"))
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .join(flagged.select(col("node").as("src"), col("seed")), Seq("src"))
+      .localCheckpoint(false)
     val nS = flagged.where(col("seed") === 1).count()
     require(nS > 0, "personalized PageRank needs at least one seed in the graph")
     val r0 = unit / nS
     val tele = 15L * r0 / 100L
-    var r = flagged.select(col("node"),
-      when(col("seed") === 1, lit(r0)).otherwise(lit(0L)).as("r"))
-    var i = 0
+    // r₀(u) = r0·seed(u): non-seed rows contribute floor(0/deg) = 0 but
+    // stay in the frame, so s₁'s key set (every dst) matches the old
+    // plan's exactly. Bit-identical output (oracle-pinned).
+    var s = ed
+      .select(col("dst"),
+        floor(when(col("seed") === 1, lit(r0)).otherwise(lit(0L)) / col("deg"))
+          .cast("long").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    var i = 1
     while (i < iters) {
-      val s = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst"), floor(r("r") / ed("deg")).cast("long").as("c"))
+      val prev = s.select(col("dst").as("src"), col("s"))
+      s = ed.join(prev, Seq("src"), "left")
+        .select(col("dst"),
+          floor((when(col("seed") === 1, lit(tele)).otherwise(lit(0L)) +
+            floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100L).cast("long"))
+            / col("deg")).cast("long").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = flagged.join(s, flagged("node") === s("dst"), "left")
-        .select(flagged("node"),
-          (when(flagged("seed") === 1, lit(tele)).otherwise(lit(0L)) +
-            floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
-            .as("r"))
       i += 1
     }
-    r.select(col("node"), col("r").as("rank"))
+    flagged.join(s, flagged("node") === s("dst"), "left")
+      .select(flagged("node"),
+        (when(flagged("seed") === 1, lit(tele)).otherwise(lit(0L)) +
+          floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
+          .as("rank"))
   }
 
   /** Weighted PageRank: identical integer recurrence with rank mass
@@ -154,20 +184,29 @@ object PageRank {
     require(n > 0, "weighted PageRank needs a non-empty graph")
     val r0 = unit / n
     val tele = 15L * r0 / 100L
-    var r = nodes.select(col("node"), lit(r0).as("r"))
-    var i = 0
+    // same loop fusion as [[ranks]] (r19): carry only s(dst), fold the
+    // rank formula into the contribution expression via a LEFT join,
+    // restore zeros once at the end. Bit-identical output.
+    var s = ed
+      .select(col("dst"), lit(r0).as("rr"), col("w"), col("wsum"))
+      .select(col("dst"), expr("rr * w div wsum").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    var i = 1
     while (i < iters) {
-      val s = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst"), r("r").as("rr"), ed("w"), ed("wsum"))
+      val prev = s.select(col("dst").as("src"), col("s"))
+      s = ed.join(prev, Seq("src"), "left")
+        .select(col("dst"),
+          (lit(tele) +
+            floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100L).cast("long"))
+            .as("rr"), col("w"), col("wsum"))
         .select(col("dst"), expr("rr * w div wsum").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(s, nodes("node") === s("dst"), "left")
-        .select(nodes("node"),
-          (lit(tele) +
-            floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
-            .as("r"))
       i += 1
     }
-    r.select(col("node"), col("r").as("rank"))
+    nodes.join(s, nodes("node") === s("dst"), "left")
+      .select(nodes("node"),
+        (lit(tele) +
+          floor(lit(85L) * coalesce(s("s"), lit(0L)) / 100L).cast("long"))
+          .as("rank"))
   }
 }

@@ -55,25 +55,39 @@ object Salsa {
     // scalar count action — control-plane, never row data to the driver
     val n = nodes.count()
     require(n > 0, "SALSA needs a non-empty graph")
-    var h = nodes.select(col("node"), lit(unit / n).as("h"))
-    var a = nodes.select(col("node"), lit(0L).as("a"))
-    var i = 0
+    // Loop shape (r19): score frames inside the fixpoint carry ONLY the
+    // nodes the aggregate produced — every dst for `a`, every src for
+    // `h`. A node absent from a frame has score 0, and a 0 score
+    // contributes floor(0/deg) = 0 to the next half-step, so the old
+    // per-half-step `nodes` LEFT-join that materialized those zeros was
+    // pure plan weight: one join + one Exchange of the node table per
+    // half-step (12 of each at the default 6 iterations; plan-measured
+    // 140 Exchanges / 48 SortMergeJoins at sf0.1). The score join is
+    // total after the first half-step (ed.dst ⊆ a's keys, ed.src ⊆ h's
+    // keys — the aggregates group over ed itself), h₀ is a constant so
+    // the first half-step needs no join at all, and the zeros are
+    // restored ONCE, in the final projection. The integer recurrence
+    // is untouched — output bit-identical (oracle-pinned).
+    var a = ed
+      .select(col("dst"), floor(lit(unit / n) / col("outdeg")).cast("long").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("a"))
+    var h = ed.join(a, "dst")
+      .select(col("src"), floor(col("a") / col("indeg")).cast("long").as("c"))
+      .groupBy(col("src")).agg(sum(col("c")).as("h"))
+    var i = 1
     while (i < iters) {
-      a = nodes.join(
-          ed.join(h, ed("src") === h("node"))
-            .select(ed("dst"), floor(h("h") / ed("outdeg")).cast("long").as("c"))
-            .groupBy(col("dst")).agg(sum(col("c")).as("s")),
-          nodes("node") === col("dst"), "left")
-        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("a"))
-      h = nodes.join(
-          ed.join(a, ed("dst") === a("node"))
-            .select(ed("src"), floor(a("a") / ed("indeg")).cast("long").as("c"))
-            .groupBy(col("src")).agg(sum(col("c")).as("s")),
-          nodes("node") === col("src"), "left")
-        .select(nodes("node"), coalesce(col("s"), lit(0L)).as("h"))
+      a = ed.join(h, "src")
+        .select(col("dst"), floor(col("h") / col("outdeg")).cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("a"))
+      h = ed.join(a, "dst")
+        .select(col("src"), floor(col("a") / col("indeg")).cast("long").as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("h"))
       i += 1
     }
-    h.join(a.withColumnRenamed("node", "__an"), col("node") === col("__an"))
-      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    nodes
+      .join(h.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(a.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
   }
 }
