@@ -3802,6 +3802,12 @@ object LlmQueries {
     } { (s, d) =>
       import graft.GoldenGen.ModelParams._
       val corpus = plantedCorpus(s, d)
+      // NOT shared (r19, measured): materializing one (doc_id, shingle
+      // array) checkpoint for both arms was A/B'd at 6.5 s → 8.7–10.1 s
+      // isolated — the shingle STRINGS are ~3× the corpus bytes, and
+      // storing+rereading them twice costs more than the two scan-stage
+      // tokenizations it saves. Each arm reduces shingles to 8-byte
+      // forms (xxhash64 / minhash sig) in the scan stage instead.
       val truth = Dedup.shingleJaccardPairs(corpus, "text", "doc_id",
         threshold = 0.6)
       val cand = Dedup.minHashPairs(corpus, "text", "doc_id",
@@ -4889,11 +4895,19 @@ object LlmQueries {
       val joined = und
         .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
-      val sym = joined.select(col("da").as("x"), col("db").as("y"))
-        .unionAll(joined.select(col("db").as("x"), col("da").as("y")))
-      val sums = sym.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      // sym = joined ∪ mirror(joined); every aggregate over sym is an
+      // exact integer fold of per-joined-row terms (r19: the unionAll
+      // planned the und⋈deg⋈deg subtree twice — Catalyst cannot
+      // ReusedExchange across the mirrored projections):
+      //   m = 2·count, sx = sy = Σ(da+db), sxy = 2·Σ(da·db),
+      //   sxx = syy = Σ(da²+db²)
+      // — bit-identical by commutativity of integer addition.
+      val sums = joined.agg((count(lit(1)) * 2).as("m"),
+        sum(col("da") + col("db")).as("sx"),
+        sum(col("da") + col("db")).as("sy"),
+        (sum(col("da") * col("db")) * 2).as("sxy"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+        sum(col("da") * col("da") + col("db") * col("db")).as("syy"))
       // all scalars stay IN the plan as 1-row aggregates (broadcast
       // cross joins of bounded frames — no driver-count actions)
       val nn = edges.select(col("src").as("node"))
