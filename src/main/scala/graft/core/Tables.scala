@@ -17,6 +17,25 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Gated scan widening — the input-skew remedy (optimization guide
+    * §2.5: "one huge unsplittable file … repartition immediately after
+    * the read") for scan-stage-heavy operators: round-robin repartition
+    * to `defaultParallelism`, applied ONLY when the frame arrives with
+    * fewer partitions. A single small parquet file (or one with a
+    * single row group, which Spark cannot split regardless of
+    * maxPartitionBytes) otherwise serializes the whole scan-stage
+    * expression work — tokenization, signature hashing, per-row
+    * scoring — onto one or two tasks (bench-measured: 1.1-1.9
+    * effective cores on heavy-expression queries at sf0.1). At real
+    * corpus scale the scan has ≥ cores splits and this is the
+    * identity: no exchange is added at 100 TB. Row-level results are
+    * unchanged; rounded float AGGREGATES over regrouped partials are
+    * re-verified against the oracle wherever this is applied. */
+  def widened(df: DataFrame): DataFrame = {
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")

@@ -99,10 +99,30 @@ object Classifier {
     // cache knob for the re-scan posture.
     // NULL ids coalesce to "" — otherwise md5(concat(iter, NULL)) is
     // NULL and the row would silently vanish from EVERY mini-batch
-    val plan = df.select(
+    //
+    // Parallelism floor (r19, measured): a small input arrives as few
+    // scan splits (one 0.6 MB parquet file = ONE task at sf0.1), and
+    // since every iteration's tokenize + gradient explode runs inside
+    // those splits, the 15-iteration loop ran at 1.6–1.9 effective
+    // cores on a 32-core box (bench cpu/wall). Widening the RAW rows
+    // to defaultParallelism BEFORE tokenization fixes both postures —
+    // cached: the persisted blocks spread over every core; uncached
+    // (t104): each iteration's tokenize pass fans out after a cheap
+    // exchange of raw (label, id, text) rows. When the input already
+    // has ≥ that many splits (any real-scale corpus) this is a no-op —
+    // no extra exchange at 100 TB. Weight bit-identity across
+    // partitionings is the operator's documented contract (roundDp
+    // rounding swallows the ~1e-13 partial-sum reorder); re-verified
+    // against the committed golden weights at every oracle SF.
+    val raw = df.select(
         labelCol.cast("int").cast("double").as("y"),
         coalesce(idCol.getOrElse(lit("")).cast("string"), lit("")).as("sid"),
-        toks(col(textCol)).as("__t"))
+        col(textCol).as("__text"))
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (raw.rdd.getNumPartitions < np) raw.repartition(np) else raw
+    val plan = wide.select(
+        col("y"), col("sid"), toks(col("__text")).as("__t"))
       .select(col("y"), col("sid"),
         size(col("__t")).cast("double").as("n"),
         transform(col("__t"), t => bucket(t, dims).cast("int")).as("bs"))

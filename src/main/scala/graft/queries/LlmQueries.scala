@@ -36,7 +36,16 @@ object LlmQueries {
     // verify arms' sort pressure. Isolated warm probes said the
     // opposite (t78 174 → 125 s), which is exactly why the decision
     // rode the suite-level total, not the probe.
-    df.localCheckpoint(eager = false)
+    //
+    // Widened (r19): every shared() input is a corpus-scale frame, and
+    // a small corpus arrives as 1-2 scan splits (one sub-MB parquet
+    // file per branch at the oracle SFs), so the checkpoint used to
+    // pin that width and EVERY consumer's scan-stage pass (simhash /
+    // minhash signatures, tokenize+shingle, k-means assignment) ran
+    // 1-2-wide on a 32-core box. Tables.widened is the identity once
+    // the input has >= defaultParallelism partitions — no exchange is
+    // added at real corpus scale.
+    graft.core.Tables.widened(df).localCheckpoint(eager = false)
 
   /** [[shared]] memoized per (session, source dir): the planted corpora
     * feed SEVERAL queries (t07/t08/t09/t15 text; t13/t28 embeddings),
@@ -2787,7 +2796,8 @@ object LlmQueries {
         |FROM clean
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.TextNormalize.normalize(
-          Tables.documents(s, d).select(col("doc_id"), normFixture.as("text")),
+          Tables.widened(Tables.documents(s, d)
+            .select(col("doc_id"), normFixture.as("text"))),
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
@@ -3034,7 +3044,7 @@ object LlmQueries {
         |WHERE est >= ceil(n * 0.005)
         |ORDER BY est DESC, v""".stripMargin
     ) { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = Tables.widened(Tables.documents(s, d))
         .select(explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
           .as("tok"))
         .where(length(col("tok")) > 0)
@@ -3632,7 +3642,7 @@ object LlmQueries {
         |WHERE est >= ceil(n * 0.01)
         |ORDER BY e.source, est DESC, v""".stripMargin
     ) { (s, d) =>
-      val toks = Tables.documents(s, d)
+      val toks = Tables.widened(Tables.documents(s, d))
         .select(col("source"),
           explode(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
             .as("tok"))
@@ -3717,7 +3727,7 @@ object LlmQueries {
         |FROM f ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val t = coalesce(col("text"), lit(""))
-      Tables.documents(s, d)
+      Tables.widened(Tables.documents(s, d))
         .select(col("doc_id"),
           TextFunctions.tokenCount(t).as("n_words"),
           TextFunctions.sentenceCount(t).as("n_sentences"),
@@ -4348,7 +4358,7 @@ object LlmQueries {
         when(id % 7 === 0, " Советский союз").otherwise(""),
         when(id % 11 === 0, " ελληνικά κείμενο").otherwise(""),
         when(id % 13 === 0, " 中文文本 2024").otherwise(""))
-      val c = Tables.documents(s, d).select(id, fix.as("t"))
+      val c = Tables.widened(Tables.documents(s, d)).select(id, fix.as("t"))
         .select(id,
           TextFunctions.scriptCount(col("t"), "Latin").as("n_latin"),
           TextFunctions.scriptCount(col("t"), "Cyrillic").as("n_cyrillic"),

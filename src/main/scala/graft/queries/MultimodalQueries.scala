@@ -73,7 +73,7 @@ object MultimodalQueries {
         |    FROM documents WHERE length(text) > 0) s) w
         |GROUP BY media_id, win_idx
         |ORDER BY media_id, win_idx""") { (s, d) =>
-      Tables.documents(s, d)
+      Tables.widened(Tables.documents(s, d))
         .filter(length(col("text")) > 0)
         .select(col("doc_id").as("media_id"), col("text"),
           explode(sequence(lit(1), least(length(col("text")), lit(512)))).as("i"))
