@@ -2391,7 +2391,10 @@ object LlmQueries {
       // coalesce(n_bpe, 0)); without this the null-safe expression
       // would emit NULL and silently diverge on a corpus with null rows
       val text = coalesce(col("text"), lit(""))
-      docs.select(col("doc_id"),
+      // widened (r19): the per-doc BPE re-encode is scan-stage
+      // expression work over a single-split file; training input is
+      // left untouched (its merges must replay the committed artifact)
+      Tables.widened(docs).select(col("doc_id"),
           TextFunctions.tokenCount(text).as("n_tokens"),
           call_function("graft_bpe_count", text, typedLit(merges))
             .as("n_bpe"))

@@ -62,7 +62,10 @@ object WebhookQueries {
         |  CASE WHEN status = 200 THEN 1 ELSE 0 END AS admitted,
         |  CASE WHEN status = 200 THEN body ELSE '' END AS payload
         |FROM v ORDER BY event_id""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
+      // widened (r19): two HMAC-SHA256 evaluations per row run in the
+      // events scan stage, and events.parquet is one split at oracle
+      // SFs — see Tables.widened (identity at real scale)
+      val ev = Tables.widened(Tables.events(s, d))
       val body = when(col("event_id") % 3 === 0, concat(col("props"), lit("x")))
         .otherwise(col("props"))
       val requests = ev.select(
