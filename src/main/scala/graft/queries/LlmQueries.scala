@@ -25,7 +25,8 @@ object LlmQueries {
     * t09 ten, before this). Blocks are session-scoped (MEMORY_AND_DISK,
     * spill not drop); a production pipeline materializes its survivors
     * explicitly and releases them, as `CurationPipeline` documents. */
-  private def shared(df: org.apache.spark.sql.DataFrame) =
+  private def shared(df: org.apache.spark.sql.DataFrame,
+      widen: Boolean = true) =
     // MEMORY_AND_DISK deliberately, including at big-corpus scale: a
     // DISK_ONLY gate for over-estimate corpora was A/B'd in round 16
     // (PLANS, "storage-level A/B") and LOST on the full 100× suite —
@@ -37,15 +38,22 @@ object LlmQueries {
     // opposite (t78 174 → 125 s), which is exactly why the decision
     // rode the suite-level total, not the probe.
     //
-    // Widened (r19): every shared() input is a corpus-scale frame, and
-    // a small corpus arrives as 1-2 scan splits (one sub-MB parquet
-    // file per branch at the oracle SFs), so the checkpoint used to
-    // pin that width and EVERY consumer's scan-stage pass (simhash /
-    // minhash signatures, tokenize+shingle, k-means assignment) ran
-    // 1-2-wide on a 32-core box. Tables.widened is the identity once
-    // the input has >= defaultParallelism partitions — no exchange is
-    // added at real corpus scale.
-    graft.core.Tables.widened(df).localCheckpoint(eager = false)
+    // Widened (r19, default on): a small corpus arrives as 1-2 scan
+    // splits (one sub-MB parquet file per branch at the oracle SFs),
+    // so the checkpoint used to pin that width and EVERY consumer's
+    // scan-stage pass (simhash / minhash signatures, tokenize+shingle)
+    // ran 1-2-wide on a 32-core box. Tables.widened is the identity
+    // once the input has >= defaultParallelism partitions — no
+    // exchange at real corpus scale. A/B (best-of-3, idle box): the
+    // five text consumers t07/t08/t09/t15/t78 total 24.0 s -> 18.5 s
+    // with widening ON. `widen = false` exists because the SAME A/B on
+    // the embedding consumers went the other way (t13 1.51 -> 2.32,
+    // t28 1.62 -> 2.55, cpu up 2-4x): float-ARRAY rows pay exchange
+    // serialization + narrower codegen'd consumers dwarfing the scan
+    // parallelism they gain — the t25/t79 lesson at the checkpoint
+    // layer. plantedEmbeddings opts out.
+    (if (widen) graft.core.Tables.widened(df) else df)
+      .localCheckpoint(eager = false)
 
   /** [[shared]] memoized per (session, source dir): the planted corpora
     * feed SEVERAL queries (t07/t08/t09/t15 text; t13/t28 embeddings),
@@ -56,14 +64,15 @@ object LlmQueries {
     * the same materialized blocks. */
   private val sharedCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private def sharedCached(s: org.apache.spark.sql.SparkSession, key: String)(
+  private def sharedCached(s: org.apache.spark.sql.SparkSession, key: String,
+      widen: Boolean = true)(
       build: => org.apache.spark.sql.DataFrame) = {
     // evict entries for stopped sessions on every lookup: without this
     // a long-lived multi-session JVM (test harness, notebook server)
     // pins dead sessions' plans and checkpoint blocks forever, and a
     // stale hit for a restarted-then-stopped session would fail on use
     sharedCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    sharedCache.getOrElseUpdate((s, key), shared(build))
+    sharedCache.getOrElseUpdate((s, key), shared(build, widen))
   }
 
   /** The t53/t55 URL fixture (modulus fault-injection, u11 convention)
@@ -235,7 +244,7 @@ object LlmQueries {
     * +0.05 — cosine ≈ 0.999, so the near-dup detectors have guaranteed
     * positives at any SF (mirrors plantedCorpus for text). */
   private[graft] def plantedEmbeddings(s: org.apache.spark.sql.SparkSession, d: String) =
-    sharedCached(s, s"planted-embs:$d") {
+    sharedCached(s, s"planted-embs:$d", widen = false) {
       val embs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       embs.unionAll(embs.select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"),
