@@ -228,5 +228,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_json_strict expects one string argument")
         GraftJsonStrict(children.head)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_buckets"),
+      new ExpressionInfo(classOf[Md5Buckets].getName, "graft_md5_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_md5_buckets expects (tokens, dims)")
+        Md5Buckets(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_lr_dot"),
+      new ExpressionInfo(classOf[LrDotLong].getName, "graft_lr_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_lr_dot expects (buckets, weights)")
+        LrDotLong(children(0), children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_logit_grad"),
+      new ExpressionInfo(classOf[LogisticGradAgg].getName, "graft_logit_grad"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_logit_grad expects (y, n, buckets, weights)")
+        LogisticGradAgg(children(0), children(1), children(2), children(3))
+      }))
   }
 }

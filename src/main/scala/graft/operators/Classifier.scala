@@ -119,13 +119,20 @@ object Classifier {
         coalesce(idCol.getOrElse(lit("")).cast("string"), lit("")).as("sid"),
         col(textCol).as("__text"))
     val np = df.sparkSession.sparkContext.defaultParallelism
+    // toRdd (not .rdd): the physical-plan partition count without
+    // building the row-deserializer conversion the gate would discard
     val wide =
-      if (raw.rdd.getNumPartitions < np) raw.repartition(np) else raw
+      if (raw.queryExecution.toRdd.getNumPartitions < np) raw.repartition(np)
+      else raw
+    // graft_md5_buckets = the bucket() transform as one native call per
+    // row (the composed transform+md5+conv chain is CodegenFallback —
+    // interpreted per token); value-identity pinned by the committed
+    // weight artifacts (GoldenSpec retrains through this path)
     val plan = wide.select(
         col("y"), col("sid"), toks(col("__text")).as("__t"))
       .select(col("y"), col("sid"),
         size(col("__t")).cast("double").as("n"),
-        transform(col("__t"), t => bucket(t, dims).cast("int")).as("bs"))
+        call_function("graft_md5_buckets", col("__t"), lit(dims)).as("bs"))
     val feats =
       if (cache) plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else plan
@@ -143,34 +150,26 @@ object Classifier {
           else feats.where(
             conv(substring(md5(concat(lit(s"${i + 1}|"), col("sid"))),
               1, 4), 16, 10).cast("long") % sample === 0)
-        // margin = mean token weight + bias; the logistic error p - y
-        // fans back out over the SAME bucket array (contribution 1/n
-        // per token) plus one bias cell and one count cell per doc —
-        // a single scan, then a dims+2-key aggregation of partials.
-        val margin = coalesce(
-          aggregate(col("bs"), lit(0.0),
-            (acc, b) => acc + element_at(wLit, b + 1)) /
-            when(col("n") > 0, col("n")).otherwise(lit(1.0)),
-          lit(0.0)) + element_at(wLit, dims + 1)
-        val err = (lit(1.0) / (lit(1.0) + exp(-margin)) - col("y")).as("e")
-        val grad = graft.core.Bounded.collect(
-          batch.select(err, col("n"), col("bs"))
-            .select(explode(concat(
-              transform(col("bs"),
-                b => struct(b.as("b"), (col("e") / col("n")).as("g"))),
-              array(struct(lit(dims).as("b"), col("e").as("g")),
-                struct(lit(dims + 1).as("b"), lit(1.0).as("g"))))).as("c"))
-            .groupBy(col("c.b").as("b"))
-            .agg(sum(col("c.g")).as("g")),
-          dims + 2, "Classifier.train")
-          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        // the iteration's whole gradient as ONE typed aggregate
+        // (expr/ClassifierExpressions.LogisticGradAgg): margin fold,
+        // logistic error, per-token scatter and the bias/count cells
+        // land in a dims+2-double partition buffer — no exploded
+        // token stream, no interpreted higher-order lambdas, and the
+        // iteration shuffles partitions × (dims+2) doubles instead of
+        // one row per token. Cell values match the old explode +
+        // groupBy(b).sum within the documented ~1e-13 partial-order
+        // band that the per-update rounding absorbs (weights re-pinned
+        // against the committed artifacts at every SF).
+        val grad = batch.select(call_function("graft_logit_grad",
+            col("y"), col("n"), col("bs"), wLit).as("g"))
+          .head().getSeq[Double](0)
         // normalize by the SELECTED doc count (== corpus size when
         // sample = 1: the count cell sums exact integer-valued doubles)
-        val nBatch = grad.getOrElse(dims + 1, 0.0)
+        val nBatch = grad(dims + 1)
         if (nBatch > 0) {
           w = w.indices.map { b =>
             java.math.BigDecimal
-              .valueOf(w(b) - lr * grad.getOrElse(b, 0.0) / nBatch)
+              .valueOf(w(b) - lr * grad(b) / nBatch)
               .setScale(roundDp, java.math.RoundingMode.HALF_UP)
               .doubleValue() + 0.0
           }
@@ -202,11 +201,13 @@ object Classifier {
             weights: Seq[Double], dims: Int = 256): DataFrame = {
     require(weights.length == dims + 1,
       s"expected ${dims + 1} weights, got ${weights.length}")
-    // exact: each weight is a 6-dp decimal by the trainer's contract
+    // exact: each weight is a 6-dp decimal by the trainer's contract.
+    // Native kernels (graft_md5_buckets / graft_lr_dot) replace the
+    // interpreted transform+aggregate folds — same integer values.
     val wLit = typedLit(weights.map(w => math.round(w * 1e6)))
-    val bs = transform(toks(col(textCol)), t => bucket(t, dims).cast("int"))
+    val bs = call_function("graft_md5_buckets", toks(col(textCol)), lit(dims))
     val n = size(bs).cast("long")
-    val sum = aggregate(bs, lit(0L), (acc, b) => acc + element_at(wLit, b + 1))
+    val sum = call_function("graft_lr_dot", bs, wLit)
     val bias = element_at(wLit, dims + 1)
     val t = when(n > 0, sum + bias * n).otherwise(bias)
     val den = when(n > 0, n).otherwise(lit(1L)) * 100L
