@@ -70,16 +70,42 @@ object Bench {
     * compute still counts, and the parallelism-collapse tripwire
     * covers the quota/mask cases — instead of an idle-box self-taint
     * that no rerun can clear. */
-  private val delayAcctOn: Boolean = try {
-    val p = java.nio.file.Paths.get("/proc/sys/kernel/task_delayacct")
-    if (!java.nio.file.Files.exists(p)) false
-    else {
-      if (java.nio.file.Files.readString(p).trim == "0")
-        try java.nio.file.Files.writeString(p, "1\n")
-        catch { case _: Throwable => () }
-      java.nio.file.Files.readString(p).trim == "1"
+  private val delayAcctPath =
+    java.nio.file.Paths.get("/proc/sys/kernel/task_delayacct")
+
+  /** The sysctl's value BEFORE this process touched it. */
+  private val delayAcctPrior: Option[String] = try {
+    if (!java.nio.file.Files.exists(delayAcctPath)) None
+    else Some(java.nio.file.Files.readString(delayAcctPath).trim)
+  } catch { case _: Throwable => None }
+
+  /** Best-effort flip 0 → 1, restored at JVM exit (r19 advice: the
+    * sysctl is global, persistent kernel state — flipping it for a
+    * bench run must not leave the host's accounting overhead changed
+    * for every process forever after). Only the process that flipped
+    * restores; the re-exec'd child reads 1 and flips nothing. */
+  private val delayAcctFlipped: Boolean = delayAcctPrior.contains("0") && {
+    val ok = try {
+      java.nio.file.Files.writeString(delayAcctPath, "1\n")
+      java.nio.file.Files.readString(delayAcctPath).trim == "1"
+    } catch { case _: Throwable => false }
+    if (ok) sys.addShutdownHook {
+      try java.nio.file.Files.writeString(delayAcctPath, "0\n")
+      catch { case _: Throwable => () }
     }
-  } catch { case _: Throwable => false }
+    ok
+  }
+
+  /** Delay accounting is trusted only when the sysctl was ALREADY 1
+    * when this process started (r19 advice): threads created before
+    * the flip (the inline path's main thread, GC threads) accumulate
+    * no delayacct_blkio_ticks, partially reintroducing the idle-box
+    * self-taint the flip exists to fix. The spawned child inherits the
+    * parent's flip — it reads 1 without writing, so its whole thread
+    * set is accounted and [[delayAcctOn]] is true exactly where the
+    * accounting is complete. The inline path after a fresh flip takes
+    * the iowait-credit fallback instead. */
+  private val delayAcctOn: Boolean = delayAcctPrior.contains("1")
 
   /** This process's own aggregated block-I/O delay jiffies, summed over
     * all live threads (/proc/self/task/STAR/stat field 42,

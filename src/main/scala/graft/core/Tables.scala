@@ -30,10 +30,17 @@ object Tables {
     * corpus scale the scan has ≥ cores splits and this is the
     * identity: no exchange is added at 100 TB. Row-level results are
     * unchanged; rounded float AGGREGATES over regrouped partials are
-    * re-verified against the oracle wherever this is applied. */
+    * re-verified against the oracle wherever this is applied.
+    *
+    * The gate reads `queryExecution.toRdd` (not `.rdd`, which builds —
+    * and then discards — a full row-deserializer conversion per call;
+    * r19 advice). Caveat: this is the pre-AQE physical partition count;
+    * under adaptive execution the executed width can differ (AQE only
+    * coalesces, so a pre-AQE count ≥ np still means "wide enough"). */
   def widened(df: DataFrame): DataFrame = {
     val np = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < np) df.repartition(np) else df
+    if (df.queryExecution.toRdd.getNumPartitions < np) df.repartition(np)
+    else df
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")

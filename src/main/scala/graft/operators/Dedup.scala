@@ -59,11 +59,6 @@ object Dedup {
       .select(col("doc_id"), col("words"), size(col("words")).as("n"))
       .repartition(col("doc_id"))
 
-    // provable length prefilter when a threshold is known:
-    // J(A,B) <= min(|A|,|B|) / max(|A|,|B|), so pairs outside the size
-    // band can never reach the threshold — they are dropped BEFORE the
-    // (heavy) word-array join using a skinny (id, n) join only. Exact
-    // semantics preserved: only certainly-below-threshold pairs skipped.
     // merge hints on every candidates-side join: `candidates` is a
     // distinct over exploded pairs — the t42 signature whose static size
     // estimate collapses through the aggregate while its true
@@ -71,26 +66,35 @@ object Dedup {
     // corpus the r16 BroadcastAudit truth-counted the t09 frame at
     // 39.6 M rows (1.2 GB deserialized) under a 25 MB estimate — a
     // statically-planned broadcast that OOMs executors at scale. The
-    // doc-side frames (ln/rn/lw/rw) are O(corpus) too; sort-merge is
-    // the spill-safe shape for every one of these joins at every scale.
-    val sized = minJaccard match {
-      case Some(t) if t > 0 =>
-        val ln = ws.select(col("doc_id").as("left_id"), col("n").as("__ln"))
-        val rn = ws.select(col("doc_id").as("right_id"), col("n").as("__rn"))
-        candidates.join(ln.hint("merge"), Seq("left_id"))
-          .join(rn.hint("merge"), Seq("right_id"))
-          .filter(least(col("__ln"), col("__rn")).cast("double")
-            >= greatest(col("__ln"), col("__rn")) * t)
-          .drop("__ln", "__rn")
-      case _ => candidates
-    }
-
+    // doc-side frames (lw/rw) are O(corpus) too; sort-merge is the
+    // spill-safe shape for every one of these joins at every scale.
+    //
+    // TWO joins, not four (r20, measured): the provable length
+    // prefilter — J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs outside
+    // the size band can never reach the threshold — used to run as a
+    // skinny (id, n) join pair BEFORE the word-array joins. On a
+    // rare-shingle-blocked candidate set it passes 64–74% of pairs
+    // (probed at sf0.1: 1.76 M candidates, 64% pass at t=0.6, 74% at
+    // t=0.8 — blocked pairs already share a rare shingle, so wildly
+    // mismatched lengths are rare), and two extra sort-merge passes
+    // over the full candidate stream cost more than carrying word
+    // arrays for the 26–36% they would have dropped. The filter itself
+    // is KEPT — applied between the joins and the (expensive)
+    // two-pointer kernel, so certainly-below-threshold pairs still
+    // never reach the kernel and the output is unchanged.
     val lw = ws.select(col("doc_id").as("left_id"),
       col("words").as("__lw"), col("n").as("__ln"))
     val rw = ws.select(col("doc_id").as("right_id"),
       col("words").as("__rw"), col("n").as("__rn"))
-    sized.join(lw.hint("merge"), Seq("left_id"))
+    val joined = candidates.join(lw.hint("merge"), Seq("left_id"))
       .join(rw.hint("merge"), Seq("right_id"))
+    val sized = minJaccard match {
+      case Some(t) if t > 0 =>
+        joined.filter(least(col("__ln"), col("__rn")).cast("double")
+          >= greatest(col("__ln"), col("__rn")) * t)
+      case _ => joined
+    }
+    sized
       .withColumn("jaccard",
         round(call_function("graft_jaccard_sorted",
           col("__lw"), col("__rw")), 4))
@@ -638,27 +642,30 @@ object Dedup {
           sh => xxhash64(sh)))).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("doc_id"))
-    // provable length prefilter (the verifyJaccard idiom): J <=
-    // min(|A|,|B|)/max(|A|,|B|)
+    // TWO joins, not four (r20 — the verifyJaccard restructure): the
+    // provable length prefilter J <= min(|A|,|B|)/max(|A|,|B|) runs as
+    // a FILTER between the array joins and the two-pointer kernel
+    // instead of a skinny (id, n) pre-join pair — on a rare-shingle-
+    // blocked candidate set it passes ~64% (probed at sf0.1, t=0.6),
+    // so the two extra sort-merge passes over the candidate stream
+    // cost more than the array bytes they save. Certainly-below-
+    // threshold pairs still never reach the kernel; output unchanged.
     // merge-hinted for the same reason as [[verifyJaccard]]: the
     // candidates frame's static estimate hides O(pairs) truth (r16
     // audit on the heaps 100× corpus), and the ss-side frames are
     // O(corpus) — neither is ever a safe broadcast build.
-    val ln = ss.select(col("doc_id").as("left_id"), col("n").as("__ln"))
-    val rn = ss.select(col("doc_id").as("right_id"), col("n").as("__rn"))
-    val sized = candidates.join(ln.hint("merge"), Seq("left_id"))
-      .join(rn.hint("merge"), Seq("right_id"))
+    val lw = ss.select(col("doc_id").as("left_id"),
+      col("sh").as("__lw"), col("n").as("__ln"))
+    val rw = ss.select(col("doc_id").as("right_id"),
+      col("sh").as("__rw"), col("n").as("__rn"))
+    candidates.join(lw.hint("merge"), Seq("left_id"))
+      .join(rw.hint("merge"), Seq("right_id"))
       .filter(least(col("__ln"), col("__rn")).cast("double")
         >= greatest(col("__ln"), col("__rn")) * threshold)
-      .drop("__ln", "__rn")
-    val lw = ss.select(col("doc_id").as("left_id"), col("sh").as("__lw"))
-    val rw = ss.select(col("doc_id").as("right_id"), col("sh").as("__rw"))
-    sized.join(lw.hint("merge"), Seq("left_id"))
-      .join(rw.hint("merge"), Seq("right_id"))
       .withColumn("jaccard",
         round(call_function("graft_jaccard_sorted",
           col("__lw"), col("__rw")), 4))
-      .drop("__lw", "__rw")
+      .drop("__lw", "__rw", "__ln", "__rn")
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }

@@ -62,8 +62,11 @@ object LlmQueries {
     * discarded RDD references. One copy per corpus per session is the
     * bound; repeated invocations (verify + bench + spec loops) reuse
     * the same materialized blocks. */
+  // the widen flag is part of the key (r19 advice): a repeated lookup
+  // under the same name with a different flag must not silently return
+  // the other variant's checkpoint
   private val sharedCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, Boolean), org.apache.spark.sql.DataFrame]
   private def sharedCached(s: org.apache.spark.sql.SparkSession, key: String,
       widen: Boolean = true)(
       build: => org.apache.spark.sql.DataFrame) = {
@@ -71,8 +74,8 @@ object LlmQueries {
     // a long-lived multi-session JVM (test harness, notebook server)
     // pins dead sessions' plans and checkpoint blocks forever, and a
     // stale hit for a restarted-then-stopped session would fail on use
-    sharedCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    sharedCache.getOrElseUpdate((s, key), shared(build, widen))
+    sharedCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    sharedCache.getOrElseUpdate((s, key, widen), shared(build, widen))
   }
 
   /** The t53/t55 URL fixture (modulus fault-injection, u11 convention)
