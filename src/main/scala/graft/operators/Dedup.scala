@@ -697,6 +697,18 @@ object Dedup {
         transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
           struct(a.as("left_id"), b.as("right_id")))))).as("p"))
       .select(col("p.left_id"), col("p.right_id"))
+      // dedup on the JOIN key's partitioning (r20): HashPartitioning
+      // (left_id) satisfies the distinct's clustered distribution (all
+      // copies of a pair share left_id), so the aggregate runs complete
+      // on the repartition output and the downstream verify join on
+      // left_id needs NO further exchange — 2 exchanges of the pair
+      // stream collapse to 1. A pair's duplicates (one per shared rare
+      // shingle) ride this exchange where they used to ride the
+      // distinct's (l, r) exchange: same 16-byte rows, scattered across
+      // shingle groups either way, so the map-side partial dedup the
+      // old shape lost here never fired to begin with. Skew bound: one
+      // left doc's pairs ≤ its rare-shingle count × (maxDocFreq − 1).
+      .repartition(col("left_id"))
       .distinct()
 
   /** Substring-containment dedup pairs: (contained_id, container_id)
@@ -716,8 +728,15 @@ object Dedup {
                        shingleSize: Int = 3, maxDocFreq: Int = 20): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val candidates = shingleCandidates(docs, shingleSize, maxDocFreq)
-    val lt = docs.select(col("doc_id").as("left_id"), col("text").as("__lt"))
-    val rt = docs.select(col("doc_id").as("right_id"), col("text").as("__rt"))
+    // one text exchange, not two (r20): the repartition materializes an
+    // exchange of (doc_id, text) that ReuseExchange feeds to BOTH join
+    // sides (the renames sit above the exchange, and the join keys are
+    // alias-propagated doc_id partitionings) — without it each side
+    // re-scans and re-shuffles the whole corpus text, the verifyJaccard
+    // ws lesson applied to the containment verify.
+    val dt = docs.repartition(col("doc_id"))
+    val lt = dt.select(col("doc_id").as("left_id"), col("text").as("__lt"))
+    val rt = dt.select(col("doc_id").as("right_id"), col("text").as("__rt"))
     // candidate pairs are left < right by id; containment is asymmetric,
     // so verify both orientations. Merge-hinted: the r16 audit
     // truth-counted this candidates frame at 40 M rows (1.2 GB) on the
