@@ -68,9 +68,18 @@ object SpanDedup {
     require(window >= 2, s"window must be >= 2, got $window")
     val id = col(idCol)
 
+    // widened (r20, measured): the window tokenize+explode+hash is the
+    // operator's scan-stage hot loop, and a sub-MB parquet input arrives
+    // as ONE split — t42 ran at 2.2 effective cores on a 32-core box
+    // (bench cpu/wall 12.3/5.65). Identity once the input has ≥
+    // defaultParallelism partitions (any real corpus): no exchange at
+    // 100 TB. Integer counts + a per-doc rounded ratio — partition-
+    // order invariant, oracle re-verified.
+    val wide = graft.core.Tables.widened(docs)
+
     // (doc_id, xxhash64(window)) — key computed before the explode leaves the
     // scan stage; ngramsRaw yields [] for docs shorter than the window.
-    val wins = docs
+    val wins = wide
       .select(id, explode(
         TextFunctions.ngramsRaw(lower(col(textCol)), window)).as("gram"))
       .select(id, xxhash64(col("gram")).as("k"))
@@ -129,6 +138,11 @@ object SpanDedup {
     require(window >= 2, s"window must be >= 2, got $window")
     val id = col(idCol)
 
+    // NOT widened (r20, measured): unlike [[duplicateSpans]] this
+    // operator's wall is the token-reassembly joins and the final
+    // collect_list shuffle, not the tokenize — the A/B (calm windows,
+    // t46 isolated) read 2.01-2.14 s unwidened vs 2.14-2.52 s widened,
+    // so the extra exchange buys nothing here.
     val words = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(id, TextFunctions.tokens(lower(col(textCol))).as("ws"))
