@@ -230,6 +230,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("graft_md5_u128"),
+      new ExpressionInfo(classOf[Md5U128].getName, "graft_md5_u128"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_md5_u128 expects one string argument")
+        Md5U128(children.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("graft_md5_buckets"),
       new ExpressionInfo(classOf[Md5Buckets].getName, "graft_md5_buckets"),
       (children: Seq[Expression]) => {

@@ -340,3 +340,51 @@ case class SigMatchFraction(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SigMatchFraction =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_md5_u128(str)` → struct<h: bigint, l: bigint>: the md5 digest
+  * as two big-endian 64-bit halves, each XOR'd with Long.MinValue so
+  * SIGNED (h, l) struct ordering equals UNSIGNED 128-bit digest order —
+  * which equals the lexicographic order of the lowercase hex string
+  * `md5(str)`. An injective, order-preserving replacement for the
+  * 32-hex md5 key in min/distinct/count pipelines (winnowing, t80):
+  * 16 bytes per key instead of a ~40-byte string, long comparisons
+  * instead of byte-wise string compares, identical selection and
+  * identical counts by order-isomorphism. Recover the hex form with
+  * `format_string("%016x%016x", h ^ MIN_LONG, l ^ MIN_LONG)`. */
+case class Md5U128(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_u128 requires a string argument, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("l", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_md5_u128"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Md5U128.eval(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.Md5U128.eval($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5U128 =
+    copy(child = newChild)
+}
+
+object Md5U128 {
+  def eval(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(s.getBytes)
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (d(i) & 0xffL); i += 1 }
+    while (i < 16) { lo = (lo << 8) | (d(i) & 0xffL); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hi ^ Long.MinValue, lo ^ Long.MinValue))
+  }
+}

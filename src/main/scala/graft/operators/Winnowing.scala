@@ -35,14 +35,31 @@ object Winnowing {
   private def toks(textCol: String): Column =
     split(trim(lower(coalesce(col(textCol), lit("")))), "\\s+")
 
-  /** (doc_id, fp): the distinct winnowing fingerprints per document. */
+  /** (doc_id, fp): the distinct winnowing fingerprints per document,
+    * as md5 hex strings (the public contract — spec'd against a
+    * sequential reference winnower). Internally the selection runs on
+    * the 128-bit struct key; the hex form is reconstructed only here,
+    * AFTER the distinct, one format per surviving fingerprint. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, w: Int = 5): DataFrame =
     selected(df, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp"))
       .distinct()
+      .select(col("doc_id"), format_string("%016x%016x",
+        col("fp.h").bitwiseXOR(lit(Long.MinValue)),
+        col("fp.l").bitwiseXOR(lit(Long.MinValue))).as("fp"))
 
-  /** Window minima with start positions (internal: pre-distinct). */
+  /** Window minima with start positions (internal: pre-distinct).
+    *
+    * Key representation (r20): grams hash to `graft_md5_u128` — the md5
+    * digest as an order-isomorphic struct<h,l> of two longs — instead
+    * of the 32-hex string. The window min, per-doc distinct and
+    * corpus df aggregation all operate on 16-byte keys with long
+    * comparisons instead of ~40-byte strings with byte-wise compares
+    * (guide §2.3, narrower types); selection is IDENTICAL because the
+    * struct order equals the hex string's lexicographic order
+    * (order-preserving injection — see [[graft.expr.Md5U128]]),
+    * re-pinned by the sequential-reference spec and the t80 oracle. */
   private def selected(df: DataFrame, idCol: String, textCol: String,
                        k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, "winnowing: k and w must be >= 1")
@@ -52,7 +69,8 @@ object Winnowing {
       .select(col("doc_id"), (size(col("__ts")) - (k - 1)).as("g"),
         posexplode(transform(
           sequence(lit(1), size(col("__ts")) - (k - 1)),
-          i => md5(concat_ws(" ", slice(col("__ts"), i, lit(k))))))
+          i => call_function("graft_md5_u128",
+            concat_ws(" ", slice(col("__ts"), i, lit(k))))))
           .as(Seq("pos", "h")))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -68,7 +86,12 @@ object Winnowing {
     * corpus (df ≥ 2) — the MOSS-style shared-content signal. */
   def profile(df: DataFrame, idCol: String, textCol: String,
               k: Int = 4, w: Int = 5): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w)
+    // struct keys end-to-end: the profile only counts fingerprints, so
+    // the hex reconstruction the public [[fingerprints]] API performs
+    // would put 40-byte strings back on the df shuffle for nothing
+    val fps = selected(df, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
     val fdf = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
     val perDoc = fps.join(fdf, "fp")
       .groupBy(col("doc_id"))
